@@ -1,0 +1,107 @@
+"""Schema evolution (column add / int widen), hot-key skew with the salted
+pre-compaction pass, and crash-window recovery."""
+
+import os
+import shutil
+
+import pyarrow.compute as pc
+import pytest
+
+from sql_graph_visualizer_ray.pipelines.cdc import LakeTable, replay
+from sql_graph_visualizer_ray.pipelines.oracle import replay_oracle
+from sql_graph_visualizer_ray.sources.changelog import ChangelogSpec, materialize
+
+
+def canonical(t):
+    t = t.select(sorted(t.column_names))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+
+
+@pytest.mark.parametrize("evolution", ["addcol", "widen"])
+def test_schema_evolution_mid_stream(evolution, tmp_path):
+    spec = ChangelogSpec(
+        n_events=8_000, n_convs=300, n_epochs=6, seed=11, evolution=evolution
+    )
+    clog = materialize(f"unit-evolve-{evolution}", spec)
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8)
+    got = canonical(lake.final_table())
+    want = canonical(replay_oracle(clog))
+    assert got.schema == want.schema
+    if evolution == "addcol":
+        assert "tool_version" in got.schema.names
+    if evolution == "widen":
+        assert got.schema.field("turn_idx").type == "int64"
+    assert got.equals(want)
+
+
+def test_evolution_incremental_commits_cross_boundary(tmp_path):
+    """Commit-by-commit replay where the schema changes BETWEEN commits:
+    early lake files carry the old schema and must unify with later events."""
+    spec = ChangelogSpec(
+        n_events=8_000, n_convs=300, n_epochs=6, seed=12, evolution="addcol"
+    )
+    clog = materialize("unit-evolve-inc", spec)
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8, epochs_per_commit=2)
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_skew_salted_matches_oracle(tmp_path):
+    spec = ChangelogSpec(
+        n_events=20_000, n_convs=500, n_epochs=4, seed=13, zipf_theta=1.2
+    )
+    clog = materialize("unit-skew", spec)
+    plain = replay(clog, str(tmp_path / "plain"), num_buckets=8)
+    salted = replay(clog, str(tmp_path / "salted"), num_buckets=8, salt_groups=4)
+    want = canonical(replay_oracle(clog))
+    assert canonical(plain.final_table()).equals(want)
+    assert canonical(salted.final_table()).equals(want)
+
+
+def test_turn_shard_splits_giant_conversations(tmp_path):
+    """turn_shard_size spreads one hot conv over many buckets, result equal."""
+    spec = ChangelogSpec(n_events=10_000, n_convs=10, n_epochs=4, seed=14)
+    clog = materialize("unit-giantconv", spec)
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8, turn_shard_size=5)
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
+    # with 10 convs and shard=5, state must occupy most buckets
+    assert len(lake.manifest.data["buckets"]) >= 6
+
+
+def test_crash_between_data_rename_and_manifest(tmp_path):
+    """Simulate dying after v{N} was renamed into place but before the
+    manifest publish: reopen must discard the orphan version and re-apply."""
+    spec = ChangelogSpec(n_events=6_000, n_convs=200, n_epochs=4, seed=15)
+    clog = materialize("unit-crash", spec)
+    lake_dir = str(tmp_path / "lake")
+    lake = LakeTable.open(lake_dir, num_buckets=4)
+    lake.apply(clog, max_epochs=2)
+    committed_version = lake.manifest.version
+    # fabricate the crash window: orphan newer version dir + stale staging
+    shutil.copytree(
+        os.path.join(lake_dir, f"v{committed_version}"),
+        os.path.join(lake_dir, f"v{committed_version + 1}"),
+    )
+    os.makedirs(os.path.join(lake_dir, "_staging", "v999", "bucket=00000"))
+    reopened = LakeTable.open(lake_dir, num_buckets=4)
+    assert not os.path.exists(os.path.join(lake_dir, f"v{committed_version + 1}"))
+    assert not os.path.exists(os.path.join(lake_dir, "_staging"))
+    reopened.apply(clog)  # remaining epochs
+    assert canonical(reopened.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_reopen_resume_across_instances(tmp_path):
+    """Applying half the epochs with one instance and the rest with a fresh
+    instance (new process stand-in) equals one-shot replay."""
+    spec = ChangelogSpec(n_events=9_000, n_convs=300, n_epochs=6, seed=16)
+    clog = materialize("unit-reopen", spec)
+    a = LakeTable.open(str(tmp_path / "lake"), num_buckets=8)
+    a.apply(clog, max_epochs=3)
+    del a
+    b = LakeTable.open(str(tmp_path / "lake"), num_buckets=8)
+    b.apply(clog)
+    one = replay(clog, str(tmp_path / "one"), num_buckets=8)
+    assert canonical(b.final_table()).equals(canonical(one.final_table()))
