@@ -1,0 +1,320 @@
+"""Deduplication operators over the ``documents`` table.
+
+- exact dedup: content hash -> hash-partition groupby -> keep min doc_id
+- char-set Jaccard pairs: exact all-pairs similarity on a deterministic
+  subsample (oracle-checkable against DuckDB's ``jaccard()``)
+- MinHash + LSH banding: shingle -> minhash signature -> band buckets ->
+  candidate pairs -> exact-Jaccard verification (probabilistic recall)
+- SimHash: 64-bit token-weight simhash, banded for near-dup buckets
+
+Shuffle thinking at 100 TB: every variant pre-reduces inside ``map_batches``
+(signatures/hashes are tiny vs text) and shuffles only (key, doc_id) pairs,
+never document bodies. Candidate verification re-reads text only for the
+candidate set (here: carried along, as candidate volume << corpus).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from .relational import read_table
+
+
+def _md5_64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-partition + per-group first)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(sf_dir: str) -> rd.Dataset:
+    """One row per distinct text: (doc_id = min id, n_copies). Grouping is by
+    128-bit content hash so the shuffle moves 16-byte keys, not documents."""
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b["text_hash"] = b["text"].fillna("").map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()
+        )
+        return b[["doc_id", "text_hash"]]
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "n_copies": [np.int64(len(g))]}
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pandas")
+        .select_columns(["doc_id", "n_copies"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Char-set Jaccard pairs (exact; oracle = DuckDB jaccard())
+# ---------------------------------------------------------------------------
+
+
+def jaccard_char_pairs(
+    sf_dir: str, *, modulus: int = 7, threshold: float = 0.6
+) -> rd.Dataset:
+    """All (a < b) doc pairs with character-set Jaccard >= threshold, over the
+    deterministic subsample doc_id % modulus == 0.
+
+    Small-side broadcast pattern: the subsample's char-sets are computed once
+    (tiny bitmasks), broadcast, and each batch compares its rows against the
+    full subsample vectorized — O(n^2/P) numpy work, no shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % modulus == 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def to_sets(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["charset"] = b["text"].fillna("").map(lambda s: frozenset(s))
+        return b[["doc_id", "charset"]]
+
+    import ray
+
+    sets_df = (
+        docs.map_batches(to_sets, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # bit-matrix over the (small) alphabet actually present
+    alphabet = sorted(set().union(*sets_df["charset"]) or {" "})
+    idx = {c: i for i, c in enumerate(alphabet)}
+    mat = np.zeros((len(sets_df), len(alphabet)), dtype=bool)
+    for r, cs in enumerate(sets_df["charset"]):
+        for c in cs:
+            mat[r, idx[c]] = True
+    ref = ray.put((sets_df["doc_id"].to_numpy(), mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+            self.sizes = self.mat.sum(axis=1)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            rows = batch["doc_id"].to_numpy()
+            pos = np.searchsorted(self.ids, rows)
+            sub = self.mat[pos]  # (b, A)
+            inter = sub.astype(np.int32) @ self.mat.T.astype(np.int32)  # (b, N)
+            union = self.sizes[pos][:, None] + self.sizes[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            a_ids = np.repeat(rows, len(self.ids)).reshape(len(rows), -1)
+            b_ids = np.broadcast_to(self.ids, a_ids.shape)
+            keep = (jac >= threshold) & (a_ids < b_ids)
+            return pa.table(
+                {
+                    "doc_a": pa.array(a_ids[keep], pa.int64()),
+                    "doc_b": pa.array(b_ids[keep], pa.int64()),
+                }
+            )
+
+    return (
+        docs.select_columns(["doc_id"])
+        .map_batches(PairFinder, batch_format="pandas", concurrency=4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_WORD = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = _WORD.findall(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+class MinHasher:
+    """Per-batch minhash signatures: shingle -> 64-bit hashes -> per-permutation
+    min via the (a*x+b) mod p trick, vectorized across a doc's shingles."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.p = (1 << 61) - 1
+        self.a = rng.integers(1, self.p, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, self.p, size=num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text)
+        if not sh:
+            return np.full(self.num_perm, self.p, dtype=np.int64)
+        base = np.array([_md5_64(s) & 0x7FFFFFFFFFFFFFFF for s in sh], dtype=np.int64)
+        # (num_perm, n_shingles) permuted hashes -> min over shingles
+        perm = (self.a[:, None].astype(object) * base[None, :] + self.b[:, None]) % self.p
+        return perm.min(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = batch["text"].fillna("").map(self.signature)
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        out["sig"] = sigs
+        return out
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> rd.Dataset:
+    """Near-dup candidate pairs via LSH banding, verified with exact shingle
+    Jaccard. Output: (doc_a, doc_b) verified pairs.
+
+    Dataflow: map_batches(signatures) -> explode to (band, band_hash, doc_id)
+    -> groupby band bucket -> per-bucket pairs -> dedup pairs -> verify.
+    Only signatures and ids shuffle; texts are re-joined only for candidates.
+    """
+    rows = num_perm // bands
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = MinHasher(num_perm=num_perm)
+        recs_doc, recs_band, recs_hash = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            sig = mh.signature(text)
+            for b in range(bands):
+                h = hashlib.md5(sig[b * rows : (b + 1) * rows].tobytes()).hexdigest()
+                recs_doc.append(doc_id)
+                recs_band.append(b)
+                recs_hash.append(h)
+        return pd.DataFrame(
+            {"doc_id": recs_doc, "band": recs_band, "band_hash": recs_hash}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    candidates = (
+        docs.map_batches(band_rows, batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    # verify candidates with exact shingle Jaccard (broadcast text of the
+    # candidate docs — candidate set << corpus)
+    import ray
+
+    cand_df = candidates.to_pandas()
+    if len(cand_df) == 0:
+        return rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        )
+    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    texts = (
+        docs.map_batches(  # vectorized semi-join on the candidate id set
+            lambda b: b[b["doc_id"].isin(needed)], batch_format="pandas"
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    ref = ray.put(texts)
+
+    class Verifier:
+        def __init__(self):
+            t = ray.get(ref)
+            self.sets = {i: _shingles(s or "") for i, s in t.items()}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keep = []
+            for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                sa, sb = self.sets[a], self.sets[b]
+                u = len(sa | sb)
+                keep.append(u > 0 and len(sa & sb) / u >= jaccard_threshold)
+            return batch[np.array(keep, dtype=bool)]
+
+    return rd.from_pandas(cand_df).map_batches(
+        Verifier, batch_format="pandas", concurrency=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit simhash over token crc32-derived 64-bit hashes."""
+
+    def __init__(self):
+        self.word = _WORD
+
+    def simhash(self, text: str) -> int:
+        toks = self.word.findall(text.lower())
+        if not toks:
+            return 0
+        hs = np.array([_md5_64(t) for t in toks], dtype=np.int64).astype(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        return int(
+            np.bitwise_or.reduce(
+                (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).astype(np.int64)
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": batch["text"].fillna("").map(self.simhash).astype("int64"),
+            }
+        )
+
+
+def simhash_buckets(sf_dir: str, *, band_bits: int = 16) -> rd.Dataset:
+    """Docs sharing any 16-bit simhash band -> near-dup buckets:
+    (band, band_value, doc_id) rows for buckets with >= 2 docs."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=4)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["simhash"].to_numpy().astype(np.uint64)
+        parts = []
+        for band in range(64 // band_bits):
+            val = (h >> np.uint64(band * band_bits)) & np.uint64((1 << band_bits) - 1)
+            parts.append(
+                pd.DataFrame(
+                    {"doc_id": b["doc_id"], "band": band, "band_value": val.astype("int64")}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+    counts = exploded.groupby(["band", "band_value"]).aggregate(
+        Count(alias_name="n_docs")
+    )
+    return counts.filter(expr="n_docs >= 2")

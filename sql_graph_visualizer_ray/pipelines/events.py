@@ -1,0 +1,119 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windows (SURVEY.md §2.9 — the reference has no
+streaming dataflow either, only poll-loop monitoring at
+``/root/reference/internal/application/services/performance/realtime_performance_monitor.go:287-303``).
+Windows are expressed as groupby(key).map_groups over ts-sorted groups; the
+partitioning assumption (all of a key's events in one group) is exactly the
+engine's conv_id partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .relational import read_table
+
+
+def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user: a new session starts when the gap since the
+    previous event exceeds ``gap_minutes``. Output one row per session:
+    (user_id, session_id, n_events, session_start, session_end).
+    Tie-break ordering within a user: (ts, event_id) — deterministic and
+    matched by the oracle SQL's window ORDER BY."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            deltas = g["ts"].to_numpy()[1:] - g["ts"].to_numpy()[:-1]
+            new_session[1:] = deltas > gap
+        sid = np.cumsum(new_session)
+        g = g.assign(session_id=sid)
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=("event_id", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["session_id"] = out["session_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def tumbling_window_counts(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windows per event_type: (hour, event_type, n_events).
+
+    Pre-aggregation pattern: per-batch partial counts inside map_batches, then
+    a small groupby over partials — the shuffle moves (hour,type,count) rows,
+    not events."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(hour=b["ts"].dt.floor("h"))
+        out = (
+            b.groupby(["hour", "event_type"], sort=False, observed=True)
+            .size()
+            .rename("partial_n")
+            .reset_index()
+        )
+        return out
+
+    partials = read_table(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = partials.groupby(["hour", "event_type"]).aggregate(
+        Sum("partial_n", alias_name="n_events")
+    )
+    return agg
+
+
+def last_event_per_user(sf_dir: str) -> rd.Dataset:
+    """D1 generalized to the events table: last-writer-wins per user by
+    (ts, event_id) — the reference's duplicate-key overwrite
+    (``graph_aggregate.go:46-51``) as a grouped keep-last."""
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").tail(1)
+
+    return (
+        read_table(
+            sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        .groupby("user_id")
+        .map_groups(keep_last, batch_format="pandas")
+    )
+
+
+def user_activity_summary(sf_dir: str, *, min_events: int = 5) -> rd.Dataset:
+    """Grouped aggregate + HAVING (A1): per-user event count, first/last ts,
+    integer-cents value sum; HAVING n_events >= min_events."""
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(value_cents=np.round(b["value"] * 100).astype("int64"))
+        return b[["user_id", "event_id", "ts", "value_cents"]]
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(to_cents, batch_format="pandas")
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+    return agg.filter(expr=f"n_events >= {min_events}")

@@ -1,0 +1,613 @@
+"""Operator-coverage query registry: one entry per implemented operator from
+SURVEY.md §2 (+ the training-data operators), each paired where expressible
+with ANSI-SQL DuckDB oracle text over the same inputs.
+
+Contract (driver): every callable takes ``sf_dir`` and returns a Dataset /
+DataFrame / pyarrow Table whose column NAMES and value types match the oracle
+SQL exactly. Aggregates over money columns are integer cents (exact — no
+float-summation-order hazards); top-k uses deterministic (score, id)
+tie-breaks on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import Computed, NodeRule, Predicate, RelationshipRule
+from ..sources.changelog import fixture_for
+from . import dedup, events, multimodal, similarity
+from .cdc import replay
+from .relational import (
+    apply_node_rule,
+    apply_relationship_rule,
+    broadcast_join,
+    cooccurrence_pairs,
+    read_table,
+    union_nodes,
+)
+
+LAKE_ROOT = "/tmp/graft_lakes"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# ---------------------------------------------------------------------------
+# CDC queries — replay a deterministic changelog fixture into a lake table and
+# return the final state; oracle = window-function LWW SQL over the same files
+# ---------------------------------------------------------------------------
+
+
+def _cdc_run(sf_dir: str, variant: str, qname: str, **replay_kw) -> pa.Table:
+    clog = fixture_for(sf_dir, variant)
+    label = os.path.basename(os.path.normpath(sf_dir))
+    lake_dir = os.path.join(LAKE_ROOT, label, qname)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = replay(clog, lake_dir, num_buckets=16, **replay_kw)
+    return lake.final_table()
+
+
+def cdc_lww_merge(sf_dir: str) -> pa.Table:
+    """T2/D1/O4/K1: full changelog replay, LWW by (ts, lsn), tombstone drop,
+    stable (conv_id, turn_idx) ordering."""
+    return _cdc_run(sf_dir, "basic", "cdc_lww_merge")
+
+
+def cdc_lww_dup_heavy(sf_dir: str) -> pa.Table:
+    """Tie-break stress: many updates per key + 20% out-of-order timestamps."""
+    return _cdc_run(sf_dir, "dup_heavy", "cdc_lww_dup_heavy")
+
+
+def cdc_evolve_addcol(sf_dir: str) -> pa.Table:
+    """Schema evolution: mid-stream column add (tool_version), Arrow
+    unification + null-fill."""
+    return _cdc_run(sf_dir, "evolve_addcol", "cdc_evolve_addcol")
+
+
+def cdc_evolve_widen(sf_dir: str) -> pa.Table:
+    """Schema evolution: mid-stream turn_idx int32 -> int64 widen."""
+    return _cdc_run(sf_dir, "evolve_widen", "cdc_evolve_widen")
+
+
+def cdc_skew_salted(sf_dir: str) -> pa.Table:
+    """Zipf-hot conv_ids through the salted pre-compaction pass."""
+    return _cdc_run(sf_dir, "skew_hot", "cdc_skew_salted", salt_groups=4)
+
+
+def cdc_incremental_resume(sf_dir: str) -> pa.Table:
+    """Exactly-once path: commit every 3 epochs with manifest fencing; the
+    multi-commit result must equal one-shot replay (same oracle)."""
+    return _cdc_run(sf_dir, "basic", "cdc_incremental_resume", epochs_per_commit=3)
+
+
+def _cdc_sql(sf_dir: str, variant: str, *, widen: bool = False, addcol: bool = False) -> str:
+    clog = fixture_for(sf_dir, variant)
+    turn = "CAST(turn_idx AS BIGINT) AS turn_idx" if widen else "turn_idx"
+    extra = ", tool_version" if addcol else ""
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM read_parquet('{clog}/*.parquet', union_by_name=true))
+SELECT conv_id, {turn}, role, text, tool, ts{extra}
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational rule queries (M1/M2/M9/M10, J1/J2, D4)
+# ---------------------------------------------------------------------------
+
+CUSTOMER_NODE_RULE = NodeRule(
+    name="customer_nodes",
+    source_table="customer",
+    target_type="Customer",
+    field_mappings={"c_custkey": "id", "c_name": "name", "c_mktsegment": "segment"},
+)
+
+SUPPLIER_NODE_RULE = NodeRule(
+    name="supplier_nodes",
+    source_table="supplier",
+    target_type="Supplier",
+    field_mappings={"s_suppkey": "id", "s_name": "name"},
+    filters=(Predicate("s_acctbal", ">", 0.0),),
+    computed=(Computed(name="label", kind="concat", parts=("S-", "col:s_name")),),
+)
+
+
+def nodes_customer(sf_dir: str) -> rd.Dataset:
+    """M1: projection + rename + type tag."""
+    return apply_node_rule(read_table(sf_dir, "customer"), CUSTOMER_NODE_RULE)
+
+
+def nodes_supplier_labeled(sf_dir: str) -> rd.Dataset:
+    """M9 + M10: predicate filter + CONCAT computed property."""
+    return apply_node_rule(read_table(sf_dir, "supplier"), SUPPLIER_NODE_RULE)
+
+
+def rel_customer_nation(sf_dir: str) -> rd.Dataset:
+    """J1/M2: key-equality relationship between two node sets (hash join)."""
+    cust = apply_node_rule(
+        read_table(sf_dir, "customer"),
+        NodeRule(
+            name="c",
+            source_table="customer",
+            target_type="Customer",
+            field_mappings={"c_custkey": "id", "c_nationkey": "nation_key"},
+        ),
+    )
+    nat = apply_node_rule(
+        read_table(sf_dir, "nation"),
+        NodeRule(
+            name="n",
+            source_table="nation",
+            target_type="Nation",
+            field_mappings={"n_nationkey": "id"},
+        ),
+    )
+    rule = RelationshipRule(
+        name="belongs_to",
+        relation_type="BELONGS_TO",
+        source_type="Customer",
+        target_type="Nation",
+        source_id="id",
+        target_id="id",
+        source_match="nation_key",
+        target_match="id",
+    )
+    out = apply_relationship_rule(cust, nat, rule, num_partitions=4)
+
+    def cast_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_id": t.column("source_id").cast(pa.int64()),
+                "target_id": t.column("target_id").cast(pa.int64()),
+                "relation_type": t.column("relation_type"),
+                "direction": t.column("direction"),
+            }
+        )
+
+    return out.map_batches(cast_ids, batch_format="pyarrow")
+
+
+def rel_dangling_orders(sf_dir: str) -> rd.Dataset:
+    """J2 dangling-edge policy: anti-join of orders against the admitted node
+    set (customers with c_acctbal > 500) -> dead-letter edges."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    nodeset = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 500.0"
+    ).select_columns(["c_custkey"])
+    dangling = broadcast_join(
+        orders, nodeset, left_key="o_custkey", right_key="c_custkey", how="anti"
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    return dangling.map_batches(shape, batch_format="pyarrow")
+
+
+def nodes_union_all(sf_dir: str) -> rd.Dataset:
+    """D4: bag union of per-rule node outputs (shared schema)."""
+    cust = apply_node_rule(
+        read_table(sf_dir, "customer"),
+        NodeRule(
+            name="c", source_table="customer", target_type="Customer",
+            field_mappings={"c_custkey": "id", "c_name": "name"},
+        ),
+    )
+    supp = apply_node_rule(
+        read_table(sf_dir, "supplier"),
+        NodeRule(
+            name="s", source_table="supplier", target_type="Supplier",
+            field_mappings={"s_suppkey": "id", "s_name": "name"},
+        ),
+    )
+    return union_nodes([cust, supp])
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1) / sort-limit (O2/O3) / distinct (D2) / self-join (J5)
+# ---------------------------------------------------------------------------
+
+
+def agg_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-shaped grouped aggregate with exact integer-cents money sums
+    and floor-division average (A1). Pre-aggregation: cents computed per batch
+    before the groupby shuffle."""
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc_c = np.round((1.0 - b["l_discount"].to_numpy()) * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"].astype("int64"),
+                "price_cents": price_c,
+                "disc_e4": price_c * disc_c,
+            }
+        )
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(cents, batch_format="pandas")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_base_cents"),
+        Sum("disc_e4", alias_name="sum_disc_e4"),
+        Count(alias_name="count_order"),
+    )
+
+    def avg(b: pd.DataFrame) -> pd.DataFrame:
+        b["avg_qty_centi"] = (b["sum_qty"] * 100) // b["count_order"]
+        return b
+
+    return agg.map_batches(avg, batch_format="pandas")
+
+
+def agg_orders_having(sf_dir: str) -> rd.Dataset:
+    """Grouped count + integer-cents sum with HAVING (A1)."""
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"],
+                "total_cents": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pandas"
+    )
+    agg = ds.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
+    )
+    return agg.filter(expr="n_orders > 5")
+
+
+def topk_customers(sf_dir: str) -> pa.Table:
+    """O3 top-k: spend per customer, deterministic (spend desc, id asc)
+    tie-break, k=10. Broadcast join (customer is the small side)."""
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"],
+                "total_cents": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pandas"
+    )
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("total_cents", alias_name="spend_cents")
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = broadcast_join(
+        agg, cust, left_key="o_custkey", right_key="c_custkey", how="inner"
+    )
+    top = joined.sort(["spend_cents", "o_custkey"], descending=[True, False]).limit(10)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return t.select(["o_custkey", "c_name", "spend_cents"]).rename_columns(
+        ["c_custkey", "c_name", "spend_cents"]
+    )
+
+
+def distinct_segments(sf_dir: str) -> pa.Table:
+    """D2: DISTINCT via Dataset.unique (shuffle dedup)."""
+    vals = read_table(sf_dir, "customer", columns=["c_mktsegment"]).unique(
+        "c_mktsegment"
+    )
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+def pairs_supplier_copart(sf_dir: str) -> rd.Dataset:
+    """J5 self-join: supplier pairs co-occurring on a part, with pair counts
+    (groupby part -> vectorized triangle pairs -> pair count groupby)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return cooccurrence_pairs(li, group_col="l_partkey", item_col="l_suppkey")
+
+
+def count_all_tables(sf_dir: str) -> pa.Table:
+    """A2 EstimateDataSize: per-table row counts (Parquet metadata — the
+    Ray-side count never scans data)."""
+    rows = []
+    for t in TABLES:
+        rows.append((t, rd.read_parquet(os.path.join(sf_dir, f"{t}.parquet")).count()))
+    return pa.table(
+        {
+            "table_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+_ARROW_TO_DUCK = {
+    "int64": "BIGINT",
+    "int32": "INTEGER",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "large_string": "VARCHAR",
+    "timestamp[us]": "TIMESTAMP",
+    "bool": "BOOLEAN",
+    "list<element: float>": "FLOAT[]",
+}
+
+
+def schema_discovery(sf_dir: str) -> pa.Table:
+    """S6: table/column/type inventory from Dataset schemas (the engine's
+    INFORMATION_SCHEMA substitute)."""
+    t_names, c_names, ordinals, dtypes = [], [], [], []
+    for t in TABLES:
+        sch = rd.read_parquet(os.path.join(sf_dir, f"{t}.parquet")).schema()
+        names, types = sch.names, sch.types
+        for i, (n, ty) in enumerate(zip(names, types), start=1):
+            t_names.append(t)
+            c_names.append(n)
+            ordinals.append(i)
+            dtypes.append(_ARROW_TO_DUCK.get(str(ty), str(ty).upper()))
+    return pa.table(
+        {
+            "table_name": pa.array(t_names, pa.string()),
+            "column_name": pa.array(c_names, pa.string()),
+            "ordinal_position": pa.array(ordinals, pa.int64()),
+            "data_type": pa.array(dtypes, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    """name -> callable(sf_dir). Grouped by operator family."""
+    return {
+        # CDC core
+        "cdc_lww_merge": cdc_lww_merge,
+        "cdc_lww_dup_heavy": cdc_lww_dup_heavy,
+        "cdc_evolve_addcol": cdc_evolve_addcol,
+        "cdc_evolve_widen": cdc_evolve_widen,
+        "cdc_skew_salted": cdc_skew_salted,
+        "cdc_incremental_resume": cdc_incremental_resume,
+        # rule-driven relational
+        "nodes_customer": nodes_customer,
+        "nodes_supplier_labeled": nodes_supplier_labeled,
+        "rel_customer_nation": rel_customer_nation,
+        "rel_dangling_orders": rel_dangling_orders,
+        "nodes_union_all": nodes_union_all,
+        # aggregates / sorts / distinct / pairs
+        "agg_pricing_summary": agg_pricing_summary,
+        "agg_orders_having": agg_orders_having,
+        "topk_customers": topk_customers,
+        "distinct_segments": distinct_segments,
+        "pairs_supplier_copart": pairs_supplier_copart,
+        "count_all_tables": count_all_tables,
+        "schema_discovery": schema_discovery,
+        # events / windows
+        "events_sessionize": events.sessionize,
+        "events_hourly": events.tumbling_window_counts,
+        "events_last_per_user": events.last_event_per_user,
+        "events_user_summary": events.user_activity_summary,
+        # text analysis
+        "text_token_counts": _text_token_counts,
+        "text_quality": _text_quality,
+        "text_langid_counts": _text_langid_counts,
+        "text_fingerprints": _text_fingerprints,
+        # dedup
+        "dedup_exact_groups": dedup.exact_dedup_groups,
+        "dedup_jaccard_pairs": dedup.jaccard_char_pairs,
+        "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
+        "dedup_simhash_buckets": dedup.simhash_buckets,
+        # similarity search
+        "embed_cosine_topk": similarity.cosine_topk,
+        "embed_lsh_topk": similarity.lsh_ann_topk,
+        "embed_nearest_centroid": similarity.nearest_centroid,
+        # multimodal plumbing
+        "multimodal_payload_sizes": multimodal.payload_sizes,
+        "multimodal_features": multimodal.extract_features,
+    }
+
+
+def _text_token_counts(sf_dir: str) -> rd.Dataset:
+    from ..functions.textfns import TokenCounter
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pandas", concurrency=4
+    )
+
+
+def _text_quality(sf_dir: str) -> rd.Dataset:
+    from ..functions.textfns import QualityScorer
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", concurrency=4
+    )
+
+
+def _text_langid_counts(sf_dir: str) -> rd.Dataset:
+    from ..functions.textfns import LanguageId
+
+    preds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LanguageId, batch_format="pandas", concurrency=4
+    )
+    return preds.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
+
+
+def _text_fingerprints(sf_dir: str) -> rd.Dataset:
+    from ..functions.textfns import Fingerprinter
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pandas", concurrency=4
+    )
+
+
+def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """DuckDB-runnable ANSI SQL per query (omissions = non-SQL-expressible ops
+    checked rows-only by the driver: LSH/minhash/simhash approximations,
+    heuristic langid, hash fingerprints, checksum features)."""
+    token_re = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r]"
+    return {
+        "cdc_lww_merge": _cdc_sql(sf_dir, "basic"),
+        "cdc_lww_dup_heavy": _cdc_sql(sf_dir, "dup_heavy"),
+        "cdc_evolve_addcol": _cdc_sql(sf_dir, "evolve_addcol", addcol=True),
+        "cdc_evolve_widen": _cdc_sql(sf_dir, "evolve_widen", widen=True),
+        "cdc_skew_salted": _cdc_sql(sf_dir, "skew_hot"),
+        "cdc_incremental_resume": _cdc_sql(sf_dir, "basic"),
+        "nodes_customer": (
+            "SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment, "
+            "'Customer' AS node_type FROM customer"
+        ),
+        "nodes_supplier_labeled": (
+            "SELECT s_suppkey AS id, s_name AS name, 'S-' || s_name AS label, "
+            "'Supplier' AS node_type FROM supplier WHERE s_acctbal > 0"
+        ),
+        "rel_customer_nation": (
+            "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
+            "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "rel_dangling_orders": (
+            "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS ("
+            "SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+            "AND c.c_acctbal > 500.0)"
+        ),
+        "nodes_union_all": (
+            "SELECT c_custkey AS id, c_name AS name, 'Customer' AS node_type FROM customer "
+            "UNION ALL "
+            "SELECT s_suppkey AS id, s_name AS name, 'Supplier' AS node_type FROM supplier"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "    CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_e4, "
+            "COUNT(*) AS count_order, "
+            "CAST((SUM(CAST(l_quantity AS BIGINT))*100) // COUNT(*) AS BIGINT) AS avg_qty_centi "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_orders_having": (
+            "SELECT o_custkey, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_cents "
+            "FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5"
+        ),
+        "topk_customers": (
+            "SELECT c_custkey, c_name, "
+            "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY spend_cents DESC, c_custkey LIMIT 10"
+        ),
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "pairs_supplier_copart": (
+            "SELECT a.l_suppkey AS item_a, b.l_suppkey AS item_b, COUNT(*) AS n_shared "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a "
+            "JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b "
+            "ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey "
+            "GROUP BY a.l_suppkey, b.l_suppkey"
+        ),
+        "count_all_tables": " UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+        ),
+        "schema_discovery": (
+            "SELECT table_name, column_name, "
+            "CAST(ordinal_position AS BIGINT) AS ordinal_position, data_type "
+            "FROM information_schema.columns WHERE table_name IN ("
+            + ",".join(f"'{t}'" for t in TABLES)
+            + ")"
+        ),
+        "events_sessionize": (
+            "WITH flagged AS ("
+            "  SELECT user_id, event_id, ts, "
+            "  CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "numbered AS ("
+            "  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, "
+            "MIN(ts) AS session_start, MAX(ts) AS session_end "
+            "FROM numbered GROUP BY user_id, session_id"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "events_last_per_user": (
+            "SELECT event_id, ts, user_id, event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "events_user_summary": (
+            "SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, "
+            "MAX(ts) AS last_ts, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY user_id HAVING COUNT(*) >= 5"
+        ),
+        "text_token_counts": (
+            f"SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text,''), "
+            f"'{token_re}')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_extract_all(coalesce(text,''), '[^ \\t\\n\\r]+')) AS BIGINT) AS n_words, "
+            "CAST(len(regexp_extract_all(coalesce(text,''), '[.!?,;:]')) AS BIGINT) AS n_punct, "
+            "CAST(len(regexp_extract_all(coalesce(text,''), '[A-Z]')) AS BIGINT) AS n_upper "
+            "FROM documents"
+        ),
+        "dedup_exact_groups": (
+            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+            "FROM documents GROUP BY coalesce(text,'')"
+        ),
+        "dedup_jaccard_pairs": (
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM documents a JOIN documents b "
+            "ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id "
+            "WHERE jaccard(coalesce(a.text,''), coalesce(b.text,'')) >= 0.6"
+        ),
+        "embed_cosine_topk": (
+            "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS BIGINT) AS rank "
+            "FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id "
+            "QUALIFY rank <= 10"
+        ),
+        "embed_nearest_centroid": (
+            "SELECT e.vec_id, c.vec_id AS centroid_id FROM embeddings e "
+            "JOIN embeddings c ON c.vec_id < 8 "
+            "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(e.embedding, c.embedding) DESC, c.vec_id) = 1"
+        ),
+        "multimodal_payload_sizes": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+            "FROM documents"
+        ),
+    }

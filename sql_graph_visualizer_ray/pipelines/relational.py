@@ -1,0 +1,306 @@
+"""Rule-driven relational transforms: nodes, relationships, joins, aggregates.
+
+Ray-Data-native recast of the reference's two-pass transform loop
+(``/root/reference/internal/application/services/transform/transform_service.go:87-186``:
+node rules first, then relationship rules that join against the accumulated
+node set). Here each rule compiles to a streaming Dataset pipeline; the "graph
+aggregate" is never one in-memory object — node sets are Datasets, and edge
+rules join them with either a broadcast lookup (small side) or Ray's
+hash-partitioned ``Dataset.join`` (both sides large).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..config import Computed, NodeRule, Predicate, RelationshipRule
+
+# ---------------------------------------------------------------------------
+# Predicate / expression compilation (vectorized — no per-row Python)
+# ---------------------------------------------------------------------------
+
+
+def compile_predicate(preds: tuple[Predicate, ...]):
+    def apply(t: pa.Table) -> pa.Table:
+        mask = None
+        for p in preds:
+            col = t.column(p.column)
+            if p.op == "==":
+                m = pc.equal(col, pa.scalar(p.value))
+            elif p.op == "!=":
+                m = pc.not_equal(col, pa.scalar(p.value))
+            elif p.op == "<":
+                m = pc.less(col, pa.scalar(p.value))
+            elif p.op == "<=":
+                m = pc.less_equal(col, pa.scalar(p.value))
+            elif p.op == ">":
+                m = pc.greater(col, pa.scalar(p.value))
+            elif p.op == ">=":
+                m = pc.greater_equal(col, pa.scalar(p.value))
+            elif p.op == "in":
+                m = pc.is_in(col, value_set=pa.array(list(p.value)))
+            elif p.op == "not_null":
+                m = pc.is_valid(col)
+            elif p.op == "is_null":
+                m = pc.is_null(col)
+            else:
+                raise ValueError(f"unknown predicate op {p.op!r}")
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask) if mask is not None else t
+
+    return apply
+
+
+def compile_computed(c: Computed):
+    """CONCAT / arithmetic computed columns (reference pushes these into rule
+    SQL, e.g. CONCAT at ``/root/reference/config/config.yml:161``)."""
+
+    def apply(t: pa.Table) -> pa.Array:
+        if c.kind == "concat":
+            arrs = []
+            for part in c.parts:
+                if isinstance(part, str) and part.startswith("col:"):
+                    arrs.append(pc.cast(t.column(part[4:]), pa.string()))
+                else:
+                    arrs.append(pa.array([str(part)] * t.num_rows, pa.string()))
+            return pc.binary_join_element_wise(*arrs, "")
+        if c.kind == "arith":
+            left, right = c.parts
+
+            def val(x):
+                return (
+                    t.column(x[4:])
+                    if isinstance(x, str) and x.startswith("col:")
+                    else pa.scalar(x)
+                )
+
+            fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply, "/": pc.divide}[c.op]
+            return fn(val(left), val(right))
+        raise ValueError(f"unknown computed kind {c.kind!r}")
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Node rules (M1/M3/M4/M9/M10)
+# ---------------------------------------------------------------------------
+
+
+def apply_node_rule(source: rd.Dataset, rule: NodeRule) -> rd.Dataset:
+    """Project + rename + tag ``node_type`` per the rule — one zero-copy
+    ``map_batches``. Missing mapped columns are skipped silently, matching
+    ``transform_rule_aggregate.go:77-84``."""
+    pred = compile_predicate(rule.filters)
+    computed = [(c.name, compile_computed(c)) for c in rule.computed]
+    mappings = dict(rule.field_mappings)
+    ttype = rule.target_type
+
+    def project(t: pa.Table) -> pa.Table:
+        t = pred(t)
+        cols, names = [], []
+        for src, dst in mappings.items():
+            if src in t.column_names:  # silent-skip of missing columns
+                cols.append(t.column(src))
+                names.append(dst)
+        for name, fn in computed:
+            cols.append(fn(t))
+            names.append(name)
+        cols.append(pa.array([ttype] * t.num_rows, pa.string()))
+        names.append("node_type")
+        return pa.Table.from_arrays(cols, names=names)
+
+    out = source.map_batches(project, batch_format="pyarrow")
+    if rule.limit is not None:
+        out = out.limit(rule.limit)
+    return out
+
+
+def union_nodes(node_sets: list[rd.Dataset]) -> rd.Dataset:
+    """Bag union of per-rule node outputs (the reference appends every rule's
+    records into one aggregate, ``transform_service.go:87-139``)."""
+    out = node_sets[0]
+    for other in node_sets[1:]:
+        out = out.union(other)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J2/J4) — broadcast for small sides, hash join for large
+# ---------------------------------------------------------------------------
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: the small side is ``ray.put`` once and fetched in
+    ``__init__`` (once per actor), then each batch does a vectorized hash
+    lookup — no shuffle of the big side. This is the scale-correct form of the
+    reference's O(N*M) nested loop (``transform_service.go:392-440``)."""
+
+    def __init__(self, small_ref, left_key: str, how: str, suffix: str = "_r"):
+        import pandas as pd  # noqa: F401
+
+        self.small = ray.get(small_ref)  # pandas DataFrame indexed by join key
+        self.left_key = left_key
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        left = batch.to_pandas()
+        joined = left.merge(
+            self.small,
+            left_on=self.left_key,
+            right_index=True,
+            how=self.how if self.how != "anti" else "left",
+            suffixes=("", self.suffix),
+            indicator=self.how == "anti",
+        )
+        if self.how == "anti":
+            joined = joined[joined["_merge"] == "left_only"].drop(columns=["_merge"])
+            joined = joined[list(left.columns)]
+        return pa.Table.from_pandas(joined, preserve_index=False)
+
+
+def broadcast_join(
+    big: rd.Dataset,
+    small: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Join ``big`` (streamed) against ``small`` (materialized once, broadcast
+    via the object store). ``how``: inner | left | anti (semi-anti on keys)."""
+    small_df = small.to_pandas()
+    small_df = small_df.set_index(right_key)
+    ref = ray.put(small_df)
+    return big.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_args=(ref, left_key, how),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Both-sides-large join via Ray's hash-partitioned ``Dataset.join``."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+        right_suffix="_r",
+    )
+
+
+def apply_relationship_rule(
+    source_nodes: rd.Dataset,
+    target_nodes: rd.Dataset,
+    rule: RelationshipRule,
+    *,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Build typed edges by matching two node sets on key properties
+    (J1, ``transform_service.go:361-444``). Node sets are per-type Datasets —
+    the reference keeps one heap bag and linear-scans it per endpoint lookup
+    (O(E*N), ``graph_aggregate.go:108-133``); typed sets make this a single
+    hash exchange. Non-matching endpoints produce no edge — the inner join IS
+    the reference's dangling-edge drop (``graph_aggregate.go:98-106``)."""
+
+    def side(ds: rd.Dataset, id_prop: str, match_prop: str, prefix: str):
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"{prefix}_id": t.column(id_prop),
+                    f"{prefix}_match": t.column(match_prop),
+                }
+            )
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    src = side(source_nodes, rule.source_id, rule.source_match, "source")
+    dst = side(target_nodes, rule.target_id, rule.target_match, "target")
+    joined = hash_join(
+        src, dst, on="source_match", right_on="target_match",
+        num_partitions=num_partitions,
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_id": t.column("source_id"),
+                "target_id": t.column("target_id"),
+                "relation_type": pa.array([rule.relation_type] * t.num_rows),
+                "direction": pa.array([rule.direction] * t.num_rows),
+            }
+        )
+
+    return joined.map_batches(tag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Self-join similarity pairs (J5 — config.yml:393 user-skill pair rule)
+# ---------------------------------------------------------------------------
+
+
+def cooccurrence_pairs(
+    ds: rd.Dataset, *, group_col: str, item_col: str
+) -> rd.Dataset:
+    """All (item_a < item_b) pairs sharing a group, counted across groups.
+
+    groupby(group).map_groups emits per-group pairs (vectorized triangle
+    indices); a second small groupby counts pair weights. Skewed groups note:
+    a group with k items emits k*(k-1)/2 pairs — cap or salt upstream if a
+    group can be huge."""
+
+    def emit_pairs(g):
+        items = np.unique(g[item_col].to_numpy())
+        if len(items) < 2:
+            return pa.table(
+                {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(len(items), k=1)
+        return pa.table(
+            {
+                "item_a": pa.array(items[ia], pa.int64()),
+                "item_b": pa.array(items[ib], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.select_columns([group_col, item_col])
+        .groupby(group_col)
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["item_a", "item_b"]).aggregate(Count(alias_name="n_shared"))
+
+
+# ---------------------------------------------------------------------------
+# Table readers with pruning (S1/S3/M8/M9)
+# ---------------------------------------------------------------------------
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    """read_parquet with column pruning — the engine's ExecuteQuery/
+    ExtractTableData equivalent (``mysql/repository.go:50-86``, ``:421-450``);
+    predicates are applied by the caller as vectorized filters."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)

@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``cosine_topk``: exact brute-force top-k — numpy matmul per batch against a
+  broadcast query matrix (``ray.put`` once, fetched per actor in ``__init__``,
+  never re-shipped per batch). The scale path: corpus streams, queries
+  broadcast; per-batch partial top-k then a tiny global reduce.
+- ``lsh_ann_topk``: the approximate scale path — random-hyperplane LSH buckets
+  co-locate likely neighbors; only same-bucket candidates are scored.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .relational import read_table
+
+
+def _stack(vecs) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def cosine_topk(
+    sf_dir: str, *, n_queries: int = 5, k: int = 10, exclude_self: bool = True
+) -> rd.Dataset:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Output (query_id, neighbor_id, rank), rank 1..k ordered by
+    (cosine desc, neighbor_id asc) — integer-only output so the DuckDB
+    ``list_cosine_similarity`` oracle matches without float-hash hazards.
+
+    Per-batch partial top-k (k per query per batch) -> driver-side final merge
+    of ``num_batches * k`` candidates: the full corpus never materializes.
+    """
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q = _norm_rows(_stack(qdf["embedding"]))
+    q_ids = qdf["vec_id"].to_numpy()
+    ref = ray.put((q_ids, q))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.q = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            m = _norm_rows(_stack(batch["embedding"]))
+            cos = self.q @ m.T  # (Q, B)
+            if exclude_self:
+                cos[self.q_ids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, cos.shape[1])
+            # per-query partial top-k within this batch
+            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(self.q_ids, kk)
+            cols = part.ravel()
+            return pd.DataFrame(
+                {
+                    "query_id": rows,
+                    "neighbor_id": ids[cols],
+                    "cosine": cos[np.repeat(np.arange(len(self.q_ids)), kk), cols],
+                }
+            )
+
+    partials = emb.map_batches(
+        PartialTopK, batch_format="pandas", batch_size=4096, concurrency=4
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[np.isfinite(g["cosine"])]
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64"),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def lsh_ann_topk(
+    sf_dir: str, *, n_queries: int = 5, k: int = 10, n_planes: int = 8, seed: int = 42
+) -> rd.Dataset:
+    """Approximate top-k: random-hyperplane signatures bucket the corpus; each
+    query scores only its own bucket (plus Hamming-1 neighbors would raise
+    recall — documented tradeoff). Output (query_id, neighbor_id, rank)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    qm = _norm_rows(_stack(qdf["embedding"]))
+    q_sig = (qm @ planes.T > 0).astype(np.uint8)
+    q_bucket = np.packbits(q_sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+    ref = ray.put((qdf["vec_id"].to_numpy(), qm, q_bucket, planes))
+
+    class BucketScore:
+        def __init__(self):
+            self.q_ids, self.q, self.q_bucket, self.planes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            m = _norm_rows(_stack(batch["embedding"]))
+            sig = (m @ self.planes.T > 0).astype(np.uint8)
+            bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+            out = []
+            for qi, (qid, qv, qb) in enumerate(
+                zip(self.q_ids, self.q, self.q_bucket)
+            ):
+                mask = (bucket == qb) & (ids != qid)
+                if not mask.any():
+                    continue
+                cos = m[mask] @ qv
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[mask], "cosine": cos}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int64"),
+                        "neighbor_id": pd.Series([], dtype="int64"),
+                        "cosine": pd.Series([], dtype="float64"),
+                    }
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partials = emb.map_batches(
+        BucketScore, batch_format="pandas", batch_size=4096, concurrency=4
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64"),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def nearest_centroid(sf_dir: str, *, n_centroids: int = 8, seed: int = 7) -> rd.Dataset:
+    """IVF-style coarse quantization: assign every vector to its nearest of
+    ``n_centroids`` deterministic seed centroids (the corpus vectors with
+    vec_id 0..n-1). Output (vec_id, centroid_id) — the partition map an IVF
+    index would use."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cdf = emb.filter(expr=f"vec_id < {n_centroids}").to_pandas().sort_values("vec_id")
+    cm = _norm_rows(_stack(cdf["embedding"]))
+    ref = ray.put((cdf["vec_id"].to_numpy(), cm))
+
+    class Assign:
+        def __init__(self):
+            self.c_ids, self.c = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _norm_rows(_stack(batch["embedding"]))
+            sim = m @ self.c.T
+            best = sim.argmax(axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].astype("int64"),
+                    "centroid_id": self.c_ids[best].astype("int64"),
+                }
+            )
+
+    return emb.map_batches(Assign, batch_format="pandas", batch_size=4096, concurrency=4)
