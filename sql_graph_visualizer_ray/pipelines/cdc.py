@@ -105,14 +105,54 @@ class LakeTable:
         max_epochs: int | None = None,
         salt_groups: int | None = None,
         batch_size: int = 131_072,
+        shuffle: str = "sort",
+        precompact: bool | None = None,
     ) -> dict:
         """Apply all unapplied epochs (bounded by upto_epoch/max_epochs) as ONE
         epoch-fenced commit. Returns the commit's lineage counters.
+
+        ``precompact`` runs the per-batch LWW combiner before the exchange.
+        Default: on for the in-object-store shuffles (volume through the
+        all-to-all is what hurts), off for ``shuffle="spill"`` (local spill
+        writes are cheap and the per-bucket merge compacts exactly once —
+        re-compacting near-duplicate-free batches is pure overhead).
 
         Idempotent: already-applied epochs are skipped via the manifest
         watermark; a crash before the manifest publish leaves the table at the
         previous version and the next call re-applies cleanly.
         """
+        # the shuffle strategy must be chosen BEFORE any dataset is created:
+        # Ray snapshots DataContext per dataset at creation time
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        if shuffle == "hash":
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            return self._apply_inner(
+                changelog_dir,
+                upto_epoch=upto_epoch,
+                max_epochs=max_epochs,
+                salt_groups=salt_groups,
+                batch_size=batch_size,
+                shuffle=shuffle,
+                precompact=(shuffle != "spill") if precompact is None else precompact,
+            )
+        finally:
+            ctx.shuffle_strategy = prev_strategy
+
+    def _apply_inner(
+        self,
+        changelog_dir: str,
+        *,
+        upto_epoch: int | None,
+        max_epochs: int | None,
+        salt_groups: int | None,
+        batch_size: int,
+        shuffle: str,
+        precompact: bool,
+    ) -> dict:
         m = self.manifest
         files = [
             (e, p)
@@ -148,11 +188,17 @@ class LakeTable:
 
         def _normalize_and_compact(t: pa.Table) -> pa.Table:
             t = normalize_table(t, event_schema)
-            return compact_with_lineage(t, keep_tombstones=True)  # combiner
+            if precompact:
+                t = compact_with_lineage(t, keep_tombstones=True)  # combiner
+            return t
 
         parts = []
         for paths in by_schema.values():
-            ds = rd.read_parquet(paths)
+            # one block per file: avoids the SplitBlocks sub-operator so the
+            # normalize/compact map FUSES with the read — each file is read,
+            # normalized, combined and bucketed in a single task with no
+            # intermediate object-store round-trip of the raw events
+            ds = rd.read_parquet(paths, override_num_blocks=len(paths))
             ds = ds.map_batches(
                 _normalize_and_compact, batch_format="pyarrow", batch_size=batch_size
             )
@@ -183,59 +229,45 @@ class LakeTable:
 
         events = events.map_batches(_home_bucket, batch_format="pyarrow")
 
-        # --- lake state as event-shaped rows (epoch = -1 marks state)
-        state_paths = self.manifest.bucket_paths(self.path)
-        if state_paths:
-
-            def _state_to_events(t: pa.Table) -> pa.Table:
-                n = t.num_rows
-                t = t.rename_columns(
-                    [
-                        {"_lsn": "lsn", "_op": "op"}.get(c, c)
-                        for c in t.column_names
-                    ]
-                )
-                t = t.append_column(
-                    "epoch", pa.array([-1] * n, type=pa.int32())
-                )
-                target = event_schema.append(
-                    pa.field(LATE_COL, pa.int64())
-                ).append(pa.field("_bucket", pa.int32()))
-                return normalize_table(t, target)
-
-            state = rd.read_parquet(state_paths).map_batches(
-                _state_to_events, batch_format="pyarrow"
-            )
-            events = events.union(state)
-
-        # --- per-bucket merge + partition write (data stays in workers)
+        # --- per-bucket merge + partition write (data stays in workers).
+        # Lake state is NOT shipped through the shuffle: state files are
+        # already bucket-partitioned, so each merge task reads its own
+        # bucket's state directly — exchange volume stays proportional to
+        # the DELTA, not delta + table size (critical once the lake is far
+        # larger than a commit's events).
+        state_by_bucket = {
+            int(k): os.path.join(self.path, v["path"])
+            for k, v in m.data["buckets"].items()
+        }
         new_version = m.version + 1
         staging = os.path.join(self.path, "_staging", f"v{new_version}")
         os.makedirs(staging, exist_ok=True)
         lake_cols = lake_schema(payload)
 
-        def _merge_and_write(group: pa.Table) -> pa.Table:
-            bucket = int(group.column("_bucket")[0].as_py())
-            ev_mask = pc.not_equal(group.column("epoch"), pa.scalar(-1, pa.int32()))
-            events_in = int(pc.sum(pc.cast(ev_mask, pa.int64())).as_py() or 0)
-            state_in = group.num_rows - events_in
-            if events_in == 0:
-                # untouched bucket: keep previous partition file, no rewrite
-                return pa.table(
-                    {
-                        "bucket": [bucket],
-                        "wrote": [False],
-                        "rows": [state_in],
-                        "tombstones": [0],
-                        "events_in": [0],
-                        "state_in": [state_in],
-                        "upserts": [0],
-                        "deletes": [0],
-                        "superseded": [0],
-                        "late": [0],
-                        "max_lsn": [-1],
-                    }
-                )
+        def _load_state(bucket: int, target: pa.Schema) -> pa.Table | None:
+            path = state_by_bucket.get(bucket)
+            if path is None:
+                return None
+            import numpy as np
+
+            st = pq.read_table(path)
+            st = st.rename_columns(
+                [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in st.column_names]
+            )
+            # epoch = -1 marks state rows (distinguishes them from this
+            # commit's events in the lineage counters)
+            st = st.append_column(
+                "epoch", pa.array(np.full(st.num_rows, -1, dtype=np.int32))
+            )
+            return normalize_table(st, target)
+
+        def _merge_core(ev: pa.Table, bucket: int) -> pa.Table:
+            """Merge one bucket's event rows with its persisted state, write
+            the new partition file, return a one-row counter table."""
+            events_in = ev.num_rows
+            st = _load_state(bucket, ev.schema)
+            state_in = st.num_rows if st is not None else 0
+            group = pa.concat_tables([ev, st]) if st is not None else ev
             merged = compact_with_lineage(group, keep_tombstones=True)
             late = int(pc.sum(merged.column(LATE_COL)).as_py() or 0)
             from_events = pc.not_equal(
@@ -284,11 +316,103 @@ class LakeTable:
                 }
             )
 
-        counters = (
-            events.groupby("_bucket")
-            .map_groups(_merge_and_write, batch_format="pyarrow")
-            .take_all()
-        )  # tiny: one row per touched bucket
+        if shuffle == "spill":
+            # Disk-mediated exchange (the 100 TB path): phase A streams
+            # normalized events into per-bucket compressed Parquet spill
+            # files; phase B merges each bucket independently, reading its
+            # spill files (and state) inside the task. No AllToAll operator,
+            # both phases run at full task parallelism, the only barrier is
+            # between phases. Task retries may duplicate spilled events —
+            # harmless, because LWW winner selection per (conv_id, turn_idx,
+            # ts, lsn) is idempotent under duplicated input.
+            # spill location: defaults under the lake's staging dir; on a
+            # real cluster point $GRAFT_SPILL_DIR at node-local NVMe (or a
+            # shared scratch FS) — the merge tasks must be able to read every
+            # spill file, which on multi-node means shared storage
+            spill_base = os.environ.get("GRAFT_SPILL_DIR") or os.path.join(
+                self.path, "_staging"
+            )
+            spill_root = os.path.join(spill_base, f"spill_v{new_version}")
+
+            def _spill(batch: pa.Table) -> pa.Table:
+                import uuid
+
+                token = uuid.uuid4().hex
+                col = batch.column("_bucket")
+                for bk in pc.unique(col).to_pylist():
+                    sub = batch.filter(pc.equal(col, bk))
+                    d = os.path.join(spill_root, f"bucket={int(bk):05d}")
+                    os.makedirs(d, exist_ok=True)
+                    tmp = os.path.join(d, f"part-{token}.parquet.tmp")
+                    pq.write_table(sub, tmp)
+                    os.replace(tmp, os.path.join(d, f"part-{token}.parquet"))
+                return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+            events.map_batches(
+                _spill, batch_format="pyarrow", batch_size=batch_size
+            ).take_all()  # inter-phase barrier
+
+            present = (
+                sorted(int(n.split("=")[1]) for n in os.listdir(spill_root))
+                if os.path.isdir(spill_root)
+                else []
+            )
+
+            def _merge_spilled(items: pa.Table) -> pa.Table:
+                outs = []
+                for bk in items.column("bucket").to_pylist():
+                    d = os.path.join(spill_root, f"bucket={int(bk):05d}")
+                    ev = pa.concat_tables(
+                        [
+                            pq.read_table(os.path.join(d, f))
+                            for f in sorted(os.listdir(d))
+                            if f.endswith(".parquet")
+                        ]
+                    )
+                    outs.append(_merge_core(ev, int(bk)))
+                return pa.concat_tables(outs)
+
+            if present:
+                counters_ds = rd.from_items(
+                    [{"bucket": int(b)} for b in present],
+                    override_num_blocks=len(present),
+                ).map_batches(_merge_spilled, batch_format="pyarrow", batch_size=1)
+                counters = counters_ds.take_all()
+                self.last_stats = counters_ds.stats()
+            else:
+                counters = []
+            import shutil as _shutil
+
+            _shutil.rmtree(spill_root, ignore_errors=True)
+        else:
+
+            def _merge_and_write(group: pa.Table) -> pa.Table:
+                bucket = int(group.column("_bucket")[0].as_py())
+                return _merge_core(group, bucket)
+
+            # hash shuffle (Ray 2.49 HASH_SHUFFLE strategy, set before
+            # dataset creation in apply()) streams events into per-partition
+            # aggregator actors with no global barrier. The sort-based
+            # strategy (default) materializes a full map/reduce exchange
+            # first; it benchmarks faster at this scale.
+            if shuffle == "hash":
+                # one aggregator actor per partition: size to the CLUSTER,
+                # not the bucket count — 64 actors on a 4-CPU cluster thrash;
+                # each hash partition may hold many buckets, map_groups still
+                # sees whole buckets one at a time
+                import ray as _ray
+
+                cpus = int(_ray.cluster_resources().get("CPU", 8))
+                grouped = events.groupby(
+                    "_bucket", num_partitions=min(num_buckets, max(2, cpus))
+                )
+            else:
+                grouped = events.groupby("_bucket")
+            counters_ds = grouped.map_groups(
+                _merge_and_write, batch_format="pyarrow"
+            )
+            counters = counters_ds.take_all()  # tiny: one row per bucket
+            self.last_stats = counters_ds.stats()  # per-operator observability
 
         # --- atomic publish: staging -> v{N}, then manifest
         final_dir = os.path.join(self.path, f"v{new_version}")
@@ -382,6 +506,7 @@ def replay(
     turn_shard_size: int | None = None,
     salt_groups: int | None = None,
     epochs_per_commit: int | None = None,
+    shuffle: str = "sort",
 ) -> LakeTable:
     """Replay a full changelog into a (possibly pre-existing) lake table,
     committing every ``epochs_per_commit`` epochs (None = single commit)."""
@@ -390,7 +515,10 @@ def replay(
     )
     while True:
         c = lake.apply(
-            changelog_dir, max_epochs=epochs_per_commit, salt_groups=salt_groups
+            changelog_dir,
+            max_epochs=epochs_per_commit,
+            salt_groups=salt_groups,
+            shuffle=shuffle,
         )
         if c.get("epochs", 0) == 0:
             break

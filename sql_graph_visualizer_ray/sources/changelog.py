@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 #: bump when generation logic or specs change — invalidates the disk cache
-FIXTURE_VERSION = "v1"
+FIXTURE_VERSION = "v2"
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 _EPOCH_BASE_US = 1_700_000_000_000_000  # fixed epoch base; no wall-clock anywhere
@@ -212,8 +212,21 @@ _SF_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000, "sf1": 2
 
 def spec_for(sf_label: str, variant: str = "basic") -> ChangelogSpec:
     n = _SF_EVENTS.get(sf_label, 20_000)
+    if variant == "scale":
+        # larger replay used only by `bench.py --scaling`: enough events that
+        # fixed overheads amortize, enough epoch files (~125k events each)
+        # that the read stage can use every core at the 4N parallelism level
+        # (a 10^10-event changelog ships as thousands of files, never 8)
+        n *= 4
+        return ChangelogSpec(
+            n_events=n,
+            n_convs=max(50, n // 20),
+            n_epochs=max(32, n // 125_000),
+            seed=42,
+        )
     convs = max(50, n // 20)
-    base = dict(n_events=n, n_convs=convs, n_epochs=8, seed=42)
+    # one epoch file per ~62.5k events so read parallelism grows with scale
+    base = dict(n_events=n, n_convs=convs, n_epochs=max(8, n // 62_500), seed=42)
     if variant == "basic":
         return ChangelogSpec(**base)
     if variant == "dup_heavy":

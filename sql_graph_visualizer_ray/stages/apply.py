@@ -14,7 +14,15 @@ These kernels run in three places:
 - per-bucket merge inside ``groupby(bucket).map_groups`` / the apply actors,
 - the single-process oracle used by the correctness tests.
 
-No Python loop touches a row: sort + run-boundary detection over numpy views.
+Hot-path design: everything happens in INDEX SPACE. The string key is rank-
+encoded once (``unique`` + ``index_in``), the winner per key is found with a
+single ``np.lexsort`` over four int64 arrays, and only the surviving rows are
+gathered from the original table — the wide ``text`` payload is copied
+exactly once, never for losers. The previous version materialized a fully
+sorted copy of the whole table before filtering; on an 8M-row batch that is
+~2.4 GB of pointless string movement per merge pass.
+
+No Python loop touches a row.
 """
 
 from __future__ import annotations
@@ -23,51 +31,105 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_SORT_KEYS = [
-    ("conv_id", "ascending"),
-    ("turn_idx", "ascending"),
-    ("ts", "ascending"),
-    ("lsn", "ascending"),
-]
+#: hidden column carrying partial late-event counts through the shuffle
+#: (the combiner drops superseded rows, so lateness must be tallied where the
+#: rows still exist and the partial sums carried along — same pattern as any
+#: pre-aggregated counter)
+LATE_COL = "_late"
 
 
-def _key_codes(table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(conv_codes, turn) integer views of the merge key, cheap to compare."""
+def _int_key_arrays(
+    table: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(conv_rank, turn, ts_us, lsn) int64 views of the merge/order columns.
+
+    ``conv_rank`` is the LEXICOGRAPHIC rank of conv_id within this table, so
+    sorting by it is identical to sorting by the string itself — but integer-
+    cheap. Null ``ts`` becomes NaN under the float view numpy produces, which
+    lexsort places last — the same winner semantics as Arrow's nulls-at-end.
+    """
     conv = table.column("conv_id").combine_chunks()
-    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
-    turn = table.column("turn_idx").to_numpy(zero_copy_only=False)
-    return codes, turn
+    uniq = pc.unique(conv)
+    uniq_sorted = uniq.take(pc.sort_indices(uniq))
+    codes = (
+        pc.index_in(conv, value_set=uniq_sorted)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    turn = table.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
+    ts = (
+        pc.cast(table.column("ts").combine_chunks(), pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    lsn = table.column("lsn").combine_chunks().to_numpy(zero_copy_only=False)
+    return codes, turn, ts, lsn
+
+
+def _winner_indices(
+    codes: np.ndarray, turn: np.ndarray, ts: np.ndarray, lsn: np.ndarray
+) -> np.ndarray:
+    """Row indices of the winning version per (conv, turn), in (conv, turn)
+    output order. Winner = max (ts, lsn) within the key."""
+    order = np.lexsort((lsn, ts, turn, codes))
+    c = codes[order]
+    t = turn[order]
+    boundary = np.empty(len(c), dtype=bool)
+    if len(c):
+        boundary[:-1] = (c[:-1] != c[1:]) | (t[:-1] != t[1:])
+        boundary[-1] = True
+    return order[boundary]
 
 
 def lww_compact(table: pa.Table, *, keep_tombstones: bool) -> pa.Table:
     """Keep the winning version per ``(conv_id, turn_idx)``.
 
     Winner = max ``(ts, lsn)``. Output is sorted by ``(conv_id, turn_idx)``
-    (the stable-turn-ordering invariant comes for free from the merge sort).
-    With ``keep_tombstones=True`` the winning "D" rows are retained (needed
-    when the result feeds a later merge); with ``False`` they are dropped
-    (final read view).
+    (the stable-turn-ordering invariant comes for free from the rank-encoded
+    merge sort). With ``keep_tombstones=True`` the winning "D" rows are
+    retained (needed when the result feeds a later merge); with ``False``
+    they are dropped (final read view).
     """
     if table.num_rows == 0:
         return table
-    idx = pc.sort_indices(table, sort_keys=_SORT_KEYS)
-    t = table.take(idx)
-    codes, turn = _key_codes(t)
-    n = len(codes)
-    # row i is the last of its key-run iff key(i) != key(i+1)
-    boundary = (codes[:-1] != codes[1:]) | (turn[:-1] != turn[1:])
-    winners = np.append(boundary, True)
-    out = t.filter(pa.array(winners))
+    codes, turn, ts, lsn = _int_key_arrays(table)
+    winners = _winner_indices(codes, turn, ts, lsn)
+    out = table.take(pa.array(winners))
     if not keep_tombstones:
         out = out.filter(pc.not_equal(out.column("op"), pa.scalar("D")))
     return out
 
 
-#: hidden column carrying partial late-event counts through the shuffle
-#: (the combiner drops superseded rows, so lateness must be tallied where the
-#: rows still exist and the partial sums carried along — same pattern as any
-#: pre-aggregated counter)
-LATE_COL = "_late"
+def _count_late_arrays(
+    codes: np.ndarray, turn: np.ndarray, ts: np.ndarray, lsn: np.ndarray
+) -> int:
+    """Late events: ts < running max ts over the key's events in lsn order."""
+    n = len(codes)
+    if n == 0:
+        return 0
+    order = np.lexsort((lsn, turn, codes))
+    c = codes[order]
+    t = turn[order]
+    v = ts[order].astype(np.float64)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    new_key[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
+    # segmented running max: subtract a huge offset at each key start so the
+    # accumulate never bleeds across keys
+    seg_id = np.cumsum(new_key) - 1
+    offset = seg_id.astype(np.float64) * 1e18
+    run_max = np.maximum.accumulate(v + offset) - offset
+    # a row is late iff some EARLIER-lsn row in the same key has greater ts
+    prev_max = np.concatenate(([-np.inf], run_max[:-1]))
+    prev_max[new_key] = -np.inf
+    return int(np.sum(v < prev_max))
+
+
+def count_late(table: pa.Table) -> int:
+    """Events whose arrival order (lsn) disagrees with event time within a
+    key — the "late data" lineage counter (SURVEY.md §2.9)."""
+    if table.num_rows == 0:
+        return 0
+    return _count_late_arrays(*_int_key_arrays(table))
 
 
 def compact_with_lineage(table: pa.Table, *, keep_tombstones: bool) -> pa.Table:
@@ -79,41 +141,24 @@ def compact_with_lineage(table: pa.Table, *, keep_tombstones: bool) -> pa.Table:
     same-key (earlier, later) pair co-occurs in exactly one compaction stage
     (the loser is dropped afterwards), so summing per-stage counts never
     double-counts. Counts ride in ``LATE_COL`` on the first output row.
+
+    Key arrays are extracted once and shared by the late counter and the
+    winner selection — one string rank-encode, two int lexsorts, one gather
+    of survivors.
     """
     prior = 0
     if LATE_COL in table.column_names:
         prior = int(pc.sum(table.column(LATE_COL)).as_py() or 0)
         table = table.drop_columns([LATE_COL])
-    new = count_late(table)
-    out = lww_compact(table, keep_tombstones=keep_tombstones)
+    if table.num_rows == 0:
+        return table.append_column(LATE_COL, pa.array([], type=pa.int64()))
+    codes, turn, ts, lsn = _int_key_arrays(table)
+    new = _count_late_arrays(codes, turn, ts, lsn)
+    winners = _winner_indices(codes, turn, ts, lsn)
+    out = table.take(pa.array(winners))
+    if not keep_tombstones:
+        out = out.filter(pc.not_equal(out.column("op"), pa.scalar("D")))
     late = np.zeros(out.num_rows, dtype=np.int64)
     if out.num_rows:
         late[0] = prior + new
     return out.append_column(LATE_COL, pa.array(late, type=pa.int64()))
-
-
-def count_late(table: pa.Table) -> int:
-    """Events whose arrival order (lsn) disagrees with event time within a key:
-    ts < running max ts over the key's events in lsn order. This is the
-    "late data" lineage counter."""
-    if table.num_rows == 0:
-        return 0
-    idx = pc.sort_indices(
-        table,
-        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")],
-    )
-    t = table.take(idx)
-    codes, turn = _key_codes(t)
-    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
-    new_key = np.empty(len(codes), dtype=bool)
-    new_key[0] = True
-    new_key[1:] = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
-    # segmented running max: subtract a huge offset at each key start so the
-    # accumulate never bleeds across keys
-    seg_id = np.cumsum(new_key) - 1
-    offset = seg_id.astype(np.float64) * 1e18
-    run_max = np.maximum.accumulate(ts + offset) - offset
-    # a row is late iff some EARLIER-lsn row in the same key has greater ts
-    prev_max = np.concatenate(([-np.inf], run_max[:-1]))
-    prev_max[new_key] = -np.inf
-    return int(np.sum(ts < prev_max))
