@@ -107,6 +107,7 @@ class LakeTable:
         batch_size: int = 131_072,
         shuffle: str = "sort",
         precompact: bool | None = None,
+        merge_actors: bool = False,
     ) -> dict:
         """Apply all unapplied epochs (bounded by upto_epoch/max_epochs) as ONE
         epoch-fenced commit. Returns the commit's lineage counters.
@@ -138,6 +139,7 @@ class LakeTable:
                 batch_size=batch_size,
                 shuffle=shuffle,
                 precompact=(shuffle != "spill") if precompact is None else precompact,
+                merge_actors=merge_actors,
             )
         finally:
             ctx.shuffle_strategy = prev_strategy
@@ -152,6 +154,7 @@ class LakeTable:
         batch_size: int,
         shuffle: str,
         precompact: bool,
+        merge_actors: bool,
     ) -> dict:
         m = self.manifest
         files = [
@@ -358,25 +361,53 @@ class LakeTable:
                 else []
             )
 
-            def _merge_spilled(items: pa.Table) -> pa.Table:
-                outs = []
-                for bk in items.column("bucket").to_pylist():
-                    d = os.path.join(spill_root, f"bucket={int(bk):05d}")
-                    ev = pa.concat_tables(
-                        [
-                            pq.read_table(os.path.join(d, f))
-                            for f in sorted(os.listdir(d))
-                            if f.endswith(".parquet")
-                        ]
-                    )
-                    outs.append(_merge_core(ev, int(bk)))
-                return pa.concat_tables(outs)
+            def _read_and_merge(bk: int) -> pa.Table:
+                d = os.path.join(spill_root, f"bucket={bk:05d}")
+                ev = pa.concat_tables(
+                    [
+                        pq.read_table(os.path.join(d, f))
+                        for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet")
+                    ]
+                )
+                return _merge_core(ev, bk)
 
             if present:
-                counters_ds = rd.from_items(
+                items = rd.from_items(
                     [{"bucket": int(b)} for b in present],
                     override_num_blocks=len(present),
-                ).map_batches(_merge_spilled, batch_format="pyarrow", batch_size=1)
+                )
+                if merge_actors:
+                    # stateful actor pool (T1/T2): per-actor setup once,
+                    # whole buckets per call, cumulative per-actor lineage
+                    # counters. Opt-in: pool spin-up (~1s/actor) only pays
+                    # off on long-lived ingest loops with many commits /
+                    # thousands of buckets, not single small commits.
+                    import ray as _ray
+
+                    from ..stages.actors import SpillMergeActor
+
+                    cpus = int(_ray.cluster_resources().get("CPU", 8))
+                    counters_ds = items.map_batches(
+                        SpillMergeActor,
+                        fn_constructor_args=(_read_and_merge,),
+                        batch_format="pyarrow",
+                        batch_size=1,
+                        concurrency=(1, max(1, min(len(present), cpus))),
+                    )
+                else:
+
+                    def _merge_items(t: pa.Table) -> pa.Table:
+                        return pa.concat_tables(
+                            [
+                                _read_and_merge(int(bk))
+                                for bk in t.column("bucket").to_pylist()
+                            ]
+                        )
+
+                    counters_ds = items.map_batches(
+                        _merge_items, batch_format="pyarrow", batch_size=1
+                    )
                 counters = counters_ds.take_all()
                 self.last_stats = counters_ds.stats()
             else:
@@ -507,6 +538,7 @@ def replay(
     salt_groups: int | None = None,
     epochs_per_commit: int | None = None,
     shuffle: str = "sort",
+    merge_actors: bool = False,
 ) -> LakeTable:
     """Replay a full changelog into a (possibly pre-existing) lake table,
     committing every ``epochs_per_commit`` epochs (None = single commit)."""
@@ -519,6 +551,7 @@ def replay(
             max_epochs=epochs_per_commit,
             salt_groups=salt_groups,
             shuffle=shuffle,
+            merge_actors=merge_actors,
         )
         if c.get("epochs", 0) == 0:
             break

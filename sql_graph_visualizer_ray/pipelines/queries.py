@@ -17,6 +17,7 @@ import shutil
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -433,6 +434,12 @@ def build_queries() -> dict:
         # multimodal plumbing
         "multimodal_payload_sizes": multimodal.payload_sizes,
         "multimodal_features": multimodal.extract_features,
+        # multi-way join / sampling / window / normalization / surrogate ids
+        "join_order_geo": join_order_geo,
+        "sample_orders_mod": sample_orders_mod,
+        "window_rank_orders": window_rank_orders,
+        "norm_text_quirks": norm_text_quirks,
+        "nodes_surrogate_ids": nodes_surrogate_ids,
     }
 
 
@@ -610,4 +617,172 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
             "FROM documents"
         ),
+        "join_order_geo": (
+            "SELECT r_name, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name"
+        ),
+        "sample_orders_mod": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+            "WHERE o_orderkey % 20 = 3"
+        ),
+        "window_rank_orders": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents "
+            "FROM orders QUALIFY rank <= 2"
+        ),
+        "norm_text_quirks": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id_str, "
+            "substr(coalesce(text,''), 1, 100) AS text_trunc FROM documents"
+        ),
+        "nodes_surrogate_ids": (
+            "SELECT c_custkey, md5('Customer:' || CAST(c_custkey AS VARCHAR)) "
+            "AS node_id FROM customer"
+        ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (J4), sampling (O5), window rank, type normalization (M5),
+# deterministic surrogate IDs (M11)
+# ---------------------------------------------------------------------------
+
+
+def join_order_geo(sf_dir: str) -> rd.Dataset:
+    """J4: 4-way join orders -> customer -> nation -> region with a grouped
+    rollup, the reference's multi-way rule SQL
+    (``/root/reference/config/config.yml:176,:201,:217,:393``) done engine-side.
+    The three dimension tables are broadcast (ray.put once, read per actor);
+    only the orders fact streams."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    nat_geo = broadcast_join(
+        nation, region, left_key="n_regionkey", right_key="r_regionkey"
+    ).select_columns(["n_nationkey", "r_name"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_geo = broadcast_join(
+        cust, nat_geo, left_key="c_nationkey", right_key="n_nationkey"
+    ).select_columns(["c_custkey", "r_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    fact = broadcast_join(
+        orders, cust_geo, left_key="o_custkey", right_key="c_custkey"
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": b["r_name"],
+                "price_cents": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    agg = (
+        fact.map_batches(cents, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="revenue_cents"))
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t.column("r_name"),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "revenue_cents": t.column("revenue_cents").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def sample_orders_mod(sf_dir: str) -> rd.Dataset:
+    """O5: deterministic sampling by key modulo (reproducible across runs and
+    engines, unlike random_sample — the reference's SampleTableData is a stub,
+    ``/root/reference/internal/domain/repository/database_repository.go:41``)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                t.column("o_orderkey"),
+                pc.multiply(
+                    pc.divide(t.column("o_orderkey"), pa.scalar(20)), pa.scalar(20)
+                ),
+            ),
+            pa.scalar(3),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def window_rank_orders(sf_dir: str) -> rd.Dataset:
+    """Windowed per-group rank (top-2 orders per customer by price): the
+    reference's top-N analyzer sort+slice (O3,
+    ``/root/reference/internal/application/services/performance/performance_analyzer.go:86-92``)
+    generalized to a keyed window. groupby(key).map_groups keeps the window
+    partition-local — no global sort."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        g["price_cents"] = np.round(g["o_totalprice"].to_numpy() * 100).astype("int64")
+        return g[["o_custkey", "o_orderkey", "rank", "price_cents"]]
+
+    return orders.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+
+def norm_text_quirks(sf_dir: str) -> rd.Dataset:
+    """M5: the reference's value-normalization pass
+    (``transform_service.go:217-253``): long text truncated to a max length
+    (10k there; 100 here so the sf fixtures actually exercise it) and integer
+    keys STRINGIFIED (the ``fmt.Sprintf("%d")`` quirk, ``:235-236``) — exposed
+    as an explicit, optional normalize stage."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id_str": pc.cast(t.column("doc_id"), pa.string()),
+                "text_trunc": pc.utf8_slice_codeunits(
+                    pc.coalesce(t.column("text"), pa.scalar("")), 0, 100
+                ),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def nodes_surrogate_ids(sf_dir: str) -> rd.Dataset:
+    """M11: deterministic surrogate keys — md5 of the natural key — replacing
+    the reference's UUIDv4 generator
+    (``/root/reference/internal/domain/aggregates/serialization/id_generator.go:18-20``),
+    which would break replay equality."""
+    import hashlib
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def surrogate(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "c_custkey": keys,
+                "node_id": [
+                    hashlib.md5(f"Customer:{k}".encode()).hexdigest() for k in keys
+                ],
+            }
+        )
+
+    return ds.map_batches(surrogate, batch_format="pandas")

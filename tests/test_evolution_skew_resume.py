@@ -105,3 +105,26 @@ def test_reopen_resume_across_instances(tmp_path):
     b.apply(clog)
     one = replay(clog, str(tmp_path / "one"), num_buckets=8)
     assert canonical(b.final_table()).equals(canonical(one.final_table()))
+
+
+def test_spill_and_actor_merge_match_sort(tmp_path, ray_session):
+    """All three exchange paths (sort groupby, spill task pool, spill actor
+    pool) must produce byte-identical final tables."""
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        materialize,
+    )
+
+    spec = ChangelogSpec(n_events=8_000, n_convs=250, n_epochs=4, seed=21)
+    clog = materialize("unit-exchange", spec)
+    tables = {}
+    for tag, kw in [
+        ("sort", dict(shuffle="sort")),
+        ("spill", dict(shuffle="spill")),
+        ("actor", dict(shuffle="spill", merge_actors=True)),
+    ]:
+        lake = replay(clog, str(tmp_path / tag), num_buckets=8, **kw)
+        tables[tag] = lake.final_table()
+    assert tables["sort"].equals(tables["spill"])
+    assert tables["sort"].equals(tables["actor"])
