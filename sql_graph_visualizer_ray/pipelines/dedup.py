@@ -149,24 +149,31 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 
 
 class MinHasher:
-    """Per-batch minhash signatures: shingle -> 64-bit hashes -> per-permutation
-    min via the (a*x+b) mod p trick, vectorized across a doc's shingles."""
+    """Per-batch minhash signatures: shingle -> 31-bit hashes -> per-permutation
+    min via the (a*x+b) mod p trick, all in native uint64 vector math.
+
+    p = 2^31 - 1 keeps a*x + b < 2^62, so the whole permutation matrix is
+    exact uint64 arithmetic — no Python-object bigints (the naive 61-bit
+    prime forces dtype=object and is ~100x slower). Shingle hashing uses
+    pandas' vectorized siphash, not per-shingle md5 calls."""
+
+    P31 = np.uint64((1 << 31) - 1)
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.p = (1 << 61) - 1
-        self.a = rng.integers(1, self.p, size=num_perm, dtype=np.int64)
-        self.b = rng.integers(0, self.p, size=num_perm, dtype=np.int64)
+        self.a = rng.integers(1, int(self.P31), size=num_perm).astype(np.uint64)
+        self.b = rng.integers(0, int(self.P31), size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text)
         if not sh:
-            return np.full(self.num_perm, self.p, dtype=np.int64)
-        base = np.array([_md5_64(s) & 0x7FFFFFFFFFFFFFFF for s in sh], dtype=np.int64)
-        # (num_perm, n_shingles) permuted hashes -> min over shingles
-        perm = (self.a[:, None].astype(object) * base[None, :] + self.b[:, None]) % self.p
-        return perm.min(axis=1).astype(np.int64)
+            return np.full(self.num_perm, int(self.P31), dtype=np.uint64)
+        arr = np.array(list(sh), dtype=object)
+        # hash_key must be EXACTLY 16 bytes (pandas siphash contract)
+        base = pd.util.hash_array(arr, hash_key="graft_minhash_31") & self.P31
+        perm = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.P31
+        return perm.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = batch["text"].fillna("").map(self.signature)
@@ -192,19 +199,36 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        mh = MinHasher(num_perm=num_perm)
-        recs_doc, recs_band, recs_hash = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            sig = mh.signature(text)
+    class BandRows:
+        """Actor-pool stage: permutation coefficients built once per actor
+        (stateful setup), per-batch work is vectorized across documents."""
+
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            texts = batch["text"].fillna("")
+            sigs = np.stack([self.mh.signature(t) for t in texts])  # (n, P)
+            n = len(batch)
+            # per-band rolling hash over the band's signature columns,
+            # vectorized across all docs at once (uint64 wraparound is the
+            # mixing); emitted as ints so the shuffle moves 8-byte keys
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            bh = np.empty((n, bands), dtype=np.uint64)
             for b in range(bands):
-                h = hashlib.md5(sig[b * rows : (b + 1) * rows].tobytes()).hexdigest()
-                recs_doc.append(doc_id)
-                recs_band.append(b)
-                recs_hash.append(h)
-        return pd.DataFrame(
-            {"doc_id": recs_doc, "band": recs_band, "band_hash": recs_hash}
-        )
+                h = np.zeros(n, dtype=np.uint64)
+                for c in range(rows):
+                    h = h * mult + sigs[:, b * rows + c]
+                bh[:, b] = h
+            return pd.DataFrame(
+                {
+                    "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "band_hash": bh.reshape(-1).astype(np.int64),
+                }
+            )
+
+    band_rows = BandRows
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
@@ -215,7 +239,7 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
     candidates = (
-        docs.map_batches(band_rows, batch_format="pandas")
+        docs.map_batches(band_rows, batch_format="pandas", concurrency=4)
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
@@ -275,7 +299,10 @@ class SimHasher:
         toks = self.word.findall(text.lower())
         if not toks:
             return 0
-        hs = np.array([_md5_64(t) for t in toks], dtype=np.int64).astype(np.uint64)
+        # vectorized siphash over the token array (16-byte key contract)
+        hs = pd.util.hash_array(
+            np.array(toks, dtype=object), hash_key="graft_simhash_64"
+        )
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int32
         )

@@ -231,10 +231,14 @@ def agg_pricing_summary(sf_dir: str) -> rd.Dataset:
     and floor-division average (A1). Pre-aggregation: cents computed per batch
     before the groupby shuffle."""
 
-    def cents(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # combiner: collapse each batch to <= |groups| rows BEFORE the
+        # shuffle — the exchange then moves a handful of partials, not the
+        # fact table (4 groups here; at 100 TB this is the difference
+        # between a trivial and a catastrophic groupby)
         price_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
         disc_c = np.round((1.0 - b["l_discount"].to_numpy()) * 100).astype("int64")
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
@@ -242,6 +246,12 @@ def agg_pricing_summary(sf_dir: str) -> rd.Dataset:
                 "price_cents": price_c,
                 "disc_e4": price_c * disc_c,
             }
+        )
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("price_cents", "sum"),
+            sum_disc_e4=("disc_e4", "sum"),
+            count_order=("qty", "size"),
         )
 
     ds = read_table(
@@ -251,12 +261,12 @@ def agg_pricing_summary(sf_dir: str) -> rd.Dataset:
             "l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount",
         ],
-    ).map_batches(cents, batch_format="pandas")
+    ).map_batches(partial, batch_format="pandas")
     agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("price_cents", alias_name="sum_base_cents"),
-        Sum("disc_e4", alias_name="sum_disc_e4"),
-        Count(alias_name="count_order"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+        Sum("count_order", alias_name="count_order"),
     )
 
     def avg(b: pd.DataFrame) -> pd.DataFrame:
@@ -269,8 +279,8 @@ def agg_pricing_summary(sf_dir: str) -> rd.Dataset:
 def agg_orders_having(sf_dir: str) -> rd.Dataset:
     """Grouped count + integer-cents sum with HAVING (A1)."""
 
-    def cents(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 "o_custkey": b["o_custkey"],
                 "total_cents": np.round(b["o_totalprice"].to_numpy() * 100).astype(
@@ -278,12 +288,17 @@ def agg_orders_having(sf_dir: str) -> rd.Dataset:
                 ),
             }
         )
+        return df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("total_cents", "size"),
+            sum_total_cents=("total_cents", "sum"),
+        )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        cents, batch_format="pandas"
+        partial, batch_format="pandas"
     )
     agg = ds.groupby("o_custkey").aggregate(
-        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_total_cents", alias_name="sum_total_cents"),
     )
     return agg.filter(expr="n_orders > 5")
 
