@@ -455,6 +455,10 @@ def build_queries() -> dict:
         "window_rank_orders": window_rank_orders,
         "norm_text_quirks": norm_text_quirks,
         "nodes_surrogate_ids": nodes_surrogate_ids,
+        # JSON props / embedding near-dup / auto rule generation
+        "events_props_extract": events_props_extract,
+        "dedup_embed_cosine": dedup_embed_cosine,
+        "auto_rules_from_schema": auto_rules_from_schema,
     }
 
 
@@ -659,6 +663,38 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT c_custkey, md5('Customer:' || CAST(c_custkey AS VARCHAR)) "
             "AS node_id FROM customer"
         ),
+        "events_props_extract": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "dedup_embed_cosine": (
+            "WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM s a JOIN s b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"
+        ),
+        "auto_rules_from_schema": (
+            "WITH cols AS ("
+            "  SELECT table_name, column_name, "
+            "  CASE WHEN strpos(column_name, '_') > 0 "
+            "  THEN substr(column_name, strpos(column_name, '_') + 1) END AS sfx "
+            "  FROM information_schema.columns WHERE table_name IN ("
+            + ",".join(f"'{t}'" for t in TABLES)
+            + ")), "
+            "node_rules AS ("
+            "  SELECT DISTINCT table_name || '_to_node' AS rule_name, "
+            "  'node' AS rule_type, table_name AS source_table, "
+            "  table_name AS target_type, CAST(1 AS BIGINT) AS priority FROM cols), "
+            "rel_rules AS ("
+            "  SELECT DISTINCT a.table_name || '_' || a.column_name || '_to_' || "
+            "  b.table_name AS rule_name, 'relationship' AS rule_type, "
+            "  a.table_name AS source_table, b.table_name AS target_type, "
+            "  CAST(2 AS BIGINT) AS priority "
+            "  FROM cols a JOIN cols b ON a.sfx = b.sfx "
+            "  AND a.table_name <> b.table_name "
+            "  WHERE a.sfx LIKE '%key') "
+            "SELECT * FROM node_rules UNION ALL SELECT * FROM rel_rules"
+        ),
     }
 
 
@@ -801,3 +837,112 @@ def nodes_surrogate_ids(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(surrogate, batch_format="pandas")
+
+
+def events_props_extract(sf_dir: str) -> rd.Dataset:
+    """M6/M7: JSON property handling — the reference JSON-encodes nested maps
+    (``transform_service.go:62-77``, ``:447-463``) and falls back to parsing
+    JSON strings (``:266-325``). Here: parse the ``props`` JSON column and
+    surface a typed field."""
+    import json
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ks = [
+            json.loads(p).get("k") if p else None for p in b["props"].fillna("")
+        ]
+        return pd.DataFrame(
+            {"event_id": b["event_id"], "k": pd.array(ks, dtype="int64")}
+        )
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+def dedup_embed_cosine(sf_dir: str, *, modulus: int = 5, threshold: float = 0.35) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs over the deterministic subsample
+    vec_id % modulus == 0: normalized matmul per batch against the broadcast
+    subsample matrix — no shuffle, O(n^2/P) numpy. (Threshold calibrated to
+    the synthetic embeddings; real corpora would use ~0.95.)"""
+    import ray as _ray
+
+    sub = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("vec_id").to_numpy(zero_copy_only=False) % modulus == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    df = sub.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(df["embedding"].to_numpy())
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = _ray.put((df["vec_id"].to_numpy(), mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            rows = batch["vec_id"].to_numpy()
+            pos = np.searchsorted(self.ids, rows)
+            sims = self.mat[pos] @ self.mat.T
+            a_ids = np.repeat(rows, len(self.ids)).reshape(len(rows), -1)
+            b_ids = np.broadcast_to(self.ids, a_ids.shape)
+            keep = (sims >= threshold) & (a_ids < b_ids)
+            return pa.table(
+                {
+                    "vec_a": pa.array(a_ids[keep], pa.int64()),
+                    "vec_b": pa.array(b_ids[keep], pa.int64()),
+                }
+            )
+
+    return sub.select_columns(["vec_id"]).map_batches(
+        PairFinder, batch_format="pandas", concurrency=2
+    )
+
+
+def auto_rules_from_schema(sf_dir: str) -> rd.Dataset:
+    """M13 (+M12): auto rule generation from discovered schemas — one node
+    rule per table plus relationship-rule candidates wherever a column's
+    suffix (text after the first underscore, ending in 'key') appears in
+    another table (the reference's FK/junction heuristics,
+    ``schema_analyzer_service.go:164-196``, ``:282-354``). Driver-side
+    codegen, as in the reference."""
+    import pyarrow.parquet as _pq
+
+    cols: list[tuple[str, str]] = []
+    for t in TABLES:
+        for f in _pq.read_schema(os.path.join(sf_dir, f"{t}.parquet")):
+            cols.append((t, f.name))
+    suffix = {
+        (t, c): c.split("_", 1)[1]
+        for t, c in cols
+        if "_" in c and c.split("_", 1)[1].endswith("key")
+    }
+    by_sfx: dict[str, set[str]] = {}
+    for (t, c), s in suffix.items():
+        by_sfx.setdefault(s, set()).add(t)
+    rules = [
+        {"rule_name": f"{t}_to_node", "rule_type": "node",
+         "source_table": t, "target_type": t, "priority": 1}
+        for t in TABLES
+    ]
+    seen = set()
+    for (t, c), s in suffix.items():
+        for tgt in by_sfx[s]:
+            if tgt != t and (t, c, tgt) not in seen:
+                seen.add((t, c, tgt))
+                rules.append(
+                    {"rule_name": f"{t}_{c}_to_{tgt}", "rule_type": "relationship",
+                     "source_table": t, "target_type": tgt, "priority": 2}
+                )
+    rules.sort(key=lambda r: (r["priority"], r["rule_name"]))
+    tbl = pa.table(
+        {
+            "rule_name": [r["rule_name"] for r in rules],
+            "rule_type": [r["rule_type"] for r in rules],
+            "source_table": [r["source_table"] for r in rules],
+            "target_type": [r["target_type"] for r in rules],
+            "priority": pa.array([r["priority"] for r in rules], pa.int64()),
+        }
+    )
+    return rd.from_arrow(tbl)

@@ -66,3 +66,74 @@ def test_multi_commit_equals_single_commit(changelog_dir, tmp_path):
     )
     assert canonical(one.final_table()).equals(canonical(inc.final_table()))
     assert inc.manifest.version == 3  # 6 epochs / 2 per commit
+
+
+def test_tombstone_blocks_late_resurrection(tmp_path):
+    """A late event with an OLDER ts than an applied delete must not
+    resurrect the row — tombstones persist in lake files and win the LWW
+    merge (SURVEY.md §7.4). Hand-built two-epoch changelog:
+      epoch 0: insert (ts=100), delete (ts=300)
+      epoch 1: late update, ts=200 < 300 (arrives after the delete applied)
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_graph_visualizer_ray.pipelines.cdc import LakeTable
+
+    clog = tmp_path / "clog"
+    clog.mkdir()
+    base = 1_700_000_000_000_000
+
+    def ev(lsn, epoch, op, turn, ts_off, text):
+        return {
+            "lsn": lsn, "epoch": epoch, "op": op, "conv_id": "conv0",
+            "turn_idx": turn, "role": None if op == "D" else "user",
+            "text": None if op == "D" else text, "tool": None,
+            "ts": base + ts_off,
+        }
+
+    schema = pa.schema([
+        ("lsn", pa.int64()), ("epoch", pa.int32()), ("op", pa.string()),
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ])
+    e0 = pa.Table.from_pylist(
+        [ev(0, 0, "I", 7, 100, "v1"), ev(1, 0, "D", 7, 300, None),
+         ev(2, 0, "I", 8, 100, "keep")], schema=schema)
+    e1 = pa.Table.from_pylist([ev(3, 1, "U", 7, 200, "zombie")], schema=schema)
+    pq.write_table(e0, clog / "epoch_00000.parquet")
+
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=4)
+    lake.apply(str(clog), upto_epoch=0)
+    assert lake.final_table().num_rows == 1  # turn 7 deleted, turn 8 lives
+
+    pq.write_table(e1, clog / "epoch_00001.parquet")
+    lake.apply(str(clog))
+    final = lake.final_table()
+    assert final.num_rows == 1, "late pre-delete update resurrected the row"
+    assert final.column("text").to_pylist() == ["keep"]
+
+
+def test_vacuum_removes_unreferenced_versions(tmp_path):
+    """After several commits, vacuum() deletes version dirs no bucket
+    references; the live table is unaffected."""
+    import os
+
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        materialize,
+    )
+    from sql_graph_visualizer_ray.state.manifest import vacuum
+
+    clog = materialize(
+        "unit-vacuum", ChangelogSpec(n_events=4_000, n_convs=100, n_epochs=4, seed=31)
+    )
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=4, epochs_per_commit=1)
+    before = lake.final_table()
+    versions = [n for n in os.listdir(lake.path) if n.startswith("v")]
+    assert len(versions) >= 2  # multiple commits left old versions behind
+    removed = vacuum(lake.path, lake.manifest)
+    assert removed >= 1
+    assert lake.final_table().equals(before)
