@@ -242,16 +242,15 @@ def minhash_lsh_pairs(
         docs.map_batches(band_rows, batch_format="pandas", concurrency=4)
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
         .select_columns(["doc_a", "doc_b"])
     )
 
     # verify candidates with exact shingle Jaccard (broadcast text of the
-    # candidate docs — candidate set << corpus)
+    # candidate docs — candidate set << corpus, so pair dedup happens
+    # driver-side in pandas instead of paying a second shuffle)
     import ray
 
-    cand_df = candidates.to_pandas()
+    cand_df = candidates.to_pandas().drop_duplicates(ignore_index=True)
     if len(cand_df) == 0:
         return rd.from_arrow(
             pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})

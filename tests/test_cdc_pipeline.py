@@ -137,3 +137,48 @@ def test_vacuum_removes_unreferenced_versions(tmp_path):
     removed = vacuum(lake.path, lake.manifest)
     assert removed >= 1
     assert lake.final_table().equals(before)
+
+
+def test_streaming_tail_follows_growing_changelog(tmp_path):
+    """The tail loop applies epochs as a writer adds them; the final lake
+    equals a one-shot replay of the complete changelog."""
+    import shutil
+    import threading
+    import time as _time
+
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.pipelines.streaming import tail
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        epoch_files,
+        materialize,
+    )
+
+    spec = ChangelogSpec(n_events=6_000, n_convs=150, n_epochs=5, seed=41)
+    full = materialize("unit-tail", spec)
+    files = epoch_files(full)
+    live = tmp_path / "live_clog"
+    live.mkdir()
+    # two epochs exist before the tail starts; the rest arrive while it runs
+    for _, p in files[:2]:
+        shutil.copy(p, live)
+
+    def writer():
+        for _, p in files[2:]:
+            _time.sleep(0.4)
+            shutil.copy(p, live / (p.split("/")[-1] + ".tmp"))
+            (live / (p.split("/")[-1] + ".tmp")).rename(live / p.split("/")[-1])
+
+    w = threading.Thread(target=writer)
+    w.start()
+    lake = tail(
+        str(live),
+        str(tmp_path / "lake"),
+        num_buckets=4,
+        poll_interval=0.2,
+        stop_after_epoch=spec.n_epochs - 1,
+    )
+    w.join()
+    oneshot = replay(full, str(tmp_path / "oneshot"), num_buckets=4)
+    assert lake.final_table().equals(oneshot.final_table())
+    assert lake.manifest.data["history"], "tail should have made commits"
