@@ -162,7 +162,7 @@ def run_scaling() -> dict:
     # lo-vs-hi comparison. The hi leg gets an extra rep — it occupies the
     # whole box, so external noise hits it hardest.
     results: dict[int, dict] = {}
-    for cpus in (lo, hi, lo, hi, hi):
+    for cpus in (lo, hi, lo, hi, hi, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child-cdc"],

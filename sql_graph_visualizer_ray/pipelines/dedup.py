@@ -220,28 +220,45 @@ def minhash_lsh_pairs(
                 for c in range(rows):
                     h = h * mult + sigs[:, b * rows + c]
                 bh[:, b] = h
+            flat = bh.reshape(-1).astype(np.int64)
             return pd.DataFrame(
                 {
                     "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
                     "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "band_hash": bh.reshape(-1).astype(np.int64),
+                    "band_hash": flat,
+                    # coarse partition key: the Ray exchange moves 256 groups,
+                    # the exact (band, band_hash) split happens vectorized in
+                    # pandas INSIDE each group — per-group Python dispatch on
+                    # ~1 group per doc-band would dominate otherwise
+                    "_part": (flat % 256).astype(np.int32),
                 }
             )
 
     band_rows = BandRows
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+    def bucket_pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = np.unique(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+        if not outs_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
+        )
 
     candidates = (
         docs.map_batches(band_rows, batch_format="pandas", concurrency=4)
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(bucket_pairs_coarse, batch_format="pandas")
         .select_columns(["doc_a", "doc_b"])
     )
 

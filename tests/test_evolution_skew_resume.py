@@ -128,3 +128,25 @@ def test_spill_and_actor_merge_match_sort(tmp_path, ray_session):
         tables[tag] = lake.final_table()
     assert tables["sort"].equals(tables["spill"])
     assert tables["sort"].equals(tables["actor"])
+
+
+def test_wide_text_rows_replay(tmp_path):
+    """64KB text payloads flow through replay correctly (block sizing:
+    SURVEY.md §7.4 'Wide text rows') — spill exchange, no truncation."""
+    import pyarrow.compute as pc
+
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        materialize,
+    )
+
+    spec = ChangelogSpec(
+        n_events=1_500, n_convs=30, n_epochs=3, seed=51, max_text_len=64_000
+    )
+    clog = materialize("unit-widetext", spec)
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=4, shuffle="spill")
+    final = lake.final_table()
+    assert final.num_rows > 0
+    max_len = pc.max(pc.utf8_length(pc.coalesce(final.column("text"), ""))).as_py()
+    assert max_len > 10_000, "wide texts should survive untruncated"
