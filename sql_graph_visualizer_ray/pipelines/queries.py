@@ -459,6 +459,7 @@ def build_queries() -> dict:
         "events_props_extract": events_props_extract,
         "dedup_embed_cosine": dedup_embed_cosine,
         "auto_rules_from_schema": auto_rules_from_schema,
+        "estimate_table_sizes": estimate_table_sizes,
     }
 
 
@@ -695,6 +696,11 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "  WHERE a.sfx LIKE '%key') "
             "SELECT * FROM node_rules UNION ALL SELECT * FROM rel_rules"
         ),
+        "estimate_table_sizes": " UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) * 500 AS est_bytes FROM {t}"
+            for t in TABLES
+        ),
     }
 
 
@@ -710,15 +716,17 @@ def join_order_geo(sf_dir: str) -> rd.Dataset:
     (``/root/reference/config/config.yml:176,:201,:217,:393``) done engine-side.
     The three dimension tables are broadcast (ray.put once, read per actor);
     only the orders fact streams."""
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
-    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
-    nat_geo = broadcast_join(
-        nation, region, left_key="n_regionkey", right_key="r_regionkey"
-    ).select_columns(["n_nationkey", "r_name"])
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    cust_geo = broadcast_join(
-        cust, nat_geo, left_key="c_nationkey", right_key="n_nationkey"
-    ).select_columns(["c_custkey", "r_name"])
+    # the three dimension tables are small: pre-join them into ONE lookup on
+    # the driver (pandas), broadcast once, and stream only the orders fact
+    # through a single actor-pool join — not three chained exchanges
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "r_name"]]
+    cust_geo = rd.from_pandas(dim)
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     fact = broadcast_join(
         orders, cust_geo, left_key="o_custkey", right_key="c_custkey"
@@ -943,6 +951,31 @@ def auto_rules_from_schema(sf_dir: str) -> rd.Dataset:
             "source_table": [r["source_table"] for r in rules],
             "target_type": [r["target_type"] for r in rules],
             "priority": pa.array([r["priority"] for r in rules], pa.int64()),
+        }
+    )
+    return rd.from_arrow(tbl)
+
+
+def estimate_table_sizes(sf_dir: str) -> rd.Dataset:
+    """A2 ``EstimateDataSize``: the reference sums per-table row counts with
+    a fixed 500 B/row size model (``mysql/repository.go:492-538``). Row
+    counts come from streaming ``count()`` per table (Parquet metadata fast
+    path); the 500 B model is kept verbatim for parity."""
+    import ray
+
+    @ray.remote
+    def _count(path: str) -> int:
+        import pyarrow.parquet as _pq
+
+        return _pq.read_metadata(path).num_rows
+
+    paths = {t: os.path.join(sf_dir, f"{t}.parquet") for t in TABLES}
+    counts = ray.get([_count.remote(p) for p in paths.values()])
+    tbl = pa.table(
+        {
+            "table_name": list(paths),
+            "n_rows": pa.array(counts, pa.int64()),
+            "est_bytes": pa.array([c * 500 for c in counts], pa.int64()),
         }
     )
     return rd.from_arrow(tbl)

@@ -182,3 +182,36 @@ def test_streaming_tail_follows_growing_changelog(tmp_path):
     oneshot = replay(full, str(tmp_path / "oneshot"), num_buckets=4)
     assert lake.final_table().equals(oneshot.final_table())
     assert lake.manifest.data["history"], "tail should have made commits"
+
+
+def test_duplicate_events_collapse(tmp_path):
+    """Exact duplicate events (same lsn — what a retried producer or a
+    replayed spill run creates) must collapse to the same final state as the
+    clean changelog. This is the idempotence property task-retry safety
+    rests on."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        epoch_files,
+        materialize,
+    )
+
+    spec = ChangelogSpec(n_events=5_000, n_convs=120, n_epochs=4, seed=61)
+    clean = materialize("unit-dupev", spec)
+    duped = tmp_path / "duped_clog"
+    duped.mkdir()
+    for e, p in epoch_files(clean):
+        t = pq.read_table(p)
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.concat_tables([t, t]), duped / f"epoch_{e:05d}.parquet"
+        )
+
+    a = replay(clean, str(tmp_path / "clean_lake"), num_buckets=4, shuffle="spill")
+    b = replay(str(duped), str(tmp_path / "duped_lake"), num_buckets=4, shuffle="spill")
+    assert a.final_table().equals(b.final_table())
