@@ -460,6 +460,7 @@ def build_queries() -> dict:
         "dedup_embed_cosine": dedup_embed_cosine,
         "auto_rules_from_schema": auto_rules_from_schema,
         "estimate_table_sizes": estimate_table_sizes,
+        "schema_patterns": schema_patterns,
     }
 
 
@@ -700,6 +701,29 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows, "
             f"COUNT(*) * 500 AS est_bytes FROM {t}"
             for t in TABLES
+        ),
+        "schema_patterns": (
+            "WITH cols AS ("
+            "  SELECT table_name, column_name, "
+            "  CASE WHEN strpos(column_name, '_') > 0 "
+            "  THEN substr(column_name, strpos(column_name, '_') + 1) END AS sfx "
+            "  FROM information_schema.columns WHERE table_name IN ("
+            + ",".join(f"'{t}'" for t in TABLES)
+            + ")), "
+            "inbound AS ("
+            "  SELECT DISTINCT b.table_name AS tgt, a.table_name AS src, "
+            "  a.column_name AS col FROM cols a JOIN cols b "
+            "  ON a.sfx = b.sfx AND a.table_name <> b.table_name "
+            "  WHERE a.sfx LIKE '%key'), "
+            "counts AS ("
+            "  SELECT t.table_name, "
+            "  CAST(COUNT(i.src) AS BIGINT) AS n_inbound_refs "
+            "  FROM (SELECT DISTINCT table_name FROM cols) t "
+            "  LEFT JOIN inbound i ON i.tgt = t.table_name "
+            "  GROUP BY t.table_name) "
+            "SELECT table_name, n_inbound_refs, "
+            "CASE WHEN n_inbound_refs >= 3 THEN 'star' ELSE 'regular' END AS pattern "
+            "FROM counts"
         ),
     }
 
@@ -979,3 +1003,42 @@ def estimate_table_sizes(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(tbl)
+
+
+def schema_patterns(sf_dir: str) -> rd.Dataset:
+    """M14: star-schema detection — a table is a 'star' hub when >= 3 other
+    tables carry FK-suffix references to it (the reference's pattern
+    analyzer, ``schema_analyzer_service.go:199-265``). Same suffix heuristic
+    as auto_rules_from_schema, driver-side codegen."""
+    import pyarrow.parquet as _pq
+
+    cols: list[tuple[str, str]] = []
+    for t in TABLES:
+        for f in _pq.read_schema(os.path.join(sf_dir, f"{t}.parquet")):
+            cols.append((t, f.name))
+    suffix = {
+        (t, c): c.split("_", 1)[1]
+        for t, c in cols
+        if "_" in c and c.split("_", 1)[1].endswith("key")
+    }
+    by_sfx: dict[str, set[str]] = {}
+    for (t, c), s in suffix.items():
+        by_sfx.setdefault(s, set()).add(t)
+    inbound: dict[str, set[tuple[str, str]]] = {t: set() for t in TABLES}
+    for (t, c), s in suffix.items():
+        for tgt in by_sfx[s]:
+            if tgt != t:
+                inbound[tgt].add((t, c))
+    rows = sorted(
+        (t, len(refs), "star" if len(refs) >= 3 else "regular")
+        for t, refs in inbound.items()
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "table_name": [r[0] for r in rows],
+                "n_inbound_refs": pa.array([r[1] for r in rows], pa.int64()),
+                "pattern": [r[2] for r in rows],
+            }
+        )
+    )
