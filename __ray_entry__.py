@@ -18,10 +18,12 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline: full changelog replay -> LWW-merged transcripts lake
-    -> final-state read view, at sf0.001."""
+    -> final-state read view, at sf0.001. Returns a pandas DataFrame (the
+    driver contract allows Dataset | DataFrame; the merged final state is
+    driver-small at sf0.001)."""
     from sql_graph_visualizer_ray.pipelines.queries import cdc_lww_merge
 
-    return cdc_lww_merge("/root/testdata/sf0.001")
+    return cdc_lww_merge("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
