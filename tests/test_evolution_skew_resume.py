@@ -150,3 +150,23 @@ def test_wide_text_rows_replay(tmp_path):
     assert final.num_rows > 0
     max_len = pc.max(pc.utf8_length(pc.coalesce(final.column("text"), ""))).as_py()
     assert max_len > 10_000, "wide texts should survive untruncated"
+
+
+@pytest.mark.parametrize("evolution", ["addcol", "widen"])
+def test_schema_evolution_through_spill_exchange(evolution, tmp_path):
+    """Mid-stream schema evolution must produce identical results through the
+    spill exchange as through the sort exchange (spill runs are normalized to
+    the unified schema before hitting disk)."""
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        materialize,
+    )
+
+    spec = ChangelogSpec(
+        n_events=6_000, n_convs=200, n_epochs=6, seed=71, evolution=evolution
+    )
+    clog = materialize(f"unit-evolve-spill-{evolution}", spec)
+    a = replay(clog, str(tmp_path / "sort"), num_buckets=8, shuffle="sort")
+    b = replay(clog, str(tmp_path / "spill"), num_buckets=8, shuffle="spill")
+    assert a.final_table().equals(b.final_table())
