@@ -117,3 +117,69 @@ def user_activity_summary(sf_dir: str, *, min_events: int = 5) -> rd.Dataset:
         Sum("value_cents", alias_name="value_cents"),
     )
     return agg.filter(expr=f"n_events >= {min_events}")
+
+
+def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
+    """As-of join: each 'purchase' event attributed to the user's most recent
+    'click' at-or-before it. A custom operator Ray Data lacks, built as
+    groupby(user).map_groups with pandas merge_asof — the as-of window is
+    partition-local by user, so no global sort is needed. Deterministic
+    tie-breaks: latest ts wins, then highest event_id.
+
+    Output: (purchase_id, user_id, purchase_ts, click_id, click_ts).
+    """
+    from .relational import read_table
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'purchase' or event_type == 'click'")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            g[g["event_type"] == "purchase"]
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        c = (
+            g[g["event_type"] == "click"]
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                    "click_id": pd.Series([], dtype="int64"),
+                    "click_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        if c.empty:
+            joined = p.assign(click_id=np.int64(-1), click_ts=pd.Timestamp(0))
+        else:
+            joined = pd.merge_asof(
+                p,
+                c[["ts", "event_id"]].rename(
+                    columns={"ts": "click_ts", "event_id": "click_id"}
+                ),
+                left_on="ts",
+                right_on="click_ts",
+                direction="backward",
+            )
+            # sentinel instead of NULL: purchases with no prior click get
+            # (click_id=-1, epoch ts) on BOTH engine and oracle sides, so the
+            # value-hash comparison never depends on NULL string renderings
+            joined["click_id"] = joined["click_id"].fillna(-1)
+            joined["click_ts"] = joined["click_ts"].fillna(pd.Timestamp(0))
+        return pd.DataFrame(
+            {
+                "purchase_id": joined["event_id"].astype("int64"),
+                "user_id": joined["user_id"].astype("int64"),
+                "purchase_ts": joined["ts"].astype("datetime64[us]"),
+                "click_id": joined["click_id"].astype("int64"),
+                "click_ts": joined["click_ts"].astype("datetime64[us]"),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -432,6 +432,7 @@ def build_queries() -> dict:
         "events_hourly": events.tumbling_window_counts,
         "events_last_per_user": events.last_event_per_user,
         "events_user_summary": events.user_activity_summary,
+        "events_asof_attribution": events.asof_purchase_attribution,
         # text analysis
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
@@ -599,6 +600,19 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "MAX(ts) AS last_ts, "
             "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events GROUP BY user_id HAVING COUNT(*) >= 5"
+        ),
+        "events_asof_attribution": (
+            "WITH p AS (SELECT event_id AS pid, user_id, ts AS pts FROM events "
+            "           WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS cid, user_id, ts AS cts FROM events "
+            "      WHERE event_type = 'click') "
+            "SELECT pid AS purchase_id, user_id, pts AS purchase_ts, "
+            "CAST(coalesce(cid, -1) AS BIGINT) AS click_id, "
+            "coalesce(cts, TIMESTAMP '1970-01-01') AS click_ts FROM ("
+            "  SELECT p.*, c.cid, c.cts, row_number() OVER ("
+            "    PARTITION BY p.pid ORDER BY c.cts DESC, c.cid DESC) AS rn "
+            "  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts) "
+            "WHERE rn = 1"
         ),
         "text_token_counts": (
             f"SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text,''), "
