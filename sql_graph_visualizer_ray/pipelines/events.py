@@ -183,3 +183,83 @@ def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
         )
 
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Dataset:
+    """Range (interval) join: every 'error' within ``window_minutes`` AFTER a
+    'click' by the same user. Like the as-of join, the interval predicate is
+    partition-local by user — per-group numpy searchsorted finds each
+    click's error window in O(log n); no global sort, no cross-user work.
+
+    Output: (click_id, error_id, user_id, gap_us).
+    """
+    from .relational import read_table
+
+    win_us = np.int64(window_minutes * 60 * 1_000_000)
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'click' or event_type == 'error'")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        e = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+        empty = pd.DataFrame(
+            {
+                "click_id": pd.Series([], dtype="int64"),
+                "error_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64"),
+            }
+        )
+        if c.empty or e.empty:
+            return empty
+        ets = e["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        cts = c["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        lo = np.searchsorted(ets, cts, side="left")
+        hi = np.searchsorted(ets, cts + win_us, side="right")
+        n_per = hi - lo
+        if n_per.sum() == 0:
+            return empty
+        click_rep = np.repeat(c["event_id"].to_numpy(), n_per)
+        click_ts_rep = np.repeat(cts, n_per)
+        err_idx = np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+        )
+        return pd.DataFrame(
+            {
+                "click_id": click_rep.astype("int64"),
+                "error_id": e["event_id"].to_numpy()[err_idx].astype("int64"),
+                "user_id": np.repeat(
+                    c["user_id"].to_numpy(), n_per
+                ).astype("int64"),
+                "gap_us": (ets[err_idx] - click_ts_rep).astype("int64"),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
+    """A1 COUNT(DISTINCT): distinct users per event type, pre-reduced inside
+    each batch (drop_duplicates) so the shuffle moves (type, user) pairs at
+    most once per batch, then an exact per-group nunique."""
+    from .relational import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def batch_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(ignore_index=True)
+
+    def group_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": np.array([g["user_id"].nunique()], dtype="int64"),
+            }
+        )
+
+    return (
+        ev.map_batches(batch_distinct, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(group_count, batch_format="pandas")
+    )

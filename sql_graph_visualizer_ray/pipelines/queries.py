@@ -433,6 +433,9 @@ def build_queries() -> dict:
         "events_last_per_user": events.last_event_per_user,
         "events_user_summary": events.user_activity_summary,
         "events_asof_attribution": events.asof_purchase_attribution,
+        "events_range_join": events.range_join_click_errors,
+        "events_distinct_users": events.distinct_users_per_type,
+        "docs_partitioned_by_lang": docs_partitioned_by_lang,
         # text analysis
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
@@ -613,6 +616,20 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "    PARTITION BY p.pid ORDER BY c.cts DESC, c.cid DESC) AS rn "
             "  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts) "
             "WHERE rn = 1"
+        ),
+        "events_range_join": (
+            "SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id, "
+            "CAST(date_diff('microsecond', c.ts, e.ts) AS BIGINT) AS gap_us "
+            "FROM events c JOIN events e ON c.user_id = e.user_id "
+            "AND c.event_type = 'click' AND e.event_type = 'error' "
+            "AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE"
+        ),
+        "events_distinct_users": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "docs_partitioned_by_lang": (
+            "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
         ),
         "text_token_counts": (
             f"SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text,''), "
@@ -1056,3 +1073,38 @@ def schema_patterns(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def docs_partitioned_by_lang(sf_dir: str) -> rd.Dataset:
+    """K1 resumable-output surface: write documents as hive-partitioned
+    Parquet (one directory per lang — a failed run skips finished
+    partitions), then stream the partitioned lake back for per-lang counts."""
+    label = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(LAKE_ROOT, label, "docs_by_lang")
+    shutil.rmtree(out, ignore_errors=True)
+    read_table(sf_dir, "documents", columns=["doc_id", "lang"]).write_parquet(
+        out, partition_cols=["lang"]
+    )
+    back = rd.read_parquet(out)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("lang", sort=False, observed=True)
+            .size()
+            .rename("partial_n")
+            .reset_index()
+        )
+
+    agg = back.map_batches(partial, batch_format="pandas").groupby("lang").aggregate(
+        Sum("partial_n", alias_name="n_docs")
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pc.cast(t.column("lang"), pa.string()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow")
