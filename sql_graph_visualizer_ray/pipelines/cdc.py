@@ -336,6 +336,12 @@ class LakeTable:
                 self.path, "_staging"
             )
             spill_root = os.path.join(spill_base, f"spill_v{new_version}")
+            # a crashed prior attempt may have left spill runs here; stale
+            # duplicates would collapse in the LWW merge, but a retry after
+            # schema evolution would concat mixed-schema runs — start clean
+            import shutil as _sh
+
+            _sh.rmtree(spill_root, ignore_errors=True)
 
             def _spill(batch: pa.Table) -> pa.Table:
                 import uuid
