@@ -270,24 +270,45 @@ def cooccurrence_pairs(
     a group with k items emits k*(k-1)/2 pairs — cap or salt upstream if a
     group can be huge."""
 
-    def emit_pairs(g):
-        items = np.unique(g[item_col].to_numpy())
-        if len(items) < 2:
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        # coarse partition: the exchange moves 128 partitions; the exact
+        # per-group split happens in C-level pandas groupby inside each
+        # partition — one Python dispatch per fine group would dominate
+        h = pd.util.hash_array(
+            np.asarray(t.column(group_col).to_numpy(zero_copy_only=False))
+        )
+        return t.append_column(
+            "_part", pa.array((h % 128).astype(np.int32))
+        )
+
+    def emit_pairs_coarse(g: pd.DataFrame) -> pa.Table:
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for _, sub in g.groupby(group_col, sort=False):
+            items = np.unique(sub[item_col].to_numpy())
+            if len(items) < 2:
+                continue
+            ia, ib = np.triu_indices(len(items), k=1)
+            outs_a.append(items[ia])
+            outs_b.append(items[ib])
+        if not outs_a:
             return pa.table(
                 {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64())}
             )
-        ia, ib = np.triu_indices(len(items), k=1)
         return pa.table(
             {
-                "item_a": pa.array(items[ia], pa.int64()),
-                "item_b": pa.array(items[ib], pa.int64()),
+                "item_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "item_b": pa.array(np.concatenate(outs_b), pa.int64()),
             }
         )
 
     pairs = (
         ds.select_columns([group_col, item_col])
-        .groupby(group_col)
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_pairs_coarse, batch_format="pandas")
     )
     from ray.data.aggregate import Count
 
