@@ -497,6 +497,121 @@ class LakeTable:
         return commit_counters
 
     # ------------------------------------------------------------------
+    # Tombstone compaction (SURVEY.md §7.4)
+    # ------------------------------------------------------------------
+    def compact_tombstones(self, *, allowed_lateness_us: int) -> dict:
+        """Drop tombstones the lateness watermark has passed.
+
+        A tombstone must outlive every event it could still mask: a future
+        event can only resurrect a deleted key if its ``ts`` is older than
+        the delete's, and such late events are bounded by
+        ``allowed_lateness_us`` (the same bound the late-data lineage counter
+        reports against). Watermark = max applied event ts − allowed
+        lateness; tombstones with ``ts`` < watermark can never be outranked
+        by an admissible future event and are physically removed.
+
+        Runs as one streaming rewrite commit (per-bucket tasks, atomic
+        manifest publish) that applies no epochs — safe to interleave with
+        ``apply`` at any point. Returns {dropped, watermark_us}.
+        """
+        m = self.manifest
+        paths = m.bucket_paths(self.path)
+        if not paths:
+            return {"dropped": 0, "watermark_us": None}
+        # watermark from Parquet footer statistics — no data read
+        max_ts = 0
+        for p in paths:
+            md = pq.read_metadata(p)
+            ts_idx = pq.read_schema(p).get_field_index("ts")
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(ts_idx).statistics
+                if stats is not None and stats.max is not None:
+                    v = stats.max
+                    v_us = (
+                        int(v.timestamp() * 1_000_000)
+                        if hasattr(v, "timestamp")
+                        else int(v)
+                    )
+                    max_ts = max(max_ts, v_us)
+        watermark = max_ts - allowed_lateness_us
+        new_version = m.version + 1
+        staging = os.path.join(self.path, "_staging", f"v{new_version}")
+        os.makedirs(staging, exist_ok=True)
+        bucket_by_path = {
+            os.path.join(self.path, v["path"]): int(k)
+            for k, v in m.data["buckets"].items()
+        }
+
+        def _rewrite(items: pa.Table) -> pa.Table:
+            outs = []
+            for p in items.column("path").to_pylist():
+                bucket = bucket_by_path[p]
+                t = pq.read_table(p)
+                is_dead_tomb = pc.and_(
+                    pc.equal(t.column("_op"), pa.scalar("D")),
+                    pc.less(
+                        pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(watermark, pa.int64()),
+                    ),
+                )
+                kept = t.filter(pc.invert(is_dead_tomb))
+                dropped = t.num_rows - kept.num_rows
+                part_dir = os.path.join(staging, f"bucket={bucket:05d}")
+                os.makedirs(part_dir, exist_ok=True)
+                tmp = os.path.join(part_dir, "data.parquet.tmp")
+                pq.write_table(kept, tmp)
+                os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+                tomb = int(
+                    pc.sum(
+                        pc.cast(pc.equal(kept.column("_op"), pa.scalar("D")), pa.int64())
+                    ).as_py()
+                    or 0
+                )
+                outs.append(
+                    pa.table(
+                        {
+                            "bucket": [bucket],
+                            "rows": [kept.num_rows],
+                            "tombstones": [tomb],
+                            "dropped": [dropped],
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        counters = (
+            rd.from_items(
+                [{"path": p} for p in paths], override_num_blocks=len(paths)
+            )
+            .map_batches(_rewrite, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        final_dir = os.path.join(self.path, f"v{new_version}")
+        if os.path.exists(final_dir):
+            import shutil
+
+            shutil.rmtree(final_dir)
+        os.replace(staging, final_dir)
+        for r in counters:
+            m.data["buckets"][str(int(r["bucket"]))] = {
+                "path": f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet",
+                "rows": int(r["rows"]),
+                "tombstones": int(r["tombstones"]),
+            }
+        m.data["version"] = new_version
+        dropped = sum(int(r["dropped"]) for r in counters)
+        m.data["history"].append(
+            {
+                "version": new_version,
+                "compaction": True,
+                "tombstones_dropped": dropped,
+                "watermark_us": watermark,
+            }
+        )
+        m.save_atomic(self.path)
+        return {"dropped": dropped, "watermark_us": watermark}
+
+    # ------------------------------------------------------------------
     # Read views
     # ------------------------------------------------------------------
     def read_final(self) -> rd.Dataset:

@@ -215,3 +215,40 @@ def test_duplicate_events_collapse(tmp_path):
     a = replay(clean, str(tmp_path / "clean_lake"), num_buckets=4, shuffle="spill")
     b = replay(str(duped), str(tmp_path / "duped_lake"), num_buckets=4, shuffle="spill")
     assert a.final_table().equals(b.final_table())
+
+
+def test_tombstone_compaction_watermark(tmp_path):
+    """compact_tombstones drops only tombstones older than the lateness
+    watermark; the live view is unchanged, and a within-bound late event can
+    still not resurrect a row."""
+    import pyarrow.compute as pc
+
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        materialize,
+    )
+
+    spec = ChangelogSpec(
+        n_events=8_000, n_convs=200, n_epochs=4, seed=91, p_delete=0.15
+    )
+    clog = materialize("unit-compact", spec)
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=4)
+    before_live = lake.final_table()
+    tombs_before = sum(
+        b["tombstones"] for b in lake.manifest.data["buckets"].values()
+    )
+    assert tombs_before > 0
+
+    # generous lateness bound: nothing old enough to drop yet
+    res_keep = lake.compact_tombstones(allowed_lateness_us=10**15)
+    assert res_keep["dropped"] == 0
+
+    # tight bound: every tombstone is past the watermark
+    res_drop = lake.compact_tombstones(allowed_lateness_us=0)
+    assert res_drop["dropped"] == tombs_before
+    tombs_after = sum(
+        b["tombstones"] for b in lake.manifest.data["buckets"].values()
+    )
+    assert tombs_after == 0
+    assert lake.final_table().equals(before_live)
