@@ -5,17 +5,19 @@ Ray-Data-first recast of the reference's transform-and-store loop
 reads everything into heap, applies rules row-by-row, writes row-at-a-time
 Cypher). Here each commit is a streaming Dataset pipeline:
 
-    read_parquet(new epoch files, schema-grouped)        # prune at the read
-      -> map_batches(normalize + per-batch LWW pre-compact, pyarrow)  # combiner
+    read_parquet(new epoch files, schema-grouped, fused)  # prune at the read
+      -> map_batches(normalize [+ per-batch LWW combiner], pyarrow)
       -> map_batches(add stable hash bucket)
-      -> union(lake state for touched buckets)
-      -> groupby("_bucket").map_groups(merge + write partition, pyarrow)
+      -> EXCHANGE on _bucket:  "sort" groupby | "hash" aggregator actors |
+                               "spill" per-bucket disk runs (no AllToAll)
+      -> per-bucket merge task: read OWN bucket's state file + events
+           -> LWW compact -> write partition -> one counter row
       -> tiny counters table -> atomic manifest commit
 
 Scale notes (designed for 256 nodes / 100 TB, tested on one node):
-- The only all-to-all exchange is the ``groupby("_bucket")`` shuffle, and it
-  runs *after* the per-batch combiner has collapsed duplicate keys, so shuffle
-  bytes ~= live key versions, not raw event volume.
+- Exchange volume ~ the commit's DELTA: lake state never rides the shuffle
+  (state is already bucket-partitioned; each merge task reads its own), and
+  the optional combiner collapses duplicate keys before the exchange.
 - Hot conv_ids are handled twice: (a) optional ``salt_groups`` runs an extra
   pre-shuffle compaction grouped by ``hash(conv_id, turn_idx) % (buckets*salt)``
   — every (conv_id, turn_idx) key still collapses to one row before the home-
@@ -28,8 +30,9 @@ Scale notes (designed for 256 nodes / 100 TB, tested on one node):
   task retries) and return one counter row each; only that tiny counters table
   is collected.
 - Tombstones are persisted in lake files (``_op='D'``) and filtered at read
-  time, so a late event older than an applied delete can never resurrect a row
-  (SURVEY.md §7.4).
+  time, so a late event older than an applied delete can never resurrect a row;
+  ``compact_tombstones(allowed_lateness_us=...)`` physically drops them once
+  the lateness watermark has passed (SURVEY.md §7.4).
 """
 
 from __future__ import annotations
