@@ -290,12 +290,11 @@ class LakeTable:
                 pc.sum(pc.cast(pc.and_(from_events, is_tomb), pa.int64())).as_py()
                 or 0
             )
-            max_lsn = int(
-                pc.max(
-                    merged.filter(from_events).column("lsn")
-                ).as_py()
-                or -1
-            )
+            # from the PRE-merge event rows: a commit whose events were all
+            # superseded by state must still advance the lsn watermark, and
+            # a legitimate max lsn of 0 must not coerce to -1
+            _v = pc.max(ev.column("lsn")).as_py()
+            max_lsn = -1 if _v is None else int(_v)
             out = merged.rename_columns(
                 [{"lsn": "_lsn", "op": "_op"}.get(c, c) for c in merged.column_names]
             )
@@ -581,7 +580,10 @@ class LakeTable:
                         pa.scalar(watermark, pa.int64()),
                     ),
                 )
-                kept = t.filter(pc.invert(is_dead_tomb))
+                # null-safe: a tombstone with null ts is the GREATEST value
+                # under the LWW order (nulls sort last), so it must be kept —
+                # Kleene logic would otherwise null the mask and drop the row
+                kept = t.filter(pc.fill_null(pc.invert(is_dead_tomb), True))
                 dropped = t.num_rows - kept.num_rows
                 part_dir = os.path.join(staging, f"bucket={bucket:05d}")
                 os.makedirs(part_dir, exist_ok=True)

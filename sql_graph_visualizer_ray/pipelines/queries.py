@@ -666,8 +666,8 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "list_cosine_similarity(e.embedding, c.embedding) DESC, c.vec_id) = 1"
         ),
         "multimodal_payload_sizes": (
-            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
-            "FROM documents"
+            "SELECT doc_id, CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) "
+            "AS n_bytes FROM documents"
         ),
         "join_order_geo": (
             "SELECT r_name, COUNT(*) AS n_orders, "

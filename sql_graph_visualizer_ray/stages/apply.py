@@ -109,19 +109,31 @@ def _count_late_arrays(
     order = np.lexsort((lsn, turn, codes))
     c = codes[order]
     t = turn[order]
-    v = ts[order].astype(np.float64)
+    v = ts[order]
+    # exact integer space: microsecond timestamps near 1.7e15 lose sub-second
+    # ulps under float64 once a big segment offset is added, so the running
+    # max is computed as a segmented int64 cummax (pandas' cythonized grouped
+    # cummax — segments are contiguous after the lexsort). Null ts (tombstone
+    # rows) arrive as NaN under numpy's float view: they never count as late
+    # and never raise the running max (sentinel INT64_MIN).
+    if v.dtype.kind == "f":
+        valid = ~np.isnan(v)
+        vi = np.where(valid, v, float(np.iinfo(np.int64).min)).astype(np.int64)
+    else:
+        valid = np.ones(n, dtype=bool)
+        vi = v.astype(np.int64)
     new_key = np.empty(n, dtype=bool)
     new_key[0] = True
     new_key[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
-    # segmented running max: subtract a huge offset at each key start so the
-    # accumulate never bleeds across keys
     seg_id = np.cumsum(new_key) - 1
-    offset = seg_id.astype(np.float64) * 1e18
-    run_max = np.maximum.accumulate(v + offset) - offset
+    import pandas as pd
+
+    run_max = pd.Series(vi).groupby(seg_id).cummax().to_numpy()
     # a row is late iff some EARLIER-lsn row in the same key has greater ts
-    prev_max = np.concatenate(([-np.inf], run_max[:-1]))
-    prev_max[new_key] = -np.inf
-    return int(np.sum(v < prev_max))
+    sentinel = np.iinfo(np.int64).min
+    prev_max = np.concatenate(([sentinel], run_max[:-1]))
+    prev_max[new_key] = sentinel
+    return int(np.sum(valid & (vi < prev_max)))
 
 
 def count_late(table: pa.Table) -> int:
