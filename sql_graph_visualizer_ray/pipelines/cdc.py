@@ -10,9 +10,18 @@ Cypher). Here each commit is a streaming Dataset pipeline:
       -> map_batches(add stable hash bucket)
       -> EXCHANGE on _bucket:  "sort" groupby | "hash" aggregator actors |
                                "spill" per-bucket disk runs (no AllToAll)
-      -> per-bucket merge task: read OWN bucket's state file + events
-           -> LWW compact -> write partition -> one counter row
+      -> per-bucket merge task: LWW-compact the commit's DELTA and write it
+           as a NEW per-bucket delta file (default ``commit_mode="delta"``) —
+           per-commit IO is proportional to the delta, never the table
       -> tiny counters table -> atomic manifest commit
+
+    Reads LWW-merge a bucket's base + delta files on the fly (merge-on-read);
+    ``compact()`` is the separate compaction commit that k-way-merges a
+    bucket's files back into one base (size-tiered via ``min_files``).
+    ``commit_mode="rewrite"`` keeps the old copy-on-write behavior (merge
+    state into every touched bucket at commit time) for comparison — at 100 TB
+    it makes every commit's IO proportional to table size, which is why delta
+    is the default.
 
 Scale notes (designed for 256 nodes / 100 TB, tested on one node):
 - Exchange volume ~ the commit's DELTA: lake state never rides the shuffle
@@ -68,6 +77,28 @@ def _event_schema_for(payload_schema: pa.Schema) -> pa.Schema:
     )
 
 
+def _read_files_merged(paths: list[str], target: pa.Schema) -> pa.Table:
+    """Read one bucket's lake files (base + deltas), normalize each to the
+    unified ``target`` event schema (old-schema files null-fill/cast — this is
+    what keeps a post-evolution lake readable when a commit touched only some
+    buckets), and LWW-merge when there is more than one file. Tombstones are
+    retained (callers filter)."""
+    from ..stages.apply import lww_compact
+
+    tabs = []
+    for p in paths:
+        cols = [c for c in pq.read_schema(p).names if c != "_bucket"]
+        t = pq.read_table(p, columns=cols)
+        t = t.rename_columns(
+            [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in t.column_names]
+        )
+        tabs.append(normalize_table(t, target))
+    merged = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    if len(tabs) > 1:
+        merged = lww_compact(merged, keep_tombstones=True)
+    return merged
+
+
 class LakeTable:
     """A partitioned transcripts lake table rooted at ``path``."""
 
@@ -111,9 +142,16 @@ class LakeTable:
         shuffle: str = "sort",
         precompact: bool | None = None,
         merge_actors: bool = False,
+        commit_mode: str = "delta",
     ) -> dict:
         """Apply all unapplied epochs (bounded by upto_epoch/max_epochs) as ONE
         epoch-fenced commit. Returns the commit's lineage counters.
+
+        ``commit_mode="delta"`` (default) writes each touched bucket's
+        LWW-compacted delta as a NEW file; persisted state is never read or
+        rewritten, so commit IO ~ delta size. ``"rewrite"`` merges state into
+        every touched bucket at commit time (copy-on-write, commit IO ~ table
+        size) — kept for comparison and as the building block of compaction.
 
         ``precompact`` runs the per-batch LWW combiner before the exchange.
         Default: on for the in-object-store shuffles (volume through the
@@ -143,6 +181,7 @@ class LakeTable:
                 shuffle=shuffle,
                 precompact=(shuffle != "spill") if precompact is None else precompact,
                 merge_actors=merge_actors,
+                commit_mode=commit_mode,
             )
         finally:
             ctx.shuffle_strategy = prev_strategy
@@ -158,6 +197,7 @@ class LakeTable:
         shuffle: str,
         precompact: bool,
         merge_actors: bool,
+        commit_mode: str,
     ) -> dict:
         m = self.manifest
         files = [
@@ -241,37 +281,34 @@ class LakeTable:
         # bucket's state directly — exchange volume stays proportional to
         # the DELTA, not delta + table size (critical once the lake is far
         # larger than a commit's events).
-        state_by_bucket = {
-            int(k): os.path.join(self.path, v["path"])
-            for k, v in m.data["buckets"].items()
-        }
+        state_by_bucket = self.manifest.bucket_files(self.path)
         new_version = m.version + 1
         staging = os.path.join(self.path, "_staging", f"v{new_version}")
         os.makedirs(staging, exist_ok=True)
         lake_cols = lake_schema(payload)
+        delta_mode = commit_mode == "delta"
 
         def _load_state(bucket: int, target: pa.Schema) -> pa.Table | None:
-            path = state_by_bucket.get(bucket)
-            if path is None:
+            paths = state_by_bucket.get(bucket)
+            if not paths:
                 return None
             import numpy as np
 
-            st = pq.read_table(path)
-            st = st.rename_columns(
-                [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in st.column_names]
-            )
+            st = _read_files_merged(paths, target)
             # epoch = -1 marks state rows (distinguishes them from this
             # commit's events in the lineage counters)
-            st = st.append_column(
-                "epoch", pa.array(np.full(st.num_rows, -1, dtype=np.int32))
+            return st.set_column(
+                st.schema.get_field_index("epoch"),
+                "epoch",
+                pa.array(np.full(st.num_rows, -1, dtype=np.int32)),
             )
-            return normalize_table(st, target)
 
         def _merge_core(ev: pa.Table, bucket: int) -> pa.Table:
-            """Merge one bucket's event rows with its persisted state, write
-            the new partition file, return a one-row counter table."""
+            """LWW-compact one bucket's event rows (delta mode), or merge them
+            with the bucket's persisted state (rewrite mode); write the
+            partition file, return a one-row counter table."""
             events_in = ev.num_rows
-            st = _load_state(bucket, ev.schema)
+            st = None if delta_mode else _load_state(bucket, ev.schema)
             state_in = st.num_rows if st is not None else 0
             group = pa.concat_tables([ev, st]) if st is not None else ev
             merged = compact_with_lineage(group, keep_tombstones=True)
@@ -299,11 +336,12 @@ class LakeTable:
                 [{"lsn": "_lsn", "op": "_op"}.get(c, c) for c in merged.column_names]
             )
             out = normalize_table(out, lake_cols)
+            fname = "delta.parquet" if delta_mode else "data.parquet"
             part_dir = os.path.join(staging, f"bucket={bucket:05d}")
             os.makedirs(part_dir, exist_ok=True)
-            tmp = os.path.join(part_dir, "data.parquet.tmp")
+            tmp = os.path.join(part_dir, fname + ".tmp")
             pq.write_table(out, tmp)
-            os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+            os.replace(tmp, os.path.join(part_dir, fname))
             tomb = int(pc.sum(pc.cast(is_tomb, pa.int64())).as_py() or 0)
             return pa.table(
                 {
@@ -502,11 +540,25 @@ class LakeTable:
         }
         for r in counters:
             if r["wrote"]:
-                m.data["buckets"][str(int(r["bucket"]))] = {
-                    "path": f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet",
-                    "rows": int(r["rows"]),
-                    "tombstones": int(r["tombstones"]),
-                }
+                key = str(int(r["bucket"]))
+                if delta_mode:
+                    relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/delta.parquet"
+                    entry = m.data["buckets"].setdefault(
+                        key, {"files": [], "rows": 0, "tombstones": 0}
+                    )
+                    entry["files"].append(relpath)
+                    # pre-merge totals (files may hold superseded versions of
+                    # the same key); exact live counts exist after compact()
+                    entry["rows"] += int(r["rows"])
+                    entry["tombstones"] += int(r["tombstones"])
+                else:
+                    m.data["buckets"][key] = {
+                        "files": [
+                            f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"
+                        ],
+                        "rows": int(r["rows"]),
+                        "tombstones": int(r["tombstones"]),
+                    }
         m.data["version"] = new_version
         m.data["applied_epoch"] = applied_epoch
         m.data["applied_lsn"] = applied_lsn
@@ -523,10 +575,140 @@ class LakeTable:
         return commit_counters
 
     # ------------------------------------------------------------------
-    # Tombstone compaction (SURVEY.md §7.4)
+    # Compaction commits (merge-on-read counterpart; SURVEY.md §7.4)
     # ------------------------------------------------------------------
+    def _event_read_schema(self) -> pa.Schema:
+        """Unified event-format schema lake files are normalized to on read:
+        current payload + (lsn, op)."""
+        return pa.schema(
+            list(self.manifest.payload_schema)
+            + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        )
+
+    def _compact_impl(
+        self, todo: dict[int, list[str]], *, watermark_us: int | None
+    ) -> list[dict]:
+        """Rewrite each bucket in ``todo`` as ONE merged base file (optionally
+        dropping tombstones older than ``watermark_us``); atomic manifest
+        commit. Per-bucket tasks — data never flows through the driver."""
+        m = self.manifest
+        target = self._event_read_schema()
+        lake_cols = lake_schema(m.payload_schema)
+        new_version = m.version + 1
+        staging = os.path.join(self.path, "_staging", f"v{new_version}")
+        os.makedirs(staging, exist_ok=True)
+
+        def _task(items: pa.Table) -> pa.Table:
+            outs = []
+            for bk in items.column("bucket").to_pylist():
+                bk = int(bk)
+                merged = _read_files_merged(todo[bk], target)
+                dropped = 0
+                if watermark_us is not None:
+                    is_dead_tomb = pc.and_(
+                        pc.equal(merged.column("op"), pa.scalar("D")),
+                        pc.less(
+                            pc.cast(merged.column("ts"), pa.int64()),
+                            pa.scalar(watermark_us, pa.int64()),
+                        ),
+                    )
+                    # null-safe: a tombstone with null ts is the GREATEST
+                    # value under the LWW order (nulls sort last) and must be
+                    # kept — Kleene logic would null the mask and drop it
+                    kept = merged.filter(
+                        pc.fill_null(pc.invert(is_dead_tomb), True)
+                    )
+                    dropped = merged.num_rows - kept.num_rows
+                    merged = kept
+                out = merged.rename_columns(
+                    [
+                        {"lsn": "_lsn", "op": "_op"}.get(c, c)
+                        for c in merged.column_names
+                    ]
+                )
+                out = out.append_column(
+                    "_bucket", pa.array([bk] * out.num_rows, pa.int32())
+                )
+                out = normalize_table(out, lake_cols)
+                part_dir = os.path.join(staging, f"bucket={bk:05d}")
+                os.makedirs(part_dir, exist_ok=True)
+                tmp = os.path.join(part_dir, "data.parquet.tmp")
+                pq.write_table(out, tmp)
+                os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+                tomb = int(
+                    pc.sum(
+                        pc.cast(
+                            pc.equal(out.column("_op"), pa.scalar("D")), pa.int64()
+                        )
+                    ).as_py()
+                    or 0
+                )
+                outs.append(
+                    pa.table(
+                        {
+                            "bucket": [bk],
+                            "rows": [out.num_rows],
+                            "tombstones": [tomb],
+                            "dropped": [dropped],
+                            "files_in": [len(todo[bk])],
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        counters = (
+            rd.from_items(
+                [{"bucket": b} for b in sorted(todo)],
+                override_num_blocks=len(todo),
+            )
+            .map_batches(_task, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        final_dir = os.path.join(self.path, f"v{new_version}")
+        if os.path.exists(final_dir):
+            import shutil
+
+            shutil.rmtree(final_dir)
+        os.replace(staging, final_dir)
+        for r in counters:
+            m.data["buckets"][str(int(r["bucket"]))] = {
+                "files": [f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"],
+                "rows": int(r["rows"]),
+                "tombstones": int(r["tombstones"]),
+            }
+        m.data["version"] = new_version
+        return counters
+
+    def compact(self, *, min_files: int = 2, buckets: list[int] | None = None) -> dict:
+        """Size-tiered compaction commit: k-way LWW-merge a bucket's base +
+        delta files into one base file. Only buckets with >= ``min_files``
+        files (or those listed) rewrite — commit IO ~ the compacted buckets.
+        Applies no epochs, so it interleaves with ``apply``/``tail`` freely.
+        """
+        m = self.manifest
+        todo = {
+            b: fs
+            for b, fs in m.bucket_files(self.path).items()
+            if (buckets is None or b in buckets) and len(fs) >= min_files
+        }
+        if not todo:
+            return {"compacted_buckets": 0, "files_merged": 0}
+        counters = self._compact_impl(todo, watermark_us=None)
+        files_merged = sum(int(r["files_in"]) for r in counters)
+        m.data["history"].append(
+            {
+                "version": m.version,
+                "compaction": True,
+                "buckets_compacted": len(counters),
+                "files_merged": files_merged,
+            }
+        )
+        m.save_atomic(self.path)
+        return {"compacted_buckets": len(counters), "files_merged": files_merged}
+
     def compact_tombstones(self, *, allowed_lateness_us: int) -> dict:
-        """Drop tombstones the lateness watermark has passed.
+        """Drop tombstones the lateness watermark has passed (full compaction
+        of every bucket).
 
         A tombstone must outlive every event it could still mask: a future
         event can only resurrect a deleted key if its ``ts`` is older than
@@ -536,9 +718,9 @@ class LakeTable:
         lateness; tombstones with ``ts`` < watermark can never be outranked
         by an admissible future event and are physically removed.
 
-        Runs as one streaming rewrite commit (per-bucket tasks, atomic
-        manifest publish) that applies no epochs — safe to interleave with
-        ``apply`` at any point. Returns {dropped, watermark_us}.
+        Returns {dropped, watermark_us}; ``dropped`` counts tombstones
+        relative to the LWW-merged view (superseded duplicate versions across
+        delta files collapse in the merge, not in this counter).
         """
         m = self.manifest
         paths = m.bucket_paths(self.path)
@@ -560,78 +742,13 @@ class LakeTable:
                     )
                     max_ts = max(max_ts, v_us)
         watermark = max_ts - allowed_lateness_us
-        new_version = m.version + 1
-        staging = os.path.join(self.path, "_staging", f"v{new_version}")
-        os.makedirs(staging, exist_ok=True)
-        bucket_by_path = {
-            os.path.join(self.path, v["path"]): int(k)
-            for k, v in m.data["buckets"].items()
-        }
-
-        def _rewrite(items: pa.Table) -> pa.Table:
-            outs = []
-            for p in items.column("path").to_pylist():
-                bucket = bucket_by_path[p]
-                t = pq.read_table(p)
-                is_dead_tomb = pc.and_(
-                    pc.equal(t.column("_op"), pa.scalar("D")),
-                    pc.less(
-                        pc.cast(t.column("ts"), pa.int64()),
-                        pa.scalar(watermark, pa.int64()),
-                    ),
-                )
-                # null-safe: a tombstone with null ts is the GREATEST value
-                # under the LWW order (nulls sort last), so it must be kept —
-                # Kleene logic would otherwise null the mask and drop the row
-                kept = t.filter(pc.fill_null(pc.invert(is_dead_tomb), True))
-                dropped = t.num_rows - kept.num_rows
-                part_dir = os.path.join(staging, f"bucket={bucket:05d}")
-                os.makedirs(part_dir, exist_ok=True)
-                tmp = os.path.join(part_dir, "data.parquet.tmp")
-                pq.write_table(kept, tmp)
-                os.replace(tmp, os.path.join(part_dir, "data.parquet"))
-                tomb = int(
-                    pc.sum(
-                        pc.cast(pc.equal(kept.column("_op"), pa.scalar("D")), pa.int64())
-                    ).as_py()
-                    or 0
-                )
-                outs.append(
-                    pa.table(
-                        {
-                            "bucket": [bucket],
-                            "rows": [kept.num_rows],
-                            "tombstones": [tomb],
-                            "dropped": [dropped],
-                        }
-                    )
-                )
-            return pa.concat_tables(outs)
-
-        counters = (
-            rd.from_items(
-                [{"path": p} for p in paths], override_num_blocks=len(paths)
-            )
-            .map_batches(_rewrite, batch_format="pyarrow", batch_size=1)
-            .take_all()
+        counters = self._compact_impl(
+            m.bucket_files(self.path), watermark_us=watermark
         )
-        final_dir = os.path.join(self.path, f"v{new_version}")
-        if os.path.exists(final_dir):
-            import shutil
-
-            shutil.rmtree(final_dir)
-        os.replace(staging, final_dir)
-        for r in counters:
-            m.data["buckets"][str(int(r["bucket"]))] = {
-                "path": f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet",
-                "rows": int(r["rows"]),
-                "tombstones": int(r["tombstones"]),
-            }
-        m.data["version"] = new_version
         dropped = sum(int(r["dropped"]) for r in counters)
         m.data["history"].append(
             {
-                "version": new_version,
+                "version": m.version,
                 "compaction": True,
                 "tombstones_dropped": dropped,
                 "watermark_us": watermark,
@@ -640,26 +757,134 @@ class LakeTable:
         m.save_atomic(self.path)
         return {"dropped": dropped, "watermark_us": watermark}
 
+    def split_buckets(self, new_num_buckets: int) -> dict:
+        """Bucket-count evolution: rewrite the lake at a finer partitioning.
+
+        ``new_num_buckets`` must be a multiple of the current count: because
+        ``h % (k*n) ≡ b (mod n)`` for every row of bucket ``b = h % n``, each
+        old bucket's rows land only in the k new buckets ``{b, b+n, ...,
+        b+(k-1)n}`` — the split is LOCAL per old bucket (no shuffle, no
+        cross-bucket reads), which is what makes re-bucketing a 100 TB table
+        a per-bucket streaming rewrite instead of an all-to-all.
+        """
+        m = self.manifest
+        old = m.num_buckets
+        if new_num_buckets % old != 0:
+            raise ValueError(
+                f"new_num_buckets {new_num_buckets} must be a multiple of {old}"
+            )
+        if new_num_buckets == old:
+            return {"split": 0}
+        shard = m.turn_shard_size
+        target = self._event_read_schema()
+        lake_cols = lake_schema(m.payload_schema)
+        todo = m.bucket_files(self.path)
+        new_version = m.version + 1
+        staging = os.path.join(self.path, "_staging", f"v{new_version}")
+        os.makedirs(staging, exist_ok=True)
+
+        def _task(items: pa.Table) -> pa.Table:
+            outs = []
+            for bk in items.column("bucket").to_pylist():
+                merged = _read_files_merged(todo[int(bk)], target)
+                merged = add_bucket_column(merged, new_num_buckets, shard)
+                col = merged.column("_bucket")
+                for nb in pc.unique(col).to_pylist():
+                    sub = merged.filter(pc.equal(col, nb))
+                    out = sub.rename_columns(
+                        [
+                            {"lsn": "_lsn", "op": "_op"}.get(c, c)
+                            for c in sub.column_names
+                        ]
+                    )
+                    out = normalize_table(out, lake_cols)
+                    part_dir = os.path.join(staging, f"bucket={int(nb):05d}")
+                    os.makedirs(part_dir, exist_ok=True)
+                    tmp = os.path.join(part_dir, "data.parquet.tmp")
+                    pq.write_table(out, tmp)
+                    os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+                    tomb = int(
+                        pc.sum(
+                            pc.cast(
+                                pc.equal(out.column("_op"), pa.scalar("D")),
+                                pa.int64(),
+                            )
+                        ).as_py()
+                        or 0
+                    )
+                    outs.append(
+                        pa.table(
+                            {
+                                "bucket": [int(nb)],
+                                "rows": [out.num_rows],
+                                "tombstones": [tomb],
+                            }
+                        )
+                    )
+            return pa.concat_tables(outs)
+
+        counters = (
+            rd.from_items(
+                [{"bucket": b} for b in sorted(todo)],
+                override_num_blocks=max(1, len(todo)),
+            )
+            .map_batches(_task, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        final_dir = os.path.join(self.path, f"v{new_version}")
+        if os.path.exists(final_dir):
+            import shutil
+
+            shutil.rmtree(final_dir)
+        os.replace(staging, final_dir)
+        m.data["buckets"] = {
+            str(int(r["bucket"])): {
+                "files": [f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"],
+                "rows": int(r["rows"]),
+                "tombstones": int(r["tombstones"]),
+            }
+            for r in counters
+        }
+        m.data["num_buckets"] = new_num_buckets
+        m.data["version"] = new_version
+        m.data["history"].append(
+            {
+                "version": new_version,
+                "split_buckets": {"from": old, "to": new_num_buckets},
+            }
+        )
+        m.save_atomic(self.path)
+        return {"split": 1, "from": old, "to": new_num_buckets}
+
     # ------------------------------------------------------------------
-    # Read views
+    # Read views (merge-on-read)
     # ------------------------------------------------------------------
     def read_final(self) -> rd.Dataset:
-        """Streaming read view of live rows (tombstones filtered, hidden
-        columns dropped)."""
-        paths = self.manifest.bucket_paths(self.path)
-        payload_cols = [f.name for f in self.manifest.payload_schema]
-        if not paths:
-            return rd.from_arrow(self.manifest.payload_schema.empty_table())
+        """Streaming read view of live rows: each bucket's base + delta files
+        are normalized to the current payload schema (null-fill/cast — keeps
+        post-evolution lakes readable when a commit touched only some
+        buckets) and LWW-merged on the fly; tombstones filtered, hidden
+        columns dropped. One task per bucket — read parallelism scales with
+        the bucket count, and single-file buckets skip the merge entirely."""
+        m = self.manifest
+        payload_cols = [f.name for f in m.payload_schema]
+        by_bucket = m.bucket_files(self.path)
+        if not by_bucket:
+            return rd.from_arrow(m.payload_schema.empty_table())
+        target = self._event_read_schema()
 
-        def _live(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.not_equal(t.column("_op"), pa.scalar("D")))
-            return t.select(payload_cols)
+        def _merge_read(items: pa.Table) -> pa.Table:
+            outs = []
+            for bk in items.column("bucket").to_pylist():
+                t = _read_files_merged(by_bucket[int(bk)], target)
+                t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
+                outs.append(t.select(payload_cols))
+            return pa.concat_tables(outs)
 
-        # prune at the read: only payload columns + the tombstone marker
-        # leave storage (never _lsn/_bucket)
-        return rd.read_parquet(paths, columns=payload_cols + ["_op"]).map_batches(
-            _live, batch_format="pyarrow"
-        )
+        return rd.from_items(
+            [{"bucket": b} for b in sorted(by_bucket)],
+            override_num_blocks=len(by_bucket),
+        ).map_batches(_merge_read, batch_format="pyarrow", batch_size=1)
 
     def final_table(self) -> pa.Table:
         """Driver-side materialized final state, canonically sorted — for
@@ -693,9 +918,13 @@ def replay(
     epochs_per_commit: int | None = None,
     shuffle: str = "sort",
     merge_actors: bool = False,
+    commit_mode: str = "delta",
+    auto_compact_files: int | None = None,
 ) -> LakeTable:
     """Replay a full changelog into a (possibly pre-existing) lake table,
-    committing every ``epochs_per_commit`` epochs (None = single commit)."""
+    committing every ``epochs_per_commit`` epochs (None = single commit).
+    ``auto_compact_files`` triggers a size-tiered ``compact()`` after any
+    commit that leaves a bucket with at least that many files."""
     lake = LakeTable.open(
         lake_dir, num_buckets=num_buckets, turn_shard_size=turn_shard_size
     )
@@ -706,7 +935,10 @@ def replay(
             salt_groups=salt_groups,
             shuffle=shuffle,
             merge_actors=merge_actors,
+            commit_mode=commit_mode,
         )
+        if auto_compact_files and c.get("epochs", 0):
+            lake.compact(min_files=auto_compact_files)
         if c.get("epochs", 0) == 0:
             break
         if epochs_per_commit is None:

@@ -49,14 +49,17 @@ class Manifest:
     ) -> "Manifest":
         return cls(
             {
-                "format": "graft-cdc-lake/1",
+                "format": "graft-cdc-lake/2",
                 "version": 0,
                 "num_buckets": num_buckets,
                 "turn_shard_size": turn_shard_size,
                 "applied_epoch": -1,
                 "applied_lsn": -1,
                 "payload_schema": _schema_to_str(payload_schema),
-                "buckets": {},  # str(bucket) -> {path, rows, tombstones}
+                # str(bucket) -> {files: [relpath...], rows, tombstones}
+                # files[0] may be a compacted base; the rest are per-commit
+                # delta files, LWW-merged on read (merge-on-read)
+                "buckets": {},
                 "counters": {},  # cumulative lineage counters
                 "history": [],  # one entry per commit
             }
@@ -68,7 +71,12 @@ class Manifest:
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return cls(json.load(f))
+            data = json.load(f)
+        # upgrade format/1 (single data file per bucket) in place
+        for b in data.get("buckets", {}).values():
+            if "path" in b and "files" not in b:
+                b["files"] = [b.pop("path")]
+        return cls(data)
 
     # -- accessors --------------------------------------------------------
     @property
@@ -92,9 +100,21 @@ class Manifest:
         return _schema_from_str(self.data["payload_schema"])
 
     def bucket_paths(self, lake_dir: str) -> list[str]:
+        """All data files of all buckets (base + deltas), flattened."""
         return [
-            os.path.join(lake_dir, b["path"]) for b in self.data["buckets"].values()
+            os.path.join(lake_dir, f)
+            for b in self.data["buckets"].values()
+            for f in b["files"]
         ]
+
+    def bucket_files(self, lake_dir: str) -> dict[int, list[str]]:
+        """bucket id -> absolute file paths, base first then deltas in commit
+        order (the order never matters for LWW correctness — merge order is
+        (ts, lsn) — but it keeps reads deterministic)."""
+        return {
+            int(k): [os.path.join(lake_dir, f) for f in v["files"]]
+            for k, v in self.data["buckets"].items()
+        }
 
     # -- commit protocol --------------------------------------------------
     def save_atomic(self, lake_dir: str) -> None:
@@ -121,8 +141,16 @@ def clean_uncommitted(lake_dir: str, committed_version: int) -> None:
 
 
 def vacuum(lake_dir: str, manifest: Manifest) -> int:
-    """Remove version dirs no bucket references anymore. Returns count removed."""
-    live = {b["path"].split("/", 1)[0] for b in manifest.data["buckets"].values()}
+    """Remove version dirs no bucket references anymore. Returns count removed.
+
+    With delta commits every version dir stays referenced until a compaction
+    commit rewrites the buckets — run ``LakeTable.compact()`` first to
+    de-reference old versions."""
+    live = {
+        f.split("/", 1)[0]
+        for b in manifest.data["buckets"].values()
+        for f in b["files"]
+    }
     removed = 0
     for name in os.listdir(lake_dir):
         if (

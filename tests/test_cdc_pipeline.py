@@ -116,8 +116,9 @@ def test_tombstone_blocks_late_resurrection(tmp_path):
 
 
 def test_vacuum_removes_unreferenced_versions(tmp_path):
-    """After several commits, vacuum() deletes version dirs no bucket
-    references; the live table is unaffected."""
+    """Delta commits keep every version dir referenced; after a compaction
+    commit rewrites the buckets, vacuum() deletes the de-referenced version
+    dirs and the live table is unaffected."""
     import os
 
     from sql_graph_visualizer_ray.pipelines.cdc import replay
@@ -133,7 +134,10 @@ def test_vacuum_removes_unreferenced_versions(tmp_path):
     lake = replay(clog, str(tmp_path / "lake"), num_buckets=4, epochs_per_commit=1)
     before = lake.final_table()
     versions = [n for n in os.listdir(lake.path) if n.startswith("v")]
-    assert len(versions) >= 2  # multiple commits left old versions behind
+    assert len(versions) >= 2  # multiple delta commits -> multiple versions
+    assert vacuum(lake.path, lake.manifest) == 0  # all still referenced
+    res = lake.compact()
+    assert res["compacted_buckets"] >= 1
     removed = vacuum(lake.path, lake.manifest)
     assert removed >= 1
     assert lake.final_table().equals(before)
