@@ -3,20 +3,44 @@
 Ray Data has no event-time windows (SURVEY.md §2.9 — the reference has no
 streaming dataflow either, only poll-loop monitoring at
 ``/root/reference/internal/application/services/performance/realtime_performance_monitor.go:287-303``).
-Windows are expressed as groupby(key).map_groups over ts-sorted groups; the
-partitioning assumption (all of a key's events in one group) is exactly the
-engine's conv_id partitioning assumption.
+Windows are COARSE-partitioned: the Ray exchange moves ``hash(user) % P``
+partitions (one Python dispatch per partition, not per key), and the window
+logic inside each partition is vectorized numpy/pandas across ALL of the
+partition's users at once. The partitioning assumption (all of a key's
+events co-located) is exactly the engine's conv_id bucketing assumption.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .relational import read_table
+
+#: coarse partition count for keyed windows — sized so the shuffle has
+#: enough parallelism while per-partition Python dispatch stays negligible
+NUM_PARTS = 64
+
+
+def with_hash_part(
+    ds: rd.Dataset, col: str, num_parts: int = NUM_PARTS
+) -> rd.Dataset:
+    """Append ``_part = stable_hash(col) % num_parts`` — the coarse exchange
+    key for keyed windows (same pattern as ``relational.cooccurrence_pairs``)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t.column(col).to_numpy(zero_copy_only=False))
+        )
+        return t.append_column(
+            "_part", pa.array((h % num_parts).astype(np.int32))
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
@@ -24,35 +48,44 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
     previous event exceeds ``gap_minutes``. Output one row per session:
     (user_id, session_id, n_events, session_start, session_end).
     Tie-break ordering within a user: (ts, event_id) — deterministic and
-    matched by the oracle SQL's window ORDER BY."""
+    matched by the oracle SQL's window ORDER BY.
+
+    One sort + one cython groupby-agg per partition; session ids come from a
+    single cumsum over the session-start mask, rebased per user (no per-user
+    Python)."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new_session = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            deltas = g["ts"].to_numpy()[1:] - g["ts"].to_numpy()[:-1]
-            new_session[1:] = deltas > gap
-        sid = np.cumsum(new_session)
-        g = g.assign(session_id=sid)
-        out = (
-            g.groupby("session_id", sort=True)
-            .agg(
-                n_events=("event_id", "size"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-            )
-            .reset_index()
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["session_id"] = out["session_id"].astype("int64")
+        ts = g["ts"].to_numpy()
+        user = g["user_id"].to_numpy()
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        new_session = new_user.copy()
+        if n > 1:
+            new_session[1:] |= (ts[1:] - ts[:-1]) > gap
+        sid_global = np.cumsum(new_session)
+        # rebase to 1..k within each user: forward-fill the user's base id
+        base = np.maximum.accumulate(np.where(new_user, sid_global - 1, 0))
+        g = g.assign(session_id=(sid_global - base).astype("int64"))
+        out = g.groupby(["user_id", "session_id"], sort=False, as_index=False).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return out[
+            ["user_id", "session_id", "n_events", "session_start", "session_end"]
+        ]
 
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     return (
-        read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        with_hash_part(ds, "user_id")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -85,17 +118,21 @@ def tumbling_window_counts(sf_dir: str) -> rd.Dataset:
 def last_event_per_user(sf_dir: str) -> rd.Dataset:
     """D1 generalized to the events table: last-writer-wins per user by
     (ts, event_id) — the reference's duplicate-key overwrite
-    (``graph_aggregate.go:46-51``) as a grouped keep-last."""
+    (``graph_aggregate.go:46-51``) as a coarse-partitioned keep-last (one
+    sort + drop_duplicates per partition, vectorized over all its users)."""
 
-    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], kind="mergesort").tail(1)
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = g.drop_duplicates("user_id", keep="last")
+        return out[["event_id", "ts", "user_id", "event_type", "value"]]
 
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
     return (
-        read_table(
-            sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
-        )
-        .groupby("user_id")
-        .map_groups(keep_last, batch_format="pandas")
+        with_hash_part(ds, "user_id")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -127,6 +164,12 @@ def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
     tie-breaks: latest ts wins, then highest event_id.
 
     Output: (purchase_id, user_id, purchase_ts, click_id, click_ts).
+
+    Coarse-partitioned: one ``pd.merge_asof(..., by="user_id")`` per
+    partition handles ALL of its users in a single vectorized pass (the
+    backward direction picks the last right row with ts <= left ts; sorting
+    the right side by (ts, event_id) makes the tie-break deterministic and
+    identical to the oracle's ORDER BY cts DESC, cid DESC).
     """
     from .relational import read_table
 
@@ -134,15 +177,15 @@ def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
     ).filter(expr="event_type == 'purchase' or event_type == 'click'")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         p = (
             g[g["event_type"] == "purchase"]
-            .sort_values(["ts", "event_id"])
+            .sort_values(["ts", "event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
         c = (
             g[g["event_type"] == "click"]
-            .sort_values(["ts", "event_id"])
+            .sort_values(["ts", "event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
         if p.empty:
@@ -160,11 +203,12 @@ def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
         else:
             joined = pd.merge_asof(
                 p,
-                c[["ts", "event_id"]].rename(
+                c[["ts", "event_id", "user_id"]].rename(
                     columns={"ts": "click_ts", "event_id": "click_id"}
                 ),
                 left_on="ts",
                 right_on="click_ts",
+                by="user_id",
                 direction="backward",
             )
             # sentinel instead of NULL: purchases with no prior click get
@@ -182,7 +226,11 @@ def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        with_hash_part(ev, "user_id")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Dataset:
@@ -192,6 +240,12 @@ def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Datas
     click's error window in O(log n); no global sort, no cross-user work.
 
     Output: (click_id, error_id, user_id, gap_us).
+
+    Coarse-partitioned and vectorized ACROSS users: (user, ts) is encoded as
+    one monotone int64 composite key — ``user_rank * span + (ts - ts_min)``
+    with ``span`` wide enough that windows never cross users — so a single
+    pair of searchsorted calls finds every click's error window for every
+    user in the partition at once.
     """
     from .relational import read_table
 
@@ -200,9 +254,9 @@ def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Datas
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
     ).filter(expr="event_type == 'click' or event_type == 'error'")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        e = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["event_type"] == "click"]
+        e = g[g["event_type"] == "error"]
         empty = pd.DataFrame(
             {
                 "click_id": pd.Series([], dtype="int64"),
@@ -213,30 +267,48 @@ def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Datas
         )
         if c.empty or e.empty:
             return empty
-        ets = e["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        cu = c["user_id"].to_numpy()
+        eu = e["user_id"].to_numpy()
         cts = c["ts"].astype("datetime64[us]").to_numpy().astype("int64")
-        lo = np.searchsorted(ets, cts, side="left")
-        hi = np.searchsorted(ets, cts + win_us, side="right")
+        ets = e["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        users = np.unique(np.concatenate([cu, eu]))
+        ts_min = min(cts.min(), ets.min())
+        span = np.int64(max(cts.max(), ets.max()) - ts_min) + win_us + 2
+        assert len(users) * int(span) < 2**62, "composite key would overflow"
+        comp_e = np.searchsorted(users, eu) * span + (ets - ts_min)
+        order = np.argsort(comp_e, kind="stable")
+        comp_e = comp_e[order]
+        e_ids = e["event_id"].to_numpy()[order]
+        e_ts = ets[order]
+        comp_c = np.searchsorted(users, cu) * span + (cts - ts_min)
+        lo = np.searchsorted(comp_e, comp_c, side="left")
+        hi = np.searchsorted(comp_e, comp_c + win_us, side="right")
         n_per = hi - lo
-        if n_per.sum() == 0:
+        total = int(n_per.sum())
+        if total == 0:
             return empty
-        click_rep = np.repeat(c["event_id"].to_numpy(), n_per)
-        click_ts_rep = np.repeat(cts, n_per)
-        err_idx = np.concatenate(
-            [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+        # expand [lo, hi) ranges without a Python loop
+        starts = np.repeat(lo, n_per)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(n_per) - n_per, n_per
         )
+        err_idx = starts + offs
         return pd.DataFrame(
             {
-                "click_id": click_rep.astype("int64"),
-                "error_id": e["event_id"].to_numpy()[err_idx].astype("int64"),
-                "user_id": np.repeat(
-                    c["user_id"].to_numpy(), n_per
-                ).astype("int64"),
-                "gap_us": (ets[err_idx] - click_ts_rep).astype("int64"),
+                "click_id": np.repeat(c["event_id"].to_numpy(), n_per).astype(
+                    "int64"
+                ),
+                "error_id": e_ids[err_idx].astype("int64"),
+                "user_id": np.repeat(cu, n_per).astype("int64"),
+                "gap_us": (e_ts[err_idx] - np.repeat(cts, n_per)).astype("int64"),
             }
         )
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        with_hash_part(ev, "user_id")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def distinct_users_per_type(sf_dir: str) -> rd.Dataset:

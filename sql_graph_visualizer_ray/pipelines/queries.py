@@ -846,16 +846,29 @@ def window_rank_orders(sf_dir: str) -> rd.Dataset:
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse partition: one sort + cython cumcount covers every customer
+        # in the partition — no per-key Python dispatch
         g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(2)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        g["price_cents"] = np.round(g["o_totalprice"].to_numpy() * 100).astype("int64")
-        return g[["o_custkey", "o_orderkey", "rank", "price_cents"]]
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        rank = (g.groupby("o_custkey", sort=False).cumcount() + 1).to_numpy()
+        keep = rank <= 2
+        out = g[keep].copy()
+        out["rank"] = rank[keep].astype("int64")
+        out["price_cents"] = np.round(
+            out["o_totalprice"].to_numpy() * 100
+        ).astype("int64")
+        return out[["o_custkey", "o_orderkey", "rank", "price_cents"]]
 
-    return orders.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+    return (
+        events.with_hash_part(orders, "o_custkey")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def norm_text_quirks(sf_dir: str) -> rd.Dataset:
