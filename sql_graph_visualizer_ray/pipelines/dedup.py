@@ -165,20 +165,47 @@ class MinHasher:
         self.b = rng.integers(0, int(self.P31), size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text)
-        if not sh:
-            return np.full(self.num_perm, int(self.P31), dtype=np.uint64)
-        arr = np.array(list(sh), dtype=object)
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, vectorized ACROSS documents:
+        all shingles of the batch flatten into ONE hash_array call and the
+        per-document minima come from a single segmented ``minimum.reduceat``
+        — no per-document permutation loop (min over a set is order-free, so
+        this is bit-identical to hashing each document alone)."""
+        sh_lists = [list(_shingles(t or "")) for t in texts]
+        lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        n = len(sh_lists)
+        out = np.full((n, self.num_perm), int(self.P31), dtype=np.uint64)
+        if lens.sum() == 0:
+            return out
+        flat = np.concatenate(
+            [np.array(s, dtype=object) for s in sh_lists if s]
+        )
         # hash_key must be EXACTLY 16 bytes (pandas siphash contract)
-        base = pd.util.hash_array(arr, hash_key="graft_minhash_31") & self.P31
-        perm = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.P31
-        return perm.min(axis=1)
+        base = pd.util.hash_array(flat, hash_key="graft_minhash_31") & self.P31
+        nonempty = lens > 0
+        seg = lens[nonempty]
+        starts = np.concatenate(([0], np.cumsum(seg)[:-1]))
+        # per-permutation flat pass: one (a*x+b) % p over ALL shingles plus a
+        # segmented min — O(P*S) with O(S) memory. Coefficients go through
+        # Python int deliberately: numpy's binop with an INDEXED uint64
+        # scalar takes a ~60x slower cast path than with a plain int
+        # (measured on this numpy), and the uint64 wraparound semantics are
+        # identical either way.
+        p31 = int(self.P31)
+        mins = np.empty((len(seg), self.num_perm), dtype=np.uint64)
+        for i in range(self.num_perm):
+            row = (base * int(self.a[i]) + int(self.b[i])) % p31
+            mins[:, i] = np.minimum.reduceat(row, starts)
+        out[nonempty] = mins
+        return out
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = batch["text"].fillna("").map(self.signature)
+        sigs = self.signatures(batch["text"].fillna("").tolist())
         out = pd.DataFrame({"doc_id": batch["doc_id"]})
-        out["sig"] = sigs
+        out["sig"] = list(sigs)
         return out
 
 
@@ -207,8 +234,7 @@ def minhash_lsh_pairs(
             self.mh = MinHasher(num_perm=num_perm)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            texts = batch["text"].fillna("")
-            sigs = np.stack([self.mh.signature(t) for t in texts])  # (n, P)
+            sigs = self.mh.signatures(batch["text"].fillna("").tolist())  # (n, P)
             n = len(batch)
             # per-band rolling hash over the band's signature columns,
             # vectorized across all docs at once (uint64 wraparound is the
@@ -262,41 +288,97 @@ def minhash_lsh_pairs(
         .select_columns(["doc_a", "doc_b"])
     )
 
-    # verify candidates with exact shingle Jaccard (broadcast text of the
-    # candidate docs — candidate set << corpus, so pair dedup happens
-    # driver-side in pandas instead of paying a second shuffle)
-    import ray
-
-    cand_df = candidates.to_pandas().drop_duplicates(ignore_index=True)
-    if len(cand_df) == 0:
-        return rd.from_arrow(
-            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        )
-    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-    texts = (
-        docs.map_batches(  # vectorized semi-join on the candidate id set
-            lambda b: b[b["doc_id"].isin(needed)], batch_format="pandas"
-        )
-        .to_pandas()
-        .set_index("doc_id")["text"]
+    # shuffle-native verification (no driver materialization, no whole-text
+    # broadcast — both were the scale-killers at 100 TB): each candidate pair
+    # splits into two (doc_id, doc_a, doc_b) half-rows, ONE hash join pulls
+    # the half's text in, and a coarse groupby on hash(pair) co-locates both
+    # halves, dedups the pair set (cross-band duplicates collapse there —
+    # no separate dedup shuffle needed) and verifies with exact shingle
+    # Jaccard. Document bodies move exactly once; pair keys twice.
+    halves = candidates.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        t.column("doc_a").combine_chunks().cast(pa.int64()),
+                        t.column("doc_b").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "doc_a": pa.concat_arrays(
+                    [t.column("doc_a").combine_chunks().cast(pa.int64())] * 2
+                ),
+                "doc_b": pa.concat_arrays(
+                    [t.column("doc_b").combine_chunks().cast(pa.int64())] * 2
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
-    ref = ray.put(texts)
+    texts = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = halves.join(texts, join_type="inner", num_partitions=4, on=("doc_id",))
 
-    class Verifier:
-        def __init__(self):
-            t = ray.get(ref)
-            self.sets = {i: _shingles(s or "") for i, s in t.items()}
+    def add_pair_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["doc_a"].to_numpy()) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) ^ pd.util.hash_array(b["doc_b"].to_numpy())
+        b["_ppart"] = (h % 64).astype(np.int32)
+        return b
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keep = []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                sa, sb = self.sets[a], self.sets[b]
-                u = len(sa | sb)
-                keep.append(u > 0 and len(sa & sb) / u >= jaccard_threshold)
-            return batch[np.array(keep, dtype=bool)]
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+        )
+        # side 0 = the a-half, side 1 = the b-half; after dedup every pair
+        # has exactly two rows, so sorting by (pair, side) interleaves them
+        g = g.assign(side=(g["doc_id"] == g["doc_b"]).astype("int8"))
+        g = g.drop_duplicates(["doc_a", "doc_b", "side"]).sort_values(
+            ["doc_a", "doc_b", "side"], kind="mergesort", ignore_index=True
+        )
+        if len(g) == 0:
+            return empty
+        assert len(g) % 2 == 0
+        txts = g["text"].tolist()
+        # shingle each distinct doc once; sets as sorted uint64 hash arrays
+        # so the per-pair set ops are numpy intersects
+        hashes: dict[int, np.ndarray] = {}
+        for i, t in zip(g["doc_id"], txts):
+            if i not in hashes:
+                sh = list(_shingles(t or ""))
+                hashes[i] = (
+                    np.sort(pd.util.hash_array(np.array(sh, dtype=object)))
+                    if sh
+                    else np.array([], dtype=np.uint64)
+                )
+        a_ids = g["doc_a"].to_numpy()[0::2]
+        b_ids = g["doc_b"].to_numpy()[0::2]
+        keep = np.empty(len(a_ids), dtype=bool)
+        for k, (a, d) in enumerate(zip(a_ids, b_ids)):
+            sa, sb = hashes[a], hashes[d]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            keep[k] = union > 0 and inter / union >= jaccard_threshold
+        return pd.DataFrame(
+            {
+                "doc_a": a_ids[keep].astype("int64"),
+                "doc_b": b_ids[keep].astype("int64"),
+            }
+        )
 
-    return rd.from_pandas(cand_df).map_batches(
-        Verifier, batch_format="pandas", concurrency=2
+    return (
+        joined.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("_ppart")
+        .map_groups(verify, batch_format="pandas")
     )
 
 
