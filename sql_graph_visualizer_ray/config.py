@@ -12,6 +12,7 @@ semantics as declarative specs compiled to vectorized Arrow kernels inside
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 
@@ -82,3 +83,204 @@ class RelationshipRule:
     target_match: str = "id"
     properties: dict[str, str] = field(default_factory=dict)
     priority: int = 2
+
+
+# ---------------------------------------------------------------------------
+# YAML rule repository (S8 + rule CRUD)
+#
+# Mirrors the reference's `transform_rules:` YAML section
+# (``/root/reference/config/config.yml:156-511``) and its rule repository
+# (``config_rule_repository.go:73-141`` parse, ``:48-71`` SaveRule /
+# DeleteRule / UpdateRulePriority). Rules execute in ascending ``priority``
+# (ties broken by name), node rules always before relationship rules —
+# the reference's two-pass transform loop (``transform_service.go:87-186``).
+# ---------------------------------------------------------------------------
+
+
+def _predicate_from_dict(d: dict) -> Predicate:
+    return Predicate(column=d["column"], op=d["op"], value=d.get("value"))
+
+
+def _computed_from_dict(d: dict) -> Computed:
+    return Computed(
+        name=d["name"],
+        kind=d["kind"],
+        parts=tuple(d.get("parts", ())),
+        op=d.get("op", ""),
+    )
+
+
+def rule_from_dict(d: dict) -> "NodeRule | RelationshipRule":
+    """One YAML mapping -> a typed rule (``rule_type: node | relationship``)."""
+    kind = d.get("rule_type", "node")
+    if kind == "node":
+        return NodeRule(
+            name=d["name"],
+            source_table=d["source_table"],
+            target_type=d["target_type"],
+            field_mappings=dict(d.get("field_mappings", {})),
+            key_property=d.get("key_property", "id"),
+            filters=tuple(_predicate_from_dict(p) for p in d.get("filters", ())),
+            computed=tuple(_computed_from_dict(c) for c in d.get("computed", ())),
+            limit=d.get("limit"),
+            priority=int(d.get("priority", 1)),
+        )
+    if kind == "relationship":
+        return RelationshipRule(
+            name=d["name"],
+            relation_type=d["relation_type"],
+            direction=d.get("direction", "outgoing"),
+            source_type=d.get("source_type", ""),
+            target_type=d.get("target_type", ""),
+            source_id=d.get("source_id", "id"),
+            target_id=d.get("target_id", "id"),
+            source_match=d.get("source_match", "id"),
+            target_match=d.get("target_match", "id"),
+            properties=dict(d.get("properties", {})),
+            priority=int(d.get("priority", 2)),
+        )
+    raise ValueError(f"unknown rule_type {kind!r} in rule {d.get('name')!r}")
+
+
+def rule_to_dict(r: "NodeRule | RelationshipRule") -> dict:
+    if isinstance(r, NodeRule):
+        d = {
+            "name": r.name,
+            "rule_type": "node",
+            "source_table": r.source_table,
+            "target_type": r.target_type,
+            "field_mappings": dict(r.field_mappings),
+            "priority": r.priority,
+        }
+        if r.key_property != "id":
+            d["key_property"] = r.key_property
+        if r.filters:
+            d["filters"] = [
+                {"column": p.column, "op": p.op, "value": p.value} for p in r.filters
+            ]
+        if r.computed:
+            d["computed"] = [
+                {"name": c.name, "kind": c.kind, "parts": list(c.parts), "op": c.op}
+                for c in r.computed
+            ]
+        if r.limit is not None:
+            d["limit"] = r.limit
+        return d
+    return {
+        "name": r.name,
+        "rule_type": "relationship",
+        "relation_type": r.relation_type,
+        "direction": r.direction,
+        "source_type": r.source_type,
+        "target_type": r.target_type,
+        "source_id": r.source_id,
+        "target_id": r.target_id,
+        "source_match": r.source_match,
+        "target_match": r.target_match,
+        "properties": dict(r.properties),
+        "priority": r.priority,
+    }
+
+
+_PRED_OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "not_null", "is_null"}
+
+
+class RuleSet:
+    """Ordered, persistable collection of transform rules.
+
+    CRUD surface mirrors the reference's ConfigRuleRepository
+    (``config_rule_repository.go:48-71``): save (add-or-replace by name),
+    delete, update priority — all persisted by ``save_yaml``.
+    """
+
+    def __init__(self, rules: "list[NodeRule | RelationshipRule] | None" = None):
+        self.rules: list[NodeRule | RelationshipRule] = list(rules or [])
+
+    # -- persistence ------------------------------------------------------
+    @classmethod
+    def load_yaml(cls, path: str) -> "RuleSet":
+        import yaml
+
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        entries = doc.get("transform_rules", doc if isinstance(doc, list) else [])
+        return cls([rule_from_dict(d) for d in entries])
+
+    def save_yaml(self, path: str) -> None:
+        import yaml
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            yaml.safe_dump(
+                {"transform_rules": [rule_to_dict(r) for r in self.rules]},
+                f,
+                sort_keys=False,
+            )
+        os.replace(tmp, path)
+
+    # -- CRUD -------------------------------------------------------------
+    def get(self, name: str) -> "NodeRule | RelationshipRule | None":
+        return next((r for r in self.rules if r.name == name), None)
+
+    def save_rule(self, rule: "NodeRule | RelationshipRule") -> None:
+        self.rules = [r for r in self.rules if r.name != rule.name] + [rule]
+
+    def delete_rule(self, name: str) -> bool:
+        before = len(self.rules)
+        self.rules = [r for r in self.rules if r.name != name]
+        return len(self.rules) != before
+
+    def update_rule_priority(self, name: str, priority: int) -> None:
+        import dataclasses
+
+        r = self.get(name)
+        if r is None:
+            raise KeyError(name)
+        self.save_rule(dataclasses.replace(r, priority=priority))
+
+    # -- execution order / validation ------------------------------------
+    def ordered(self) -> "list[NodeRule | RelationshipRule]":
+        """Execution order: node rules (ascending priority, then name), then
+        relationship rules likewise — relationship rules join the node sets
+        the node pass produced, so the two-pass split is load-bearing."""
+        nodes = sorted(
+            (r for r in self.rules if isinstance(r, NodeRule)),
+            key=lambda r: (r.priority, r.name),
+        )
+        rels = sorted(
+            (r for r in self.rules if isinstance(r, RelationshipRule)),
+            key=lambda r: (r.priority, r.name),
+        )
+        return nodes + rels
+
+    def validate(self, known_tables: "set[str] | None" = None) -> list[str]:
+        """Returns a list of problems (empty = valid) — the CLI's
+        ``config validate`` (``/root/reference/cmd/sql-graph-cli/commands``)."""
+        problems: list[str] = []
+        seen: set[str] = set()
+        node_types = {r.target_type for r in self.rules if isinstance(r, NodeRule)}
+        for r in self.rules:
+            if r.name in seen:
+                problems.append(f"duplicate rule name {r.name!r}")
+            seen.add(r.name)
+            if isinstance(r, NodeRule):
+                if not r.field_mappings:
+                    problems.append(f"node rule {r.name!r} has no field_mappings")
+                if known_tables is not None and r.source_table not in known_tables:
+                    problems.append(
+                        f"node rule {r.name!r} references unknown table "
+                        f"{r.source_table!r}"
+                    )
+                for p in r.filters:
+                    if p.op not in _PRED_OPS:
+                        problems.append(
+                            f"rule {r.name!r} filter op {p.op!r} not in {_PRED_OPS}"
+                        )
+            else:
+                for side, t in (("source", r.source_type), ("target", r.target_type)):
+                    if t and t not in node_types:
+                        problems.append(
+                            f"relationship rule {r.name!r} {side}_type {t!r} "
+                            "matches no node rule"
+                        )
+        return problems

@@ -465,6 +465,8 @@ def build_queries() -> dict:
         "auto_rules_from_schema": auto_rules_from_schema,
         "estimate_table_sizes": estimate_table_sizes,
         "schema_patterns": schema_patterns,
+        # YAML rule surface
+        "rules_from_yaml": rules_from_yaml,
     }
 
 
@@ -522,6 +524,11 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "'Supplier' AS node_type FROM supplier WHERE s_acctbal > 0"
         ),
         "rel_customer_nation": (
+            "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
+            "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "rules_from_yaml": (
             "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
             "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
@@ -1086,6 +1093,31 @@ def schema_patterns(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def rules_from_yaml(sf_dir: str) -> rd.Dataset:
+    """S8/M8 + rule CRUD: the packaged example YAML (mirroring the
+    reference's ``config.yml`` transform_rules) round-trips through the
+    RuleSet loader and priority-ordered runner; output = the relationship
+    rule's edges (same semantics as ``rel_customer_nation``)."""
+    from ..config import RuleSet
+    from .rules import run_rules
+
+    yml = os.path.join(os.path.dirname(os.path.dirname(__file__)), "rules_example.yml")
+    rs = RuleSet.load_yaml(yml)
+    out = run_rules(sf_dir, rs)["belongs_to"]
+
+    def cast_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_id": t.column("source_id").cast(pa.int64()),
+                "target_id": t.column("target_id").cast(pa.int64()),
+                "relation_type": t.column("relation_type"),
+                "direction": t.column("direction"),
+            }
+        )
+
+    return out.map_batches(cast_ids, batch_format="pyarrow")
 
 
 def docs_partitioned_by_lang(sf_dir: str) -> rd.Dataset:

@@ -1,0 +1,116 @@
+"""YAML rule repository: round-trip, CRUD, priority order, validation, and
+end-to-end execution equality with the hand-built rule pipeline."""
+
+import dataclasses
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from sql_graph_visualizer_ray.config import (
+    Computed,
+    NodeRule,
+    Predicate,
+    RelationshipRule,
+    RuleSet,
+    rule_from_dict,
+    rule_to_dict,
+)
+
+RULES = [
+    NodeRule(
+        name="suppliers",
+        source_table="supplier",
+        target_type="Supplier",
+        field_mappings={"s_suppkey": "id", "s_name": "name"},
+        filters=(Predicate("s_acctbal", ">", 0.0),),
+        computed=(Computed(name="label", kind="concat", parts=("S-", "col:s_name")),),
+        priority=5,
+    ),
+    NodeRule(
+        name="customers",
+        source_table="customer",
+        target_type="Customer",
+        field_mappings={"c_custkey": "id"},
+        priority=1,
+    ),
+    RelationshipRule(
+        name="supplies",
+        relation_type="SUPPLIES",
+        source_type="Supplier",
+        target_type="Customer",
+        priority=9,
+    ),
+]
+
+
+def test_yaml_round_trip(tmp_path):
+    rs = RuleSet(RULES)
+    p = str(tmp_path / "rules.yml")
+    rs.save_yaml(p)
+    back = RuleSet.load_yaml(p)
+    assert back.rules == RULES  # frozen dataclasses compare by value
+
+
+def test_dict_round_trip_preserves_everything():
+    for r in RULES:
+        assert rule_from_dict(rule_to_dict(r)) == r
+
+
+def test_crud_and_priority():
+    rs = RuleSet(RULES)
+    assert rs.get("customers").priority == 1
+    rs.update_rule_priority("customers", 7)
+    assert rs.get("customers").priority == 7
+    # execution order follows priority within the node pass
+    order = [r.name for r in rs.ordered()]
+    assert order == ["suppliers", "customers", "supplies"]
+    rs.update_rule_priority("customers", 1)
+    assert [r.name for r in rs.ordered()] == ["customers", "suppliers", "supplies"]
+    # relationship rules always run after node rules regardless of priority
+    rs.update_rule_priority("supplies", 0)
+    assert [r.name for r in rs.ordered()][-1] == "supplies"
+    assert rs.delete_rule("suppliers")
+    assert not rs.delete_rule("suppliers")
+    assert rs.get("suppliers") is None
+    with pytest.raises(KeyError):
+        rs.update_rule_priority("nope", 3)
+
+
+def test_validate_catches_problems():
+    rs = RuleSet(RULES)
+    assert rs.validate(known_tables={"supplier", "customer"}) == []
+    rs.save_rule(
+        RelationshipRule(name="dangling", relation_type="X", source_type="Ghost")
+    )
+    problems = rs.validate()
+    assert any("Ghost" in p for p in problems)
+    rs2 = RuleSet([dataclasses.replace(RULES[0], field_mappings={})])
+    assert any("field_mappings" in p for p in rs2.validate())
+    rs3 = RuleSet([RULES[1], RULES[1]])
+    assert any("duplicate" in p for p in rs3.validate())
+
+
+def test_run_rules_from_yaml_matches_handbuilt(ray_session, tmp_path):
+    """The YAML-loaded customer/nation rules must produce the exact edges of
+    the hand-built rel_customer_nation pipeline."""
+    from sql_graph_visualizer_ray.pipelines.queries import (
+        rel_customer_nation,
+        rules_from_yaml,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = rules_from_yaml(sf).to_pandas()
+    want = rel_customer_nation(sf).to_pandas()
+    key = ["source_id", "target_id"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    assert got.equals(want)
+
+
+def test_run_rules_rejects_invalid(ray_session):
+    from sql_graph_visualizer_ray.pipelines.rules import run_rules
+
+    rs = RuleSet([RelationshipRule(name="r", relation_type="X", source_type="Nope")])
+    with pytest.raises(ValueError, match="invalid rule set"):
+        run_rules("/root/testdata/sf0.001", rs)
