@@ -223,8 +223,6 @@ class LakeTable:
         ]
         payload = unify([m.payload_schema] + incoming_payload)
         event_schema = _event_schema_for(payload)
-        num_buckets = m.num_buckets
-        shard = m.turn_shard_size
 
         # --- read: group files by physical schema so each read is uniform,
         # normalize to the unified schema per batch, then union
@@ -252,6 +250,104 @@ class LakeTable:
         events = parts[0]
         for extra in parts[1:]:
             events = events.union(extra)
+
+        return self._commit_events(
+            events,
+            payload=payload,
+            raw_events=raw_events,
+            applied_epoch=max(e for e, _ in files),
+            n_epochs=len(files),
+            salt_groups=salt_groups,
+            batch_size=batch_size,
+            shuffle=shuffle,
+            merge_actors=merge_actors,
+            commit_mode=commit_mode,
+        )
+
+    # ------------------------------------------------------------------
+    # Dataset ingest (sinks / source adapters feed events directly)
+    # ------------------------------------------------------------------
+    def apply_dataset(
+        self,
+        events: rd.Dataset,
+        *,
+        epoch: int,
+        batch_size: int = 131_072,
+        shuffle: str = "sort",
+        salt_groups: int | None = None,
+        commit_mode: str = "delta",
+    ) -> dict:
+        """Commit an already-built change-event Dataset as epoch ``epoch``
+        under the same epoch-fenced manifest protocol as ``apply``.
+
+        The Dataset must carry the meta columns (lsn int64, op string; an
+        ``epoch`` column is overwritten) plus payload columns. Idempotent:
+        a commit at or below the applied watermark is a no-op — re-running a
+        failed sink pipeline cannot double-apply.
+        """
+        m = self.manifest
+        if epoch <= m.applied_epoch:
+            return {"epochs": 0}
+        if shuffle == "hash":
+            raise ValueError(
+                "apply_dataset: the hash shuffle strategy must be set before "
+                "the input Dataset is created — use apply() or shuffle="
+                "'sort'/'spill'"
+            )
+        incoming = pa.schema(
+            [
+                pa.field(n, t)
+                for n, t in zip(events.schema().names, events.schema().types)
+                if n not in _META_COLS
+            ]
+        )
+        payload = unify([m.payload_schema, incoming])
+        event_schema = _event_schema_for(payload)
+        ep = epoch
+
+        def _norm(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            if "epoch" in t.column_names:
+                t = t.drop_columns(["epoch"])
+            t = t.append_column(
+                "epoch", pa.array(np.full(t.num_rows, ep, dtype=np.int32))
+            )
+            return normalize_table(t, event_schema)
+
+        events = events.map_batches(
+            _norm, batch_format="pyarrow", batch_size=batch_size
+        )
+        return self._commit_events(
+            events,
+            payload=payload,
+            raw_events=None,  # filled from the merge counters (no precompact)
+            applied_epoch=epoch,
+            n_epochs=1,
+            salt_groups=salt_groups,
+            batch_size=batch_size,
+            shuffle=shuffle,
+            merge_actors=False,
+            commit_mode=commit_mode,
+        )
+
+    def _commit_events(
+        self,
+        events: rd.Dataset,
+        *,
+        payload: pa.Schema,
+        raw_events: int | None,
+        applied_epoch: int,
+        n_epochs: int,
+        salt_groups: int | None,
+        batch_size: int,
+        shuffle: str,
+        merge_actors: bool,
+        commit_mode: str,
+    ) -> dict:
+        m = self.manifest
+        num_buckets = m.num_buckets
+        shard = m.turn_shard_size
 
         # --- optional skew pre-pass: compact per fine-grained (conv,turn) salt
         # group before the home-bucket shuffle; output <=1 row per live key
@@ -523,20 +619,21 @@ class LakeTable:
             shutil.rmtree(final_dir)
         os.replace(staging, final_dir)
 
-        applied_epoch = max(e for e, _ in files)
         applied_lsn = max(
             [int(r["max_lsn"]) for r in counters] + [m.data["applied_lsn"]]
         )
+        events_in = sum(int(r["events_in"]) for r in counters)
+        if raw_events is None:  # Dataset ingest: no pre-read row count
+            raw_events = events_in
         commit_counters = {
             "raw_events": raw_events,
-            "events_in": sum(int(r["events_in"]) for r in counters),
+            "events_in": events_in,
             "upserts": sum(int(r["upserts"]) for r in counters),
             "deletes": sum(int(r["deletes"]) for r in counters),
             "superseded": sum(int(r["superseded"]) for r in counters),
             "late": sum(int(r["late"]) for r in counters),
-            "precompact_dropped": raw_events
-            - sum(int(r["events_in"]) for r in counters),
-            "epochs": len(files),
+            "precompact_dropped": raw_events - events_in,
+            "epochs": n_epochs,
         }
         for r in counters:
             if r["wrote"]:

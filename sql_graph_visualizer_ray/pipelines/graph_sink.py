@@ -1,0 +1,142 @@
+"""Persisted relationship lake (K2): edges as a first-class lake table.
+
+The reference stores relationships through its Neo4j repository
+(``/root/reference/internal/infrastructure/persistence/neo4j/repository.go:57-95``
+— MERGE by (source, target, type), i.e. keyed upsert). Here the edge store is
+a second ``LakeTable`` under the same manifest/commit protocol as the
+transcripts lake: the merge key is ``(source_id, target_id)`` (mapped onto
+the lake's ``(conv_id, turn_idx)`` key columns — the LWW kernels are
+key-type-agnostic, so the source key stays int64), re-ingesting the same
+edge set is a LWW no-op, newer epochs overwrite edge properties, and
+``op="D"`` rows tombstone-delete edges with the same late-data protection
+the transcripts lake has.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .cdc import LakeTable
+
+#: lake payload for edges; conv_id/turn_idx are the engine's generic
+#: (string-or-int, int) merge key columns — here source/target node ids
+EDGE_PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.int64()),  # source_id
+        ("turn_idx", pa.int64()),  # target_id
+        ("relation_type", pa.string()),
+        ("direction", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+EDGE_COLUMNS = ["source_id", "target_id", "relation_type", "direction"]
+
+
+class EdgeLake:
+    """Edge lake table: ``ingest`` relationship-rule outputs per epoch,
+    ``read_edges`` streams the merged live edge set."""
+
+    def __init__(self, path: str, *, num_buckets: int = 16):
+        self.lake = LakeTable.open(
+            path, num_buckets=num_buckets, payload_schema=EDGE_PAYLOAD_SCHEMA
+        )
+
+    @property
+    def manifest(self):
+        return self.lake.manifest
+
+    def ingest(
+        self,
+        edges: rd.Dataset,
+        *,
+        epoch: int,
+        shuffle: str = "sort",
+        commit_mode: str = "delta",
+    ) -> dict:
+        """Commit one epoch of edges: columns (source_id, target_id,
+        relation_type, direction[, op]). ``op`` defaults to "I"; "D" rows
+        tombstone the edge. Epoch-fenced and idempotent like ``apply``."""
+        ep = int(epoch)
+
+        def to_events(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            src = pc.cast(t.column("source_id"), pa.int64())
+            tgt = pc.cast(t.column("target_id"), pa.int64())
+            # deterministic lsn: stable hash of the edge key — replaying a
+            # retried/duplicated ingest collapses in the LWW merge
+            h = (
+                pd.util.hash_array(src.to_numpy(zero_copy_only=False))
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ pd.util.hash_array(tgt.to_numpy(zero_copy_only=False))
+            ).view(np.int64) & 0x7FFFFFFFFFFFFFFF  # non-negative int64 lsn
+            op = (
+                t.column("op")
+                if "op" in t.column_names
+                else pa.array(["I"] * n, pa.string())
+            )
+            return pa.table(
+                {
+                    "lsn": pa.array(h, pa.int64()),
+                    "op": op,
+                    "conv_id": src,
+                    "turn_idx": tgt,
+                    "relation_type": t.column("relation_type"),
+                    "direction": t.column("direction"),
+                    # edge version time = the ingest epoch: a later epoch's
+                    # version of the same edge wins the merge
+                    "ts": pa.array(
+                        np.full(n, ep, dtype=np.int64), pa.timestamp("us")
+                    ),
+                }
+            )
+
+        events = edges.map_batches(to_events, batch_format="pyarrow")
+        return self.lake.apply_dataset(
+            events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
+        )
+
+    def read_edges(self) -> rd.Dataset:
+        """Streaming live-edge view: (source_id, target_id, relation_type,
+        direction)."""
+
+        def shape(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "source_id": t.column("conv_id"),
+                    "target_id": t.column("turn_idx"),
+                    "relation_type": t.column("relation_type"),
+                    "direction": t.column("direction"),
+                }
+            )
+
+        return self.lake.read_final().map_batches(shape, batch_format="pyarrow")
+
+    def edges_table(self) -> pa.Table:
+        """Materialized, canonically sorted edge set (tests / small results)."""
+        import ray
+
+        tables = [
+            t for t in ray.get(self.read_edges().to_arrow_refs()) if t.num_rows
+        ]
+        if not tables:
+            return pa.schema(
+                [
+                    ("source_id", pa.int64()),
+                    ("target_id", pa.int64()),
+                    ("relation_type", pa.string()),
+                    ("direction", pa.string()),
+                ]
+            ).empty_table()
+        t = pa.concat_tables(tables, promote_options="permissive")
+        return t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("source_id", "ascending"), ("target_id", "ascending")],
+            )
+        )

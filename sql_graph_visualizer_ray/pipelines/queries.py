@@ -465,8 +465,9 @@ def build_queries() -> dict:
         "auto_rules_from_schema": auto_rules_from_schema,
         "estimate_table_sizes": estimate_table_sizes,
         "schema_patterns": schema_patterns,
-        # YAML rule surface
+        # YAML rule surface / persisted edge lake
         "rules_from_yaml": rules_from_yaml,
+        "rel_lake_roundtrip": rel_lake_roundtrip,
     }
 
 
@@ -529,6 +530,11 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
         ),
         "rules_from_yaml": (
+            "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
+            "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "rel_lake_roundtrip": (
             "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
             "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
@@ -1118,6 +1124,20 @@ def rules_from_yaml(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(cast_ids, batch_format="pyarrow")
+
+
+def rel_lake_roundtrip(sf_dir: str) -> rd.Dataset:
+    """K2: relationship rule output persisted through the edge lake (same
+    manifest/commit protocol as the transcripts lake) and read back —
+    write edges, read edges, oracle = the underlying join SQL."""
+    from .graph_sink import EdgeLake
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    lake_dir = os.path.join(LAKE_ROOT, label, "rel_lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    elake = EdgeLake(lake_dir, num_buckets=8)
+    elake.ingest(rel_customer_nation(sf_dir), epoch=0)
+    return elake.read_edges()
 
 
 def docs_partitioned_by_lang(sf_dir: str) -> rd.Dataset:
