@@ -1,0 +1,316 @@
+"""Command-line entry points — the engine's counterpart of the reference CLI
+(``/root/reference/cmd/sql-graph-cli/commands/*.go``: analyze / generate /
+config validate) plus the lake lifecycle verbs the reference's wipe-and-reload
+design never needed (resume-safe run, tail, compact, split, vacuum, verify).
+
+Usage: ``python -m sql_graph_visualizer_ray.cli <verb> ...``. The CLI owns a
+Ray session only when none exists (so tests can drive ``main()`` in-process
+under the shared session fixture).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(a) -> int:
+    from .pipelines.cdc import replay
+
+    _ensure_ray(a.num_cpus)
+    lake = replay(
+        a.changelog_dir,
+        a.lake_dir,
+        num_buckets=a.num_buckets,
+        epochs_per_commit=a.epochs_per_commit,
+        shuffle=a.shuffle,
+        commit_mode=a.commit_mode,
+        auto_compact_files=a.auto_compact_files,
+    )
+    m = lake.manifest
+    print(
+        json.dumps(
+            {
+                "applied_epoch": m.applied_epoch,
+                "version": m.version,
+                "counters": m.data["counters"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_tail(a) -> int:
+    from .pipelines.streaming import tail
+
+    _ensure_ray(a.num_cpus)
+    lake = tail(
+        a.changelog_dir,
+        a.lake_dir,
+        num_buckets=a.num_buckets,
+        idle_timeout=a.idle_timeout,
+        stop_after_epoch=a.stop_after_epoch,
+        shuffle=a.shuffle,
+    )
+    print(json.dumps({"applied_epoch": lake.manifest.applied_epoch}))
+    return 0
+
+
+def cmd_compact(a) -> int:
+    from .pipelines.cdc import LakeTable
+
+    _ensure_ray(a.num_cpus)
+    lake = LakeTable.open(a.lake_dir)
+    if a.tombstone_lateness_us is not None:
+        res = lake.compact_tombstones(allowed_lateness_us=a.tombstone_lateness_us)
+    else:
+        res = lake.compact(min_files=a.min_files)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_split(a) -> int:
+    from .pipelines.cdc import LakeTable
+
+    _ensure_ray(a.num_cpus)
+    print(json.dumps(LakeTable.open(a.lake_dir).split_buckets(a.new_buckets)))
+    return 0
+
+
+def cmd_vacuum(a) -> int:
+    from .pipelines.cdc import LakeTable
+    from .state.manifest import vacuum
+
+    lake = LakeTable.open(a.lake_dir)
+    print(json.dumps({"removed_versions": vacuum(a.lake_dir, lake.manifest)}))
+    return 0
+
+
+def cmd_verify(a) -> int:
+    """Replay-equivalence gate: the lake's merged state must equal the
+    single-process oracle over the same changelog."""
+    import pyarrow.compute as pc
+
+    from .pipelines.cdc import LakeTable
+    from .pipelines.oracle import replay_oracle
+
+    _ensure_ray(a.num_cpus)
+    lake = LakeTable.open(a.lake_dir)
+
+    def canonical(t):
+        t = t.select(sorted(t.column_names))
+        return t.take(
+            pc.sort_indices(
+                t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+        )
+
+    got = canonical(lake.final_table())
+    want = canonical(replay_oracle(a.changelog_dir, max_epoch=lake.manifest.applied_epoch))
+    ok = got.equals(want)
+    print(
+        json.dumps(
+            {"ok": ok, "lake_rows": got.num_rows, "oracle_rows": want.num_rows}
+        )
+    )
+    return 0 if ok else 1
+
+
+def cmd_analyze(a) -> int:
+    """K5 analysis/report output (reference: ``analyze.go:347-460`` emits
+    json/yaml/summary): manifest watermarks, cumulative lineage counters,
+    per-bucket layout, commit history."""
+    from .state.manifest import Manifest
+
+    m = Manifest.load(a.lake_dir)
+    if m is None:
+        print(f"no lake at {a.lake_dir}", file=sys.stderr)
+        return 1
+    buckets = {
+        k: {
+            "files": len(v["files"]),
+            "rows": v["rows"],
+            "tombstones": v["tombstones"],
+        }
+        for k, v in sorted(m.data["buckets"].items(), key=lambda kv: int(kv[0]))
+    }
+    report = {
+        "lake": a.lake_dir,
+        "format": m.data["format"],
+        "version": m.version,
+        "applied_epoch": m.applied_epoch,
+        "applied_lsn": m.data["applied_lsn"],
+        "num_buckets": m.num_buckets,
+        "payload_columns": [f.name for f in m.payload_schema],
+        "counters": m.data["counters"],
+        "buckets": buckets,
+        "commits": len(m.data["history"]),
+    }
+    if a.format == "json":
+        print(json.dumps(report, indent=2))
+    elif a.format == "yaml":
+        import yaml
+
+        print(yaml.safe_dump(report, sort_keys=False), end="")
+    else:  # summary
+        c = m.data["counters"]
+        rows = sum(b["rows"] for b in m.data["buckets"].values())
+        files = sum(len(b["files"]) for b in m.data["buckets"].values())
+        print(f"lake            {a.lake_dir}")
+        print(f"version         v{m.version} ({len(m.data['history'])} commits)")
+        print(f"applied epoch   {m.applied_epoch} (lsn {m.data['applied_lsn']})")
+        print(f"buckets         {m.num_buckets} ({files} data files, ~{rows} rows)")
+        print(f"events applied  {c.get('raw_events', 0)}")
+        for k in ("upserts", "deletes", "superseded", "late", "precompact_dropped"):
+            print(f"  {k:<14}{c.get(k, 0)}")
+    return 0
+
+
+def cmd_rules(a) -> int:
+    """Rule repository verbs: validate / list / save-priority / delete —
+    the reference's config-rule CRUD (``config_rule_repository.go:48-71``)
+    over the YAML file."""
+    from .config import RuleSet
+
+    rs = RuleSet.load_yaml(a.rules_yml)
+    if a.rules_cmd == "validate":
+        known = None
+        if a.sf_dir:
+            import os
+
+            known = {
+                f[: -len(".parquet")]
+                for f in os.listdir(a.sf_dir)
+                if f.endswith(".parquet")
+            }
+        problems = rs.validate(known_tables=known)
+        print(json.dumps({"ok": not problems, "problems": problems}))
+        return 0 if not problems else 1
+    if a.rules_cmd == "list":
+        for r in rs.ordered():
+            kind = "node" if hasattr(r, "source_table") else "rel "
+            print(f"{r.priority:>4}  {kind}  {r.name}")
+        return 0
+    if a.rules_cmd == "set-priority":
+        rs.update_rule_priority(a.name, a.priority)
+        rs.save_yaml(a.rules_yml)
+        return 0
+    if a.rules_cmd == "delete":
+        if not rs.delete_rule(a.name):
+            print(f"no rule named {a.name!r}", file=sys.stderr)
+            return 1
+        rs.save_yaml(a.rules_yml)
+        return 0
+    if a.rules_cmd == "run":
+        from .pipelines.rules import run_rules
+
+        _ensure_ray(a.num_cpus)
+        outputs = run_rules(a.sf_dir, rs)
+        import os
+
+        os.makedirs(a.out_dir, exist_ok=True)
+        counts = {}
+        for name, ds in outputs.items():
+            dest = os.path.join(a.out_dir, name)
+            ds.write_parquet(dest)
+            counts[name] = "written"
+        print(json.dumps({"outputs": counts, "out_dir": a.out_dir}))
+        return 0
+    raise AssertionError(a.rules_cmd)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sql_graph_visualizer_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="replay a changelog into a lake (resumes)")
+    r.add_argument("changelog_dir")
+    r.add_argument("lake_dir")
+    r.add_argument("--num-buckets", type=int, default=16)
+    r.add_argument("--epochs-per-commit", type=int, default=None)
+    r.add_argument("--shuffle", default="sort", choices=["sort", "hash", "spill"])
+    r.add_argument("--commit-mode", default="delta", choices=["delta", "rewrite"])
+    r.add_argument("--auto-compact-files", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    t = sub.add_parser("tail", help="follow a growing changelog")
+    t.add_argument("changelog_dir")
+    t.add_argument("lake_dir")
+    t.add_argument("--num-buckets", type=int, default=16)
+    t.add_argument("--idle-timeout", type=float, default=10.0)
+    t.add_argument("--stop-after-epoch", type=int, default=None)
+    t.add_argument("--shuffle", default="sort", choices=["sort", "hash", "spill"])
+    t.set_defaults(fn=cmd_tail)
+
+    c = sub.add_parser("compact", help="fold delta files / expire tombstones")
+    c.add_argument("lake_dir")
+    c.add_argument("--min-files", type=int, default=2)
+    c.add_argument("--tombstone-lateness-us", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser("split", help="rewrite the lake at k*n buckets")
+    s.add_argument("lake_dir")
+    s.add_argument("new_buckets", type=int)
+    s.set_defaults(fn=cmd_split)
+
+    v = sub.add_parser("vacuum", help="delete unreferenced version dirs")
+    v.add_argument("lake_dir")
+    v.set_defaults(fn=cmd_vacuum)
+
+    ve = sub.add_parser("verify", help="compare lake state against the oracle")
+    ve.add_argument("changelog_dir")
+    ve.add_argument("lake_dir")
+    ve.set_defaults(fn=cmd_verify)
+
+    an = sub.add_parser("analyze", help="lake report (json|yaml|summary)")
+    an.add_argument("lake_dir")
+    an.add_argument("--format", default="summary", choices=["json", "yaml", "summary"])
+    an.set_defaults(fn=cmd_analyze)
+
+    ru = sub.add_parser("rules", help="rule repository verbs")
+    rsub = ru.add_subparsers(dest="rules_cmd", required=True)
+    for name in ("validate", "list", "set-priority", "delete", "run"):
+        rp = rsub.add_parser(name)
+        rp.add_argument("rules_yml")
+        if name == "validate":
+            rp.add_argument("--sf-dir", default=None)
+        if name in ("set-priority", "delete"):
+            rp.add_argument("name")
+        if name == "set-priority":
+            rp.add_argument("priority", type=int)
+        if name == "run":
+            rp.add_argument("sf_dir")
+            rp.add_argument("out_dir")
+        rp.set_defaults(fn=cmd_rules)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    rc = main()
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    sys.exit(rc)

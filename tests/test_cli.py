@@ -1,0 +1,89 @@
+"""CLI verbs drive the same machinery as the library; killed runs resume
+through `run`, analyze emits the K5 report, rules CRUD persists to YAML."""
+
+import json
+
+import pytest
+
+from sql_graph_visualizer_ray.cli import main
+from sql_graph_visualizer_ray.sources.changelog import ChangelogSpec, materialize
+
+SPEC = ChangelogSpec(n_events=6_000, n_convs=150, n_epochs=4, seed=33)
+
+
+@pytest.fixture(scope="module")
+def clog():
+    return materialize("unit-cli", SPEC)
+
+
+def test_cli_run_resume_verify_analyze(ray_session, clog, tmp_path, capsys):
+    lake = str(tmp_path / "lake")
+    # partial run (2 epochs), as if the process died mid-replay
+    from sql_graph_visualizer_ray.pipelines.cdc import LakeTable
+
+    LakeTable.open(lake, num_buckets=4).apply(clog, max_epochs=2)
+
+    assert main(["run", clog, lake]) == 0  # resumes the remaining epochs
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied_epoch"] == SPEC.n_epochs - 1
+
+    assert main(["verify", clog, lake]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["ok"]
+
+    assert main(["compact", lake]) == 0
+    capsys.readouterr()
+    assert main(["vacuum", lake]) == 0
+    capsys.readouterr()
+    assert main(["verify", clog, lake]) == 0
+    capsys.readouterr()
+
+    assert main(["analyze", lake, "--format", "json"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["applied_epoch"] == SPEC.n_epochs - 1
+    assert rep["counters"]["raw_events"] == SPEC.n_events
+    assert main(["analyze", lake]) == 0  # summary form prints
+    assert "events applied" in capsys.readouterr().out
+
+    assert main(["split", lake, "8"]) == 0
+    capsys.readouterr()
+    assert main(["verify", clog, lake]) == 0
+    capsys.readouterr()
+
+
+def test_cli_rules_crud_and_validate(tmp_path, capsys):
+    import shutil
+
+    import sql_graph_visualizer_ray as pkg
+
+    yml = str(tmp_path / "rules.yml")
+    shutil.copy(f"{pkg.__path__[0]}/rules_example.yml", yml)
+
+    assert main(["rules", "validate", yml]) == 0
+    capsys.readouterr()
+    assert main(["rules", "list", yml]) == 0
+    listing = capsys.readouterr().out
+    assert "customer_nodes" in listing and "belongs_to" in listing
+
+    assert main(["rules", "set-priority", yml, "customer_nodes", "9"]) == 0
+    assert main(["rules", "list", yml]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    # customer_nodes (prio 9) now sorts after nation_nodes (prio 2)
+    assert lines[0].endswith("nation_nodes")
+
+    assert main(["rules", "delete", yml, "belongs_to"]) == 0
+    assert main(["rules", "delete", yml, "belongs_to"]) == 1
+    assert main(["rules", "validate", yml]) == 0
+
+
+def test_cli_rules_run_writes_outputs(ray_session, tmp_path, capsys):
+    import os
+
+    import sql_graph_visualizer_ray as pkg
+
+    yml = f"{pkg.__path__[0]}/rules_example.yml"
+    out_dir = str(tmp_path / "out")
+    assert main(["rules", "run", yml, "/root/testdata/sf0.001", out_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res["outputs"]) == {"customer_nodes", "nation_nodes", "belongs_to"}
+    for name in res["outputs"]:
+        assert os.listdir(os.path.join(out_dir, name))
