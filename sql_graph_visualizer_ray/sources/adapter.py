@@ -1,0 +1,129 @@
+"""Live-source adapters: feed a SQL database (or any record-batch iterator)
+into the changelog-directory contract that ``tail()`` / ``apply()`` consume.
+
+This is the engine's version of the reference's front door — ``ExecuteQuery``
+against a running MySQL/PostgreSQL
+(``/root/reference/internal/infrastructure/persistence/mysql/repository.go:50-86``,
+``postgresql/repository.go:50-86``). Instead of pulling rows into one heap,
+the adapter streams query results into atomically-published epoch Parquet
+files (write tmp + rename, ascending epoch numbers — the exact writer
+contract ``streaming.tail`` documents), so a live DB, a Debezium feed, or any
+cursor becomes replayable, resumable input with no other engine change.
+
+Meta-column policy: an incoming ``lsn`` (binlog position / WAL LSN) is kept;
+otherwise a monotone lsn continues from the last published epoch file, so
+repeated snapshot pulls stay LWW-idempotent. ``op`` defaults to "I".
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .changelog import epoch_files
+
+
+class EpochWriter:
+    """Appends atomically-published ``epoch_NNNNN.parquet`` files to a
+    changelog directory, continuing epoch/lsn numbering across restarts."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        existing = epoch_files(out_dir)
+        self.next_epoch = (existing[-1][0] + 1) if existing else 0
+        self.next_lsn = 0
+        if existing:
+            md = pq.read_metadata(existing[-1][1])
+            idx = pq.read_schema(existing[-1][1]).get_field_index("lsn")
+            mx = -1
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.max is not None:
+                    mx = max(mx, int(st.max))
+            self.next_lsn = mx + 1
+
+    def write_epoch(self, batch: pa.Table) -> int:
+        """Publish one epoch file (meta columns filled in as needed);
+        returns the epoch number."""
+        e = self.next_epoch
+        n = batch.num_rows
+        cols = {name: batch.column(name) for name in batch.column_names}
+        if "lsn" not in cols:
+            cols["lsn"] = pa.array(
+                np.arange(self.next_lsn, self.next_lsn + n, dtype=np.int64)
+            )
+            self.next_lsn += n
+        else:
+            mx = pa.compute.max(cols["lsn"]).as_py()
+            self.next_lsn = max(self.next_lsn, (mx + 1) if mx is not None else 0)
+        cols.pop("epoch", None)
+        if "op" not in cols:
+            cols["op"] = pa.array(["I"] * n, pa.string())
+        meta_first = ["lsn", "op"]
+        ordered = {k: cols[k] for k in meta_first}
+        ordered["epoch"] = pa.array(np.full(n, e, dtype=np.int32))
+        for k, v in cols.items():
+            if k not in meta_first:
+                ordered[k] = v
+        out = pa.table(ordered)
+        tmp = os.path.join(self.out_dir, f"epoch_{e:05d}.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(self.out_dir, f"epoch_{e:05d}.parquet"))
+        self.next_epoch += 1
+        return e
+
+
+def batches_to_epochs(
+    batches: Iterable[pa.Table], out_dir: str
+) -> int:
+    """Generic iterator adapter: one epoch file per incoming batch.
+    Returns the number of epochs written."""
+    w = EpochWriter(out_dir)
+    n = 0
+    for b in batches:
+        if b.num_rows:
+            w.write_epoch(b)
+            n += 1
+    return n
+
+
+def _arrow_batches_from_sql(
+    conn, query: str, rows_per_epoch: int
+) -> Iterator[pa.Table]:
+    """Stream a SQL query as Arrow tables. DuckDB connections expose a
+    native Arrow record-batch reader; DBAPI cursors fall back to
+    ``fetchmany`` + column-name introspection."""
+    if hasattr(conn, "execute") and hasattr(conn, "fetch_record_batch"):
+        # duckdb: stream record batches straight from the result
+        conn.execute(query)
+        reader = conn.fetch_record_batch(rows_per_epoch)
+        for batch in reader:
+            yield pa.Table.from_batches([batch])
+        return
+    cur = conn.cursor() if hasattr(conn, "cursor") else conn
+    cur.execute(query)
+    names = [d[0] for d in cur.description]
+    while True:
+        rows = cur.fetchmany(rows_per_epoch)
+        if not rows:
+            break
+        yield pa.Table.from_pylist([dict(zip(names, r)) for r in rows])
+
+
+def sql_to_epochs(
+    conn, query: str, out_dir: str, *, rows_per_epoch: int = 100_000
+) -> int:
+    """Pull a SQL query result into epoch files ``tail()`` can follow.
+
+    One epoch per ``rows_per_epoch`` chunk; meta columns (lsn/op) present in
+    the query result are honored (CDC pull from a change table), otherwise
+    synthesized (snapshot pull). Returns epochs written.
+    """
+    return batches_to_epochs(
+        _arrow_batches_from_sql(conn, query, rows_per_epoch), out_dir
+    )

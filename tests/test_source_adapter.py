@@ -1,0 +1,89 @@
+"""Live-DB source adapter: a SQL change table pulled through sql_to_epochs
+must replay into the same lake state as the original changelog; snapshot
+pulls synthesize meta columns; epoch/lsn numbering survives restarts."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from sql_graph_visualizer_ray.pipelines.cdc import replay
+from sql_graph_visualizer_ray.pipelines.oracle import replay_oracle
+from sql_graph_visualizer_ray.sources.adapter import EpochWriter, sql_to_epochs
+from sql_graph_visualizer_ray.sources.changelog import (
+    ChangelogSpec,
+    epoch_files,
+    materialize,
+)
+
+
+def canonical(t):
+    t = t.select(sorted(t.column_names))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+
+
+def test_sql_cdc_pull_matches_replay_oracle(ray_session, tmp_path):
+    """Load a changelog fixture into DuckDB as the 'live' change table, pull
+    it through the adapter, replay the produced epoch files — final state
+    must equal the oracle over the original fixture."""
+    spec = ChangelogSpec(n_events=8_000, n_convs=200, n_epochs=5, seed=37)
+    src = materialize("unit-adapter", spec)
+    con = duckdb.connect()
+    files = [p for _, p in epoch_files(src)]
+    con.execute(
+        f"CREATE TABLE changes AS SELECT * FROM read_parquet({files!r})"
+    )
+
+    out = str(tmp_path / "pulled_clog")
+    n = sql_to_epochs(
+        con,
+        "SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts "
+        "FROM changes ORDER BY lsn",
+        out,
+        rows_per_epoch=1_500,
+    )
+    assert n >= 5  # 8000 rows / 1500 per epoch
+    lake = replay(out, str(tmp_path / "lake"), num_buckets=4)
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(src)))
+
+
+def test_snapshot_pull_synthesizes_meta(ray_session, tmp_path):
+    """A snapshot query with NO meta columns gets monotone lsn + op='I' and
+    replays to exactly the source rows."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 'conv' || lpad(CAST(i AS VARCHAR), 4, '0') "
+        "AS conv_id, CAST(i % 7 AS INT) AS turn_idx, 'user' AS role, "
+        "'txt' || CAST(i AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS tool, "
+        "TIMESTAMP '2024-01-01' + INTERVAL (i) SECOND AS ts "
+        "FROM range(500) r(i)"
+    )
+    out = str(tmp_path / "clog")
+    sql_to_epochs(con, "SELECT * FROM t ORDER BY conv_id, turn_idx", out,
+                  rows_per_epoch=200)
+    first = pq.read_table(epoch_files(out)[0][1])
+    assert first.column("op").to_pylist()[0] == "I"
+    assert first.column("lsn").to_pylist()[:3] == [0, 1, 2]
+    lake = replay(out, str(tmp_path / "lake"), num_buckets=4)
+    # every (conv_id, turn_idx) key is unique in the snapshot -> row counts match
+    assert lake.final_table().num_rows == con.execute(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM t)"
+    ).fetchone()[0]
+
+
+def test_epoch_writer_resumes_numbering(tmp_path):
+    out = str(tmp_path / "clog")
+    w = EpochWriter(out)
+    t = pa.table({"conv_id": ["a"], "turn_idx": pa.array([1], pa.int32())})
+    assert w.write_epoch(t) == 0
+    assert w.write_epoch(t) == 1
+    # a NEW writer instance (process restart) continues where the old stopped
+    w2 = EpochWriter(out)
+    assert w2.next_epoch == 2
+    assert w2.next_lsn == 2  # one synthesized lsn per row so far
+    assert w2.write_epoch(t) == 2
+    assert pq.read_table(epoch_files(out)[2][1]).column("lsn").to_pylist() == [2]
