@@ -130,7 +130,7 @@ def jaccard_char_pairs(
 
     return (
         docs.select_columns(["doc_id"])
-        .map_batches(PairFinder, batch_format="pandas", concurrency=4)
+        .map_batches(PairFinder, batch_format="pandas", concurrency=(1, 8))
     )
 
 
@@ -282,7 +282,7 @@ def minhash_lsh_pairs(
         )
 
     candidates = (
-        docs.map_batches(band_rows, batch_format="pandas", concurrency=4)
+        docs.map_batches(band_rows, batch_format="pandas", concurrency=(1, 8))
         .groupby("_part")
         .map_groups(bucket_pairs_coarse, batch_format="pandas")
         .select_columns(["doc_a", "doc_b"])
@@ -424,7 +424,7 @@ def simhash_buckets(sf_dir: str, *, band_bits: int = 16) -> rd.Dataset:
     """Docs sharing any 16-bit simhash band -> near-dup buckets:
     (band, band_value, doc_id) rows for buckets with >= 2 docs."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=4)
+    sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         h = b["simhash"].to_numpy().astype(np.uint64)

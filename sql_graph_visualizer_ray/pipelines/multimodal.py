@@ -91,7 +91,7 @@ class FakeFeatureExtractor:
         )
 
 
-def extract_features(sf_dir: str, *, concurrency: int = 4, batch_size: int = 256) -> rd.Dataset:
+def extract_features(sf_dir: str, *, concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:
     """synthesize -> actor-pool extract. Small batch_size on purpose: binary
     payload bytes dominate memory, so batch x concurrency is sized to heap."""
     return synthesize_binary_payloads(sf_dir).map_batches(

@@ -475,7 +475,7 @@ def _text_token_counts(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import TokenCounter
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=4
+        TokenCounter, batch_format="pandas", concurrency=(1, 8)
     )
 
 
@@ -483,7 +483,7 @@ def _text_quality(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import QualityScorer
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=4
+        QualityScorer, batch_format="pandas", concurrency=(1, 8)
     )
 
 
@@ -491,7 +491,7 @@ def _text_langid_counts(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import LanguageId
 
     preds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        LanguageId, batch_format="pandas", concurrency=4
+        LanguageId, batch_format="pandas", concurrency=(1, 8)
     )
     return preds.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
 
@@ -500,7 +500,7 @@ def _text_fingerprints(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import Fingerprinter
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        Fingerprinter, batch_format="pandas", concurrency=4
+        Fingerprinter, batch_format="pandas", concurrency=(1, 8)
     )
 
 
@@ -985,7 +985,7 @@ def dedup_embed_cosine(sf_dir: str, *, modulus: int = 5, threshold: float = 0.35
             )
 
     return sub.select_columns(["vec_id"]).map_batches(
-        PairFinder, batch_format="pandas", concurrency=2
+        PairFinder, batch_format="pandas", concurrency=(1, 4)
     )
 
 

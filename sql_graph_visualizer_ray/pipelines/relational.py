@@ -175,7 +175,7 @@ def broadcast_join(
     left_key: str,
     right_key: str,
     how: str = "inner",
-    concurrency: int = 4,
+    concurrency=(1, 8),
 ) -> rd.Dataset:
     """Join ``big`` (streamed) against ``small`` (materialized once, broadcast
     via the object store). ``how``: inner | left | anti (semi-anti on keys)."""

@@ -75,7 +75,7 @@ def cosine_topk(
             )
 
     partials = emb.map_batches(
-        PartialTopK, batch_format="pandas", batch_size=4096, concurrency=4
+        PartialTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -145,7 +145,7 @@ def lsh_ann_topk(
             return pd.concat(out, ignore_index=True)
 
     partials = emb.map_batches(
-        BucketScore, batch_format="pandas", batch_size=4096, concurrency=4
+        BucketScore, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -188,4 +188,4 @@ def nearest_centroid(sf_dir: str, *, n_centroids: int = 8, seed: int = 7) -> rd.
                 }
             )
 
-    return emb.map_batches(Assign, batch_format="pandas", batch_size=4096, concurrency=4)
+    return emb.map_batches(Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8))

@@ -1,0 +1,193 @@
+"""Single-process oracles for the queries the driver can only rows-check
+(no SQL expression exists): langid, fingerprints, simhash buckets, minhash
+pairs, LSH ANN, multimodal features. Each test recomputes the expected
+result with an independent straight-line implementation and compares
+exactly, so these operators are value-checked too, not just row-counted."""
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return list(
+        zip(t.column("doc_id").to_pylist(),
+            [x or "" for x in t.column("text").to_pylist()])
+    )
+
+
+def test_text_langid_counts_oracle(ray_session, docs):
+    from sql_graph_visualizer_ray.functions.textfns import LANG_STOPWORDS
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = (
+        build_queries()["text_langid_counts"](SF)
+        .to_pandas()
+        .set_index("pred_lang")["n_docs"]
+        .to_dict()
+    )
+
+    want: dict[str, int] = {}
+    langs = sorted(LANG_STOPWORDS)
+    for _, text in docs:
+        scores = []
+        for lang in langs:
+            pat = r"\b(" + "|".join(sorted(LANG_STOPWORDS[lang])) + r")\b"
+            scores.append(len(re.findall(pat, text, re.IGNORECASE)))
+        top = max(scores)
+        pred = "und"
+        if top > 0 and scores.count(top) == 1:
+            pred = langs[scores.index(top)]
+        want[pred] = want.get(pred, 0) + 1
+    assert got == want
+
+
+def test_text_fingerprints_oracle(ray_session, docs):
+    from sql_graph_visualizer_ray.functions.textfns import TOKEN_PATTERN
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = (
+        build_queries()["text_fingerprints"](SF)
+        .to_pandas()
+        .set_index("doc_id")["fingerprint"]
+        .to_dict()
+    )
+    pat = re.compile(TOKEN_PATTERN)
+    mod = (1 << 61) - 1
+    for doc_id, text in docs:
+        h = 0
+        for tok in pat.findall(text):
+            h = (h * 1000003 + zlib.crc32(tok.encode("utf-8", "ignore"))) % mod
+        assert got[doc_id] == h, doc_id
+
+
+def test_dedup_simhash_buckets_oracle(ray_session, docs):
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = (
+        build_queries()["dedup_simhash_buckets"](SF)
+        .to_pandas()
+        .set_index(["band", "band_value"])["n_docs"]
+        .to_dict()
+    )
+    # independent straight-line simhash: per-token siphash, sign-sum bits
+    word = re.compile(r"[A-Za-z0-9_]+")
+    counts: dict[tuple[int, int], int] = {}
+    for _, text in docs:
+        toks = word.findall(text.lower())
+        if not toks:
+            sh = 0
+        else:
+            hs = pd.util.hash_array(
+                np.array(toks, dtype=object), hash_key="graft_simhash_64"
+            )
+            v = np.zeros(64, dtype=np.int64)
+            for h in hs:
+                for bit in range(64):
+                    v[bit] += 1 if (int(h) >> bit) & 1 else -1
+            sh = 0
+            for bit in range(64):
+                if v[bit] > 0:
+                    sh |= 1 << bit
+        for band in range(4):
+            val = (sh >> (band * 16)) & 0xFFFF
+            # cast through int64 as the engine emits
+            counts[(band, val)] = counts.get((band, val), 0) + 1
+    want = {k: v for k, v in counts.items() if v >= 2}
+    assert got == want
+
+
+def test_dedup_minhash_pairs_oracle(ray_session, docs):
+    """Straight-line LSH: per-doc signatures (single-doc code path), banding
+    loop, bucket pairs, STRING-set shingle Jaccard verify — independent of
+    the distributed exchange AND of the hashed-set verify optimization."""
+    from sql_graph_visualizer_ray.pipelines.dedup import MinHasher, _shingles
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = set(
+        map(
+            tuple,
+            build_queries()["dedup_minhash_pairs"](SF)
+            .to_pandas()[["doc_a", "doc_b"]]
+            .itertuples(index=False),
+        )
+    )
+
+    mh = MinHasher(num_perm=64)
+    bands, rows = 16, 4
+    buckets: dict[tuple[int, tuple], set[int]] = {}
+    texts = dict(docs)
+    for doc_id, text in docs:
+        sig = mh.signature(text)
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows : (b + 1) * rows].tolist()))
+            buckets.setdefault(key, set()).add(doc_id)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    want = set()
+    for a, b in cands:
+        sa, sb = _shingles(texts[a]), _shingles(texts[b])
+        u = len(sa | sb)
+        if u and len(sa & sb) / u >= 0.5:
+            want.add((a, b))
+    assert got == want
+
+
+def test_embed_lsh_topk_oracle(ray_session):
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = (
+        build_queries()["embed_lsh_topk"](SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, m.shape[1]))
+    sig = (m @ planes.T > 0).astype(np.uint8)
+    bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+    rows = []
+    for qpos in np.flatnonzero(ids < 5):
+        qid, qb, qv = ids[qpos], bucket[qpos], m[qpos]
+        mask = (bucket == qb) & (ids != qid)
+        cand = np.flatnonzero(mask)
+        cos = m[cand] @ qv
+        order = sorted(zip(-cos, ids[cand]))[:10]
+        for r, (negc, nid) in enumerate(order, start=1):
+            rows.append((int(qid), int(nid), r))
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_multimodal_features_oracle(ray_session, docs):
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = build_queries()["multimodal_features"](SF).to_pandas().set_index("doc_id")
+    for doc_id, text in docs[:100]:
+        payload = text.encode()
+        digest = hashlib.md5(payload).digest()
+        row = got.loc[doc_id]
+        assert row["n_bytes"] == len(payload)
+        assert row["checksum"] == digest.hex()
+        feat = np.asarray(row["feature"], dtype=np.float32)
+        want = (np.frombuffer(digest, dtype=np.uint8)[:8] / 255.0).astype(np.float32)
+        assert np.array_equal(feat, want)
