@@ -468,6 +468,10 @@ def build_queries() -> dict:
         # YAML rule surface / persisted edge lake
         "rules_from_yaml": rules_from_yaml,
         "rel_lake_roundtrip": rel_lake_roundtrip,
+        # direct-id lookup (J3), query deadline (S2), quality gate
+        "orders_custkey_lookup": orders_custkey_lookup,
+        "orders_lookup_with_timeout": orders_lookup_with_timeout,
+        "docs_quality_filter": docs_quality_filter,
     }
 
 
@@ -538,6 +542,24 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
             "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "orders_custkey_lookup": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders "
+            f"WHERE o_custkey IN ({', '.join(map(str, LOOKUP_KEYS))})"
+        ),
+        "orders_lookup_with_timeout": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders "
+            f"WHERE o_custkey IN ({', '.join(map(str, LOOKUP_KEYS))})"
+        ),
+        "docs_quality_filter": (
+            "SELECT * FROM ("
+            "SELECT doc_id, CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_extract_all(coalesce(text,''), '[^ \\t\\n\\r]+')) AS BIGINT) AS n_words, "
+            "CAST(len(regexp_extract_all(coalesce(text,''), '[.!?,;:]')) AS BIGINT) AS n_punct, "
+            "CAST(len(regexp_extract_all(coalesce(text,''), '[A-Z]')) AS BIGINT) AS n_upper "
+            "FROM documents) WHERE n_words >= 40 AND n_words <= 80"
         ),
         "rel_dangling_orders": (
             "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS ("
@@ -1099,6 +1121,59 @@ def schema_patterns(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+LOOKUP_KEYS = [1, 5, 11, 42, 97]
+
+
+def orders_custkey_lookup(sf_dir: str) -> rd.Dataset:
+    """J3 direct-id lookup join: orders of a known id set via broadcast
+    ``is_in`` semi-join (no shuffle)."""
+    from .relational import lookup_by_keys
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return lookup_by_keys(ds, "o_custkey", LOOKUP_KEYS).map_batches(
+        cents, batch_format="pyarrow"
+    )
+
+
+def orders_lookup_with_timeout(sf_dir: str) -> pa.Table:
+    """S2 query-with-deadline: the same lookup consumed under a (generous)
+    wall-clock budget through ``collect_with_timeout`` — the engine's
+    ``context.WithTimeout`` equivalent; the deadline path is exercised with a
+    tight budget in tests."""
+    from ..stages.timeouts import collect_with_timeout
+
+    return collect_with_timeout(orders_custkey_lookup(sf_dir), timeout_s=120.0)
+
+
+def docs_quality_filter(sf_dir: str) -> rd.Dataset:
+    """Training-data quality gate: keep documents passing integer quality
+    thresholds (word count, punctuation) — the filter stage a 100 TB corpus
+    pipeline runs before tokenization. Integer-only so the SQL oracle matches
+    exactly."""
+    from ..functions.textfns import QualityScorer
+
+    scored = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", concurrency=(1, 8)
+    )
+    # band filter: too-short docs are boilerplate, too-long ones truncate
+    # downstream (the synthetic corpus carries no punctuation, so the word-
+    # count band is the active signal; n_punct/n_upper stay in the output)
+    return scored.filter(expr="n_words >= 40 and n_words <= 80")
 
 
 def rules_from_yaml(sf_dir: str) -> rd.Dataset:

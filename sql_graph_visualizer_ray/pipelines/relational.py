@@ -255,6 +255,21 @@ def apply_relationship_rule(
     return joined.map_batches(tag, batch_format="pyarrow")
 
 
+def lookup_by_keys(
+    ds: rd.Dataset, key_col: str, keys: list
+) -> rd.Dataset:
+    """J3 direct-id lookup: fetch the rows whose ``key_col`` is in a known id
+    set (the reference resolves relationship endpoints by direct node-id
+    lookup, ``graph_aggregate.go:108-133``). The id set is a broadcast
+    vectorized ``is_in`` semi-join — no shuffle, the big side streams."""
+    value_set = pa.array(sorted(set(keys)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(key_col), value_set=value_set))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Self-join similarity pairs (J5 — config.yml:393 user-skill pair rule)
 # ---------------------------------------------------------------------------
