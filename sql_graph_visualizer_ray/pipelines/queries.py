@@ -445,6 +445,7 @@ def build_queries() -> dict:
         "dedup_exact_groups": dedup.exact_dedup_groups,
         "dedup_jaccard_pairs": dedup.jaccard_char_pairs,
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
+        "dedup_minhash_components": dedup_minhash_components,
         "dedup_simhash_buckets": dedup.simhash_buckets,
         # similarity search
         "embed_cosine_topk": similarity.cosine_topk,
@@ -974,7 +975,13 @@ def dedup_embed_cosine(sf_dir: str, *, modulus: int = 5, threshold: float = 0.35
     """Embedding-cosine near-dup pairs over the deterministic subsample
     vec_id % modulus == 0: normalized matmul per batch against the broadcast
     subsample matrix — no shuffle, O(n^2/P) numpy. (Threshold calibrated to
-    the synthetic embeddings; real corpora would use ~0.95.)"""
+    the synthetic embeddings; real corpora would use ~0.95.)
+
+    Like ``dedup.jaccard_char_pairs`` this is the bounded exact-pairs DEMO
+    (oracle-checkable); a guard refuses subsamples whose broadcast matrix
+    would stop fitting worker heaps — the scale path for unbounded corpora
+    is ``similarity.lsh_ann_topk`` bucketing / ``embed_nearest_centroid``
+    IVF partitioning."""
     import ray as _ray
 
     sub = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
@@ -984,6 +991,10 @@ def dedup_embed_cosine(sf_dir: str, *, modulus: int = 5, threshold: float = 0.35
         batch_format="pyarrow",
     )
     df = sub.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(df) < 1_000_000, (
+        "dedup_embed_cosine is the bounded exact-pairs demo; use the "
+        "LSH/IVF similarity path for corpora of this size"
+    )
     mat = np.stack(df["embedding"].to_numpy())
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = _ray.put((df["vec_id"].to_numpy(), mat))
@@ -1174,6 +1185,14 @@ def docs_quality_filter(sf_dir: str) -> rd.Dataset:
     # downstream (the synthetic corpus carries no punctuation, so the word-
     # count band is the active signal; n_punct/n_upper stay in the output)
     return scored.filter(expr="n_words >= 40 and n_words <= 80")
+
+
+def dedup_minhash_components(sf_dir: str) -> rd.Dataset:
+    """Near-dup CLUSTERS: connected components (distributed min-label
+    propagation) over the verified MinHash pair set — the canonical-document
+    grouping step between pair mining and dedup selection. Output:
+    (doc_id, component_id = min doc_id of the cluster)."""
+    return dedup.connected_components(dedup.minhash_lsh_pairs(sf_dir))
 
 
 def rules_from_yaml(sf_dir: str) -> rd.Dataset:

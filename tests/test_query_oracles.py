@@ -191,3 +191,70 @@ def test_multimodal_features_oracle(ray_session, docs):
         feat = np.asarray(row["feature"], dtype=np.float32)
         want = (np.frombuffer(digest, dtype=np.uint8)[:8] / 255.0).astype(np.float32)
         assert np.array_equal(feat, want)
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == single-process union-find over
+    the same pair set (plus a hand-built chain graph that needs multiple
+    propagation rounds)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.dedup import connected_components
+
+    # chain 1-2-3-4-5, triangle 10-11-12, isolated edge 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = (
+        connected_components(pairs)
+        .to_pandas()
+        .set_index("doc_id")["component_id"]
+        .to_dict()
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert got[5] == 1 and got[12] == 10 and got[21] == 20
+
+
+def test_minhash_components_consistent_with_pairs(ray_session):
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    qs = build_queries()
+    pairs = qs["dedup_minhash_pairs"](SF).to_pandas()
+    comp = (
+        qs["dedup_minhash_components"](SF)
+        .to_pandas()
+        .set_index("doc_id")["component_id"]
+        .to_dict()
+    )
+    # every paired doc is labeled, endpoints of a pair share a component,
+    # and each component's id is its minimum member
+    for a, b in pairs.itertuples(index=False):
+        assert comp[a] == comp[b]
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
