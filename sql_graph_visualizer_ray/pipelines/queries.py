@@ -473,6 +473,8 @@ def build_queries() -> dict:
         "orders_custkey_lookup": orders_custkey_lookup,
         "orders_lookup_with_timeout": orders_lookup_with_timeout,
         "docs_quality_filter": docs_quality_filter,
+        "docs_sample_per_lang": docs_sample_per_lang,
+        "text_token_histogram": text_token_histogram,
     }
 
 
@@ -553,6 +555,17 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT o_orderkey, o_custkey, "
             "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders "
             f"WHERE o_custkey IN ({', '.join(map(str, LOOKUP_KEYS))})"
+        ),
+        "docs_sample_per_lang": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 20"
+        ),
+        "text_token_histogram": (
+            "SELECT (CAST(len(regexp_extract_all(coalesce(text,''), "
+            f"'{token_re}')) AS BIGINT) // 10) * 10 AS token_bin, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY 1"
         ),
         "docs_quality_filter": (
             "SELECT * FROM ("
@@ -1185,6 +1198,59 @@ def docs_quality_filter(sf_dir: str) -> rd.Dataset:
     # downstream (the synthetic corpus carries no punctuation, so the word-
     # count band is the active signal; n_punct/n_upper stay in the output)
     return scored.filter(expr="n_words >= 40 and n_words <= 80")
+
+
+def docs_sample_per_lang(sf_dir: str, *, per_group: int = 20) -> rd.Dataset:
+    """Stratified (class-balanced) sampling: a fixed-size deterministic
+    sample per language stratum — the balanced-subset builder a training
+    pipeline runs before fine-tuning. Coarse-partitioned by lang hash; the
+    per-stratum head is one sort + cython cumcount (selection order
+    deterministic by doc_id, so the SQL oracle matches exactly)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "doc_id"], kind="mergesort", ignore_index=True)
+        keep = g.groupby("lang", sort=False).cumcount() < per_group
+        out = g[keep]
+        return out[["doc_id", "lang"]].astype({"doc_id": "int64"})
+
+    return (
+        events.with_hash_part(ds, "lang", num_parts=16)
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def text_token_histogram(sf_dir: str, *, bin_width: int = 10) -> rd.Dataset:
+    """Token-count distribution: docs per ``bin_width``-token bin — the
+    length-histogram a corpus profile reports before truncation decisions.
+    Pre-aggregated per batch (combiner) before the tiny bin groupby."""
+    from ..functions.textfns import TokenCounter
+
+    counts = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pandas", concurrency=(1, 8)
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = (b["n_tokens"] // bin_width) * bin_width
+        out = bins.value_counts().rename_axis("token_bin").rename("partial_n")
+        return out.reset_index().astype({"token_bin": "int64", "partial_n": "int64"})
+
+    agg = (
+        counts.map_batches(partial, batch_format="pandas")
+        .groupby("token_bin")
+        .aggregate(Sum("partial_n", alias_name="n_docs"))
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token_bin": t.column("token_bin").cast(pa.int64()),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow")
 
 
 def dedup_minhash_components(sf_dir: str) -> rd.Dataset:
