@@ -42,23 +42,31 @@ def exact_dedup_groups(sf_dir: str) -> rd.Dataset:
     128-bit content hash so the shuffle moves 16-byte keys, not documents."""
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
-        b["text_hash"] = b["text"].fillna("").map(
+        hashes = b["text"].fillna("").map(
             lambda s: hashlib.md5(s.encode()).hexdigest()
         )
-        return b[["doc_id", "text_hash"]]
+        out = pd.DataFrame({"doc_id": b["doc_id"], "text_hash": hashes})
+        # coarse partition: the exchange moves 256 groups; the per-hash
+        # fine groupby happens in cython INSIDE each group (one Python
+        # dispatch per distinct text would dominate on a dedup-heavy corpus)
+        h = pd.util.hash_array(hashes.to_numpy(dtype=object))
+        out["_part"] = (h % 256).astype(np.int32)
+        return out
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "n_copies": [np.int64(len(g))]}
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text_hash", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return out[["doc_id", "n_copies"]].astype(
+            {"doc_id": "int64", "n_copies": "int64"}
         )
 
     return (
         ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        .select_columns(["doc_id", "n_copies"])
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -401,34 +409,49 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit simhash over token crc32-derived 64-bit hashes."""
+    """64-bit simhash over token siphash-derived 64-bit hashes, vectorized
+    ACROSS documents: all tokens of the batch hash in one ``hash_array``
+    call, the per-bit ±1 votes sum per document with one segmented
+    ``add.reduceat`` over the (tokens, 64) bit matrix — no per-document
+    permutation/shift work."""
 
     def __init__(self):
         self.word = _WORD
+        self.bit_idx = np.arange(64, dtype=np.uint64)
+
+    def simhashes(self, texts) -> np.ndarray:
+        tok_lists = [self.word.findall((t or "").lower()) for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        out = np.zeros(len(tok_lists), dtype=np.int64)
+        if lens.sum() == 0:
+            return out
+        flat = np.concatenate(
+            [np.array(t, dtype=object) for t in tok_lists if t]
+        )
+        hs = pd.util.hash_array(flat, hash_key="graft_simhash_64")
+        # bit k of the uint64 == unpackbits(little) position k on the
+        # little-endian byte view — pure C, no broadcast-shift (numpy's
+        # uint64 broadcast shift takes a ~60x slower cast path)
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)  # (S, 64)
+        votes = 2 * bits - 1
+        nonempty = lens > 0
+        seg = lens[nonempty]
+        starts = np.concatenate(([0], np.cumsum(seg)[:-1]))
+        sums = np.add.reduceat(votes, starts, axis=0)  # (n_nonempty, 64)
+        packed = np.packbits((sums > 0), axis=1, bitorder="little")  # (n, 8)
+        out[nonempty] = packed.view(np.int64).ravel()
+        return out
 
     def simhash(self, text: str) -> int:
-        toks = self.word.findall(text.lower())
-        if not toks:
-            return 0
-        # vectorized siphash over the token array (16-byte key contract)
-        hs = pd.util.hash_array(
-            np.array(toks, dtype=object), hash_key="graft_simhash_64"
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int32
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        return int(
-            np.bitwise_or.reduce(
-                (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            ).astype(np.int64)
-        )
+        return int(self.simhashes([text])[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": batch["text"].fillna("").map(self.simhash).astype("int64"),
+                "simhash": self.simhashes(batch["text"].fillna("").tolist()),
             }
         )
 
