@@ -86,8 +86,11 @@ def _read_files_merged(paths: list[str], target: pa.Schema) -> pa.Table:
     from ..stages.apply import lww_compact
 
     tabs = []
+    want = {
+        {"lsn": "_lsn", "op": "_op"}.get(n, n) for n in target.names
+    }  # prune at the file read: only target columns leave storage
     for p in paths:
-        cols = [c for c in pq.read_schema(p).names if c != "_bucket"]
+        cols = [c for c in pq.read_schema(p).names if c in want]
         t = pq.read_table(p, columns=cols)
         t = t.rename_columns(
             [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in t.column_names]
@@ -956,19 +959,36 @@ class LakeTable:
     # ------------------------------------------------------------------
     # Read views (merge-on-read)
     # ------------------------------------------------------------------
-    def read_final(self) -> rd.Dataset:
+    def read_final(self, columns: list[str] | None = None) -> rd.Dataset:
         """Streaming read view of live rows: each bucket's base + delta files
         are normalized to the current payload schema (null-fill/cast — keeps
         post-evolution lakes readable when a commit touched only some
         buckets) and LWW-merged on the fly; tombstones filtered, hidden
         columns dropped. One task per bucket — read parallelism scales with
-        the bucket count, and single-file buckets skip the merge entirely."""
+        the bucket count, and single-file buckets skip the merge entirely.
+
+        ``columns`` prunes the OUTPUT projection; the merge itself always
+        reads the key/order columns (conv_id, turn_idx, ts, lsn, op) plus the
+        requested payload columns, so a 2-column read of a wide lake never
+        pays for the wide columns."""
         m = self.manifest
-        payload_cols = [f.name for f in m.payload_schema]
+        payload = m.payload_schema
+        payload_cols = [f.name for f in payload]
+        if columns is not None:
+            unknown = set(columns) - set(payload_cols)
+            if unknown:
+                raise KeyError(f"unknown columns {sorted(unknown)}")
+            payload_cols = [c for c in payload_cols if c in set(columns)]
+            need = set(payload_cols) | {"conv_id", "turn_idx", "ts"}
+            payload = pa.schema([f for f in payload if f.name in need])
         by_bucket = m.bucket_files(self.path)
         if not by_bucket:
-            return rd.from_arrow(m.payload_schema.empty_table())
-        target = self._event_read_schema()
+            return rd.from_arrow(
+                pa.schema([f for f in payload if f.name in payload_cols]).empty_table()
+            )
+        target = pa.schema(
+            list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        )
 
         def _merge_read(items: pa.Table) -> pa.Table:
             outs = []

@@ -9,8 +9,10 @@
 
 Shuffle thinking at 100 TB: every variant pre-reduces inside ``map_batches``
 (signatures/hashes are tiny vs text) and shuffles only (key, doc_id) pairs,
-never document bodies. Candidate verification re-reads text only for the
-candidate set (here: carried along, as candidate volume << corpus).
+never document bodies. MinHash candidate verification is shuffle-native:
+pair dedup via a pair-hash groupby and text lookup via one hash join —
+nothing unbounded ever reaches the driver. ``connected_components`` turns
+verified pairs into dedup clusters with join-free label propagation.
 """
 
 from __future__ import annotations

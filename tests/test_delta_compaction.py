@@ -205,3 +205,25 @@ def test_commit_io_scales_with_delta_not_table(clog, tmp_path):
     delta_bytes = version_bytes(lake.manifest.version)
     # one-row delta must be orders of magnitude below the base rewrite
     assert delta_bytes < base_bytes / 20
+
+
+def test_read_final_column_pruning(clog, tmp_path):
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=4, epochs_per_commit=2)
+    sub = lake.read_final(columns=["conv_id", "role"]).to_pandas()
+    full = lake.final_table().to_pandas()
+    assert list(sub.columns) == ["conv_id", "role"]
+    assert len(sub) == len(full)
+    key = ["conv_id"]
+    assert (
+        sub.sort_values(key + ["role"], ignore_index=True)["role"]
+        .fillna("~")
+        .tolist()
+        == full[["conv_id", "role"]]
+        .sort_values(key + ["role"], ignore_index=True)["role"]
+        .fillna("~")
+        .tolist()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        lake.read_final(columns=["nope"])
