@@ -482,7 +482,7 @@ def _text_token_counts(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import TokenCounter
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=(1, 8)
+        TokenCounter, batch_format="pandas", concurrency=(2, 8)
     )
 
 
@@ -490,7 +490,7 @@ def _text_quality(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import QualityScorer
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=(1, 8)
+        QualityScorer, batch_format="pandas", concurrency=(2, 8)
     )
 
 
@@ -498,7 +498,7 @@ def _text_langid_counts(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import LanguageId
 
     preds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        LanguageId, batch_format="pandas", concurrency=(1, 8)
+        LanguageId, batch_format="pandas", concurrency=(2, 8)
     )
     return preds.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
 
@@ -507,7 +507,7 @@ def _text_fingerprints(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import Fingerprinter
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        Fingerprinter, batch_format="pandas", concurrency=(1, 8)
+        Fingerprinter, batch_format="pandas", concurrency=(2, 8)
     )
 
 
@@ -1192,7 +1192,7 @@ def docs_quality_filter(sf_dir: str) -> rd.Dataset:
     from ..functions.textfns import QualityScorer
 
     scored = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=(1, 8)
+        QualityScorer, batch_format="pandas", concurrency=(2, 8)
     )
     # band filter: too-short docs are boilerplate, too-long ones truncate
     # downstream (the synthetic corpus carries no punctuation, so the word-
@@ -1228,7 +1228,7 @@ def text_token_histogram(sf_dir: str, *, bin_width: int = 10) -> rd.Dataset:
     from ..functions.textfns import TokenCounter
 
     counts = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=(1, 8)
+        TokenCounter, batch_format="pandas", concurrency=(2, 8)
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
