@@ -250,6 +250,7 @@ def cmd_rules(a) -> int:
         rs.save_yaml(a.rules_yml)
         return 0
     if a.rules_cmd == "run":
+        from .config import RelationshipRule
         from .pipelines.rules import run_rules
 
         _ensure_ray(a.num_cpus)
@@ -258,10 +259,19 @@ def cmd_rules(a) -> int:
 
         os.makedirs(a.out_dir, exist_ok=True)
         counts = {}
+        rel_names = {r.name for r in rs.rules if isinstance(r, RelationshipRule)}
         for name, ds in outputs.items():
-            dest = os.path.join(a.out_dir, name)
-            ds.write_parquet(dest)
-            counts[name] = "written"
+            if a.edge_lake and name in rel_names:
+                # persist relationship outputs through the edge lake (same
+                # epoch-fenced commit protocol as the transcripts lake)
+                from .pipelines.graph_sink import EdgeLake
+
+                elake = EdgeLake(os.path.join(a.edge_lake, name))
+                c = elake.ingest(ds, epoch=elake.manifest.applied_epoch + 1)
+                counts[name] = f"edge lake +{c.get('upserts', 0)} upserts"
+            else:
+                ds.write_parquet(os.path.join(a.out_dir, name))
+                counts[name] = "written"
         print(json.dumps({"outputs": counts, "out_dir": a.out_dir}))
         return 0
     raise AssertionError(a.rules_cmd)
@@ -330,6 +340,9 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "run":
             rp.add_argument("sf_dir")
             rp.add_argument("out_dir")
+            rp.add_argument("--edge-lake", default=None,
+                            help="persist relationship outputs into edge "
+                                 "lake tables under this directory")
         rp.set_defaults(fn=cmd_rules)
     return p
 

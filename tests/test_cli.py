@@ -87,3 +87,37 @@ def test_cli_rules_run_writes_outputs(ray_session, tmp_path, capsys):
     assert set(res["outputs"]) == {"customer_nodes", "nation_nodes", "belongs_to"}
     for name in res["outputs"]:
         assert os.listdir(os.path.join(out_dir, name))
+
+
+def test_cli_tail_follows(ray_session, clog, tmp_path, capsys):
+    lake = str(tmp_path / "lake")
+    assert main(["tail", clog, lake, "--stop-after-epoch",
+                 str(SPEC.n_epochs - 1), "--num-buckets", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied_epoch"] == SPEC.n_epochs - 1
+    assert main(["verify", clog, lake]) == 0
+    capsys.readouterr()
+
+
+def test_cli_rules_run_into_edge_lake(ray_session, tmp_path, capsys):
+    import sql_graph_visualizer_ray as pkg
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    yml = f"{pkg.__path__[0]}/rules_example.yml"
+    out_dir = str(tmp_path / "out")
+    elakes = str(tmp_path / "edges")
+    assert main(["rules", "run", yml, "/root/testdata/sf0.001", out_dir,
+                 "--edge-lake", elakes]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "edge lake" in res["outputs"]["belongs_to"]
+    lake = EdgeLake(f"{elakes}/belongs_to")
+    before = lake.edges_table()
+    assert before.num_rows == 150  # sf0.001 customers
+    # a re-run commits a NEW refresh epoch; the same edges LWW-collapse, so
+    # the table is unchanged (content idempotence)
+    assert main(["rules", "run", yml, "/root/testdata/sf0.001", out_dir,
+                 "--edge-lake", elakes]) == 0
+    capsys.readouterr()
+    lake2 = EdgeLake(f"{elakes}/belongs_to")
+    assert lake2.manifest.applied_epoch == 1
+    assert lake2.edges_table().equals(before)
