@@ -435,6 +435,7 @@ def build_queries() -> dict:
         "events_asof_attribution": events.asof_purchase_attribution,
         "events_range_join": events.range_join_click_errors,
         "events_distinct_users": events.distinct_users_per_type,
+        "events_distinct_users_hll": events_distinct_users_hll,
         "docs_partitioned_by_lang": docs_partitioned_by_lang,
         # text analysis
         "text_token_counts": _text_token_counts,
@@ -1251,6 +1252,41 @@ def text_token_histogram(sf_dir: str, *, bin_width: int = 10) -> rd.Dataset:
         )
 
     return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def events_distinct_users_hll(sf_dir: str, *, p: int = 12) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT) via mergeable HyperLogLog sketches: each
+    batch emits ONE m-byte register blob per event_type (constant-size
+    partials — at 100 TB the exchange moves kilobytes where the exact form
+    moves every (type, user) pair); blobs merge by elementwise max in a tiny
+    groupby. Output (event_type, n_users_approx); accuracy pinned against
+    the exact counts in tests (~1.6% rel. error at p=12)."""
+    from ..functions.sketches import HyperLogLog
+
+    hll = HyperLogLog(p=p)
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        types, blobs = [], []
+        for t, sub in b.groupby("event_type", sort=False):
+            types.append(t)
+            blobs.append(hll.registers(sub["user_id"].to_numpy()).tobytes())
+        return pd.DataFrame({"event_type": types, "regs": blobs})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        est = hll.estimate(HyperLogLog.merge(g["regs"].tolist()))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_approx": np.array([est], dtype="int64"),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def dedup_minhash_components(sf_dir: str) -> rd.Dataset:

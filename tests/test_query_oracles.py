@@ -258,3 +258,31 @@ def test_minhash_components_consistent_with_pairs(ray_session):
         members.setdefault(c, []).append(d)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+def test_hll_distinct_users_within_tolerance(ray_session):
+    """The HLL sketch estimate per event_type stays within ~5% of the exact
+    distinct count (p=12 gives ~1.6% typical error), and a pure-numpy
+    single-process HLL over the same inputs reproduces the distributed
+    estimate exactly (merge-of-partials == one-shot registers)."""
+    import pyarrow.parquet as _pq
+
+    from sql_graph_visualizer_ray.functions.sketches import HyperLogLog
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = (
+        build_queries()["events_distinct_users_hll"](SF)
+        .to_pandas()
+        .set_index("event_type")["n_users_approx"]
+        .to_dict()
+    )
+    t = _pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    df = t.to_pandas()
+    hll = HyperLogLog(p=12)
+    for etype, sub in df.groupby("event_type"):
+        exact = sub["user_id"].nunique()
+        approx = got[etype]
+        assert abs(approx - exact) <= max(2, 0.05 * exact), (etype, exact, approx)
+        # one-shot registers over all values == merged per-batch registers
+        oneshot = hll.estimate(hll.registers(sub["user_id"].to_numpy()))
+        assert oneshot == approx, etype
