@@ -452,6 +452,7 @@ def build_queries() -> dict:
         "embed_cosine_topk": similarity.cosine_topk,
         "embed_lsh_topk": similarity.lsh_ann_topk,
         "embed_nearest_centroid": similarity.nearest_centroid,
+        "dedup_embed_lsh_pairs": similarity.lsh_near_dup_pairs,
         # multimodal plumbing
         "multimodal_payload_sizes": multimodal.payload_sizes,
         "multimodal_features": multimodal.extract_features,

@@ -163,6 +163,75 @@ def lsh_ann_topk(
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def lsh_near_dup_pairs(
+    sf_dir: str,
+    *,
+    n_planes: int = 6,
+    threshold: float = 0.35,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Embedding near-dup pairs, the SCALE path: random-hyperplane LSH
+    buckets co-locate likely-similar vectors (2^n_planes buckets), and the
+    all-pairs cosine compare runs only WITHIN each bucket — O(sum b_i^2)
+    instead of O(N^2), no driver materialization, no broadcast matrix.
+    Cross-bucket near-dups are the recall tradeoff (same as every LSH
+    dedup); the bounded exact demo ``queries.dedup_embed_cosine`` is the
+    oracle-checkable counterpart. Output (vec_a, vec_b) with vec_a < vec_b.
+    """
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    ref = ray.put(planes)
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _norm_rows(_stack(batch["embedding"]))
+            sig = (m @ self.planes.T > 0).astype(np.uint8)
+            bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(
+                np.int64
+            )
+            out = pd.DataFrame(
+                {"vec_id": batch["vec_id"].astype("int64"), "bucket": bucket}
+            )
+            out["embedding"] = batch["embedding"].to_numpy()
+            return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id", ignore_index=True)
+        m = _norm_rows(_stack(g["embedding"]))
+        ids = g["vec_id"].to_numpy()
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]].astype("int64"),
+                "vec_b": ids[ib[keep]].astype("int64"),
+            }
+        )
+
+    return (
+        emb.map_batches(Bucketize, batch_format="pandas", concurrency=(1, 8))
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
 def nearest_centroid(sf_dir: str, *, n_centroids: int = 8, seed: int = 7) -> rd.Dataset:
     """IVF-style coarse quantization: assign every vector to its nearest of
     ``n_centroids`` deterministic seed centroids (the corpus vectors with

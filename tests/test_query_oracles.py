@@ -286,3 +286,43 @@ def test_hll_distinct_users_within_tolerance(ray_session):
         # one-shot registers over all values == merged per-batch registers
         oneshot = hll.estimate(hll.registers(sub["user_id"].to_numpy()))
         assert oneshot == approx, etype
+
+
+def test_embed_lsh_near_dup_pairs_oracle(ray_session):
+    """Distributed LSH-bucketed near-dup pairs == single-process recompute
+    (same planes/seed), and every emitted pair truly clears the cosine
+    threshold."""
+    import pyarrow.parquet as _pq
+
+    from sql_graph_visualizer_ray.pipelines.queries import build_queries
+
+    got = set(
+        map(
+            tuple,
+            build_queries()["dedup_embed_lsh_pairs"](SF)
+            .to_pandas()[["vec_a", "vec_b"]]
+            .itertuples(index=False),
+        )
+    )
+
+    t = _pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    m = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((6, m.shape[1]))
+    bucket = np.packbits((m @ planes.T > 0).astype(np.uint8), axis=1,
+                         bitorder="little")[:, 0]
+    want = set()
+    for b in np.unique(bucket):
+        pos = np.flatnonzero(bucket == b)
+        order = np.argsort(ids[pos])
+        pos = pos[order]
+        sims = m[pos] @ m[pos].T
+        ia, ib = np.triu_indices(len(pos), k=1)
+        for i, j in zip(ia[sims[ia, ib] >= 0.35], ib[sims[ia, ib] >= 0.35]):
+            want.add((int(ids[pos[i]]), int(ids[pos[j]])))
+    assert got == want
+    assert len(got) > 0
