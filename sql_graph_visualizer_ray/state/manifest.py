@@ -145,7 +145,14 @@ def vacuum(lake_dir: str, manifest: Manifest) -> int:
 
     With delta commits every version dir stays referenced until a compaction
     commit rewrites the buckets — run ``LakeTable.compact()`` first to
-    de-reference old versions."""
+    de-reference old versions.
+
+    Snapshot-isolation caveat: a reader (``read_final``) pins the FILE LIST
+    of the manifest version it opened; commits never mutate published files
+    (new versions only), so concurrent commits are safe — but ``vacuum``
+    deletes de-referenced version dirs and must only run when no reader
+    still holds a pre-compaction snapshot (same contract as Iceberg/Delta
+    ``VACUUM`` retention)."""
     live = {
         f.split("/", 1)[0]
         for b in manifest.data["buckets"].values()
