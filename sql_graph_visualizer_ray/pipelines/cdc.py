@@ -957,6 +957,59 @@ class LakeTable:
         return {"split": 1, "from": old, "to": new_num_buckets}
 
     # ------------------------------------------------------------------
+    # Change feed (CDC out)
+    # ------------------------------------------------------------------
+    def changes(self, version: int) -> rd.Dataset:
+        """The change feed of commit ``version``: every row that commit wrote
+        (upserts with full payload, deletes as op='D' rows). Under delta
+        commits this is a pure metadata lookup — the commit's per-bucket
+        delta files ARE its change feed, so a downstream consumer can follow
+        the lake commit-by-commit without any reprocessing (the engine's
+        Debezium-out counterpart to the adapter's Debezium-in).
+
+        Only delta/initial commits have a feed; compaction and split commits
+        rewrite existing rows and are not data changes (raises KeyError for
+        versions with no delta files)."""
+        entry = next(
+            (
+                h
+                for h in self.manifest.data["history"]
+                if h.get("version") == version
+            ),
+            None,
+        )
+        if entry is None or entry.get("compaction") or "split_buckets" in entry:
+            raise KeyError(
+                f"no change feed for v{version}: not a data commit "
+                "(compaction/split rewrite existing rows, or never committed)"
+            )
+        prefix = f"v{version}/"
+        files = [
+            os.path.join(self.path, f)
+            for b in self.manifest.data["buckets"].values()
+            for f in b["files"]
+            if f.startswith(prefix)
+        ]
+        if not files:
+            raise KeyError(
+                f"change feed for v{version} was compacted away (run "
+                "consumers before compact(), or raise the compaction "
+                "min_files threshold)"
+            )
+        payload_cols = [f.name for f in self.manifest.payload_schema]
+
+        def shape(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in t.column_names]
+            )
+            keep = [c for c in payload_cols if c in t.column_names]
+            return t.select(["op", "lsn"] + keep)
+
+        return rd.read_parquet(files, override_num_blocks=len(files)).map_batches(
+            shape, batch_format="pyarrow"
+        )
+
+    # ------------------------------------------------------------------
     # Read views (merge-on-read)
     # ------------------------------------------------------------------
     def read_final(self, columns: list[str] | None = None) -> rd.Dataset:

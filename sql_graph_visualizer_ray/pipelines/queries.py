@@ -413,6 +413,7 @@ def build_queries() -> dict:
         "cdc_evolve_widen": cdc_evolve_widen,
         "cdc_skew_salted": cdc_skew_salted,
         "cdc_incremental_resume": cdc_incremental_resume,
+        "view_turns_per_conv": view_turns_per_conv,
         # rule-driven relational
         "nodes_customer": nodes_customer,
         "nodes_supplier_labeled": nodes_supplier_labeled,
@@ -525,6 +526,14 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "cdc_evolve_widen": _cdc_sql(sf_dir, "evolve_widen", widen=True),
         "cdc_skew_salted": _cdc_sql(sf_dir, "skew_hot"),
         "cdc_incremental_resume": _cdc_sql(sf_dir, "basic"),
+        "view_turns_per_conv": (
+            "WITH ranked AS (SELECT *, row_number() OVER ("
+            "PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn "
+            f"FROM read_parquet('{fixture_for(sf_dir, 'basic')}/*.parquet', "
+            "union_by_name=true)) "
+            "SELECT conv_id, COUNT(*) AS n_turns FROM ranked "
+            "WHERE rn = 1 AND op <> 'D' GROUP BY conv_id"
+        ),
         "nodes_customer": (
             "SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment, "
             "'Customer' AS node_type FROM customer"
@@ -1253,6 +1262,30 @@ def text_token_histogram(sf_dir: str, *, bin_width: int = 10) -> rd.Dataset:
         )
 
     return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def _turns_per_conv_agg(t: pa.Table) -> pa.Table:
+    df = t.to_pandas().groupby("conv_id", as_index=False).agg(
+        n_turns=("turn_idx", "size")
+    )
+    return pa.Table.from_pandas(df.astype({"n_turns": "int64"}), preserve_index=False)
+
+
+def view_turns_per_conv(sf_dir: str) -> rd.Dataset:
+    """Incremental materialized view: replay the changelog into a lake, then
+    maintain a turns-per-conversation aggregate with bucket-granular
+    incremental refresh (only buckets whose files changed recompute — after
+    a delta commit that is the touched buckets, not the table)."""
+    from .views import BucketAggView
+
+    clog = fixture_for(sf_dir, "basic")
+    label = os.path.basename(os.path.normpath(sf_dir))
+    lake_dir = os.path.join(LAKE_ROOT, label, "view_turns")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = replay(clog, lake_dir, num_buckets=16, epochs_per_commit=4)
+    view = BucketAggView(lake, "turns_per_conv", _turns_per_conv_agg)
+    view.refresh()
+    return view.read()
 
 
 def events_distinct_users_hll(sf_dir: str, *, p: int = 12) -> rd.Dataset:

@@ -1,0 +1,121 @@
+"""Incremental materialized views over a lake table.
+
+A view is any per-bucket-computable aggregate of the live rows (every
+grouping keyed by ``conv_id`` qualifies — bucket boundaries respect the
+conv partitioning). Refresh is incremental at BUCKET granularity: the view
+manifest fingerprints each bucket's file list, and a refresh recomputes only
+buckets whose files changed since the last refresh — after a typical delta
+commit that is the touched buckets, not the table. This is the engine's
+materialized-view answer to the reference's recompute-the-world analyzer
+runs (``/root/reference/cmd/sql-graph-cli/commands/analyze.go`` re-reads
+every table on every invocation).
+
+Same durability contract as the lake: per-bucket parquet written to a
+staging dir, atomically renamed, then a manifest ``os.replace`` — a killed
+refresh leaves the previous view state intact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .cdc import LakeTable, _read_files_merged
+
+VIEW_MANIFEST = "VIEW.json"
+
+
+class BucketAggView:
+    """Materialized per-bucket aggregate of a lake table.
+
+    ``agg_fn(table) -> table`` runs over one bucket's LIVE rows (tombstones
+    filtered, payload columns only) and must be bucket-local — true for any
+    aggregate grouped by ``conv_id`` (or finer), because a conversation's
+    rows live in exactly one bucket.
+    """
+
+    def __init__(self, lake: LakeTable, name: str, agg_fn: Callable[[pa.Table], pa.Table]):
+        self.lake = lake
+        self.name = name
+        self.agg_fn = agg_fn
+        self.dir = os.path.join(lake.path, "_views", name)
+        os.makedirs(self.dir, exist_ok=True)
+        mpath = os.path.join(self.dir, VIEW_MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self.state = json.load(f)
+        else:
+            self.state = {"buckets": {}}  # str(bucket) -> {"files": [...], "out": path}
+
+    def refresh(self) -> dict:
+        """Recompute only the buckets whose lake file lists changed.
+        Returns {"recomputed": n, "reused": m}."""
+        m = self.lake.manifest
+        target = self.lake._event_read_schema()
+        payload_cols = [f.name for f in m.payload_schema]
+        by_bucket = self.lake.manifest.bucket_files(self.lake.path)
+        todo: dict[int, list[str]] = {}
+        reused = 0
+        for bk, files in by_bucket.items():
+            rel = [os.path.relpath(f, self.lake.path) for f in files]
+            prev = self.state["buckets"].get(str(bk))
+            if prev is not None and prev["files"] == rel:
+                reused += 1
+            else:
+                todo[bk] = files
+        agg_fn = self.agg_fn
+        out_dir = self.dir
+
+        def _task(items: pa.Table) -> pa.Table:
+            outs = []
+            for bk in items.column("bucket").to_pylist():
+                bk = int(bk)
+                t = _read_files_merged(todo[bk], target)
+                t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
+                agg = agg_fn(t.select(payload_cols))
+                tmp = os.path.join(out_dir, f"bucket={bk:05d}.parquet.tmp")
+                pq.write_table(agg, tmp)
+                os.replace(tmp, os.path.join(out_dir, f"bucket={bk:05d}.parquet"))
+                outs.append(pa.table({"bucket": [bk], "rows": [agg.num_rows]}))
+            return pa.concat_tables(outs)
+
+        if todo:
+            rd.from_items(
+                [{"bucket": b} for b in sorted(todo)],
+                override_num_blocks=len(todo),
+            ).map_batches(_task, batch_format="pyarrow", batch_size=1).take_all()
+        for bk, files in todo.items():
+            self.state["buckets"][str(bk)] = {
+                "files": [os.path.relpath(f, self.lake.path) for f in files],
+                "out": f"bucket={bk:05d}.parquet",
+            }
+        # drop view partitions for buckets that vanished (split rewrites)
+        live = {str(b) for b in by_bucket}
+        for bk in list(self.state["buckets"]):
+            if bk not in live:
+                del self.state["buckets"][bk]
+                try:
+                    os.remove(os.path.join(self.dir, f"bucket={int(bk):05d}.parquet"))
+                except FileNotFoundError:
+                    pass
+        tmp = os.path.join(self.dir, VIEW_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.state, f)
+        os.replace(tmp, os.path.join(self.dir, VIEW_MANIFEST))
+        return {"recomputed": len(todo), "reused": reused}
+
+    def read(self) -> rd.Dataset:
+        """Streaming union of the per-bucket view partitions."""
+        paths = [
+            os.path.join(self.dir, b["out"]) for b in self.state["buckets"].values()
+        ]
+        if not paths:
+            raise RuntimeError("view has never been refreshed")
+        return rd.read_parquet(paths)

@@ -1,0 +1,118 @@
+"""Change feed (CDC out) and incremental materialized views."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from sql_graph_visualizer_ray.pipelines.cdc import LakeTable, replay
+from sql_graph_visualizer_ray.pipelines.views import BucketAggView
+from sql_graph_visualizer_ray.sources.changelog import ChangelogSpec, materialize
+
+SPEC = ChangelogSpec(n_events=8_000, n_convs=250, n_epochs=6, seed=47)
+
+
+@pytest.fixture(scope="module")
+def clog():
+    return materialize("unit-views", SPEC)
+
+
+def _make_turns_per_conv():
+    # defined via a factory so cloudpickle serializes the function BY VALUE —
+    # a module-level function in a test module is pickled by reference and
+    # Ray workers cannot import pytest test modules
+    def turns_per_conv(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("conv_id", as_index=False).agg(
+            n_turns=("turn_idx", "size")
+        )
+        return pa.Table.from_pandas(
+            df.astype({"n_turns": "int64"}), preserve_index=False
+        )
+
+    return turns_per_conv
+
+
+def test_change_feed_covers_commit_rows(ray_session, clog, tmp_path):
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=4)
+    lake.apply(clog, max_epochs=3)
+    v1 = lake.manifest.version
+    c2 = lake.apply(clog)
+    v2 = lake.manifest.version
+    feed = lake.changes(v2).to_pandas()
+    # the commit's feed carries exactly its compacted delta rows
+    assert len(feed) == c2["upserts"] + c2["deletes"]
+    assert set(feed["op"]) <= {"I", "U", "D"}
+    assert (feed[feed["op"] == "D"]["text"].isna()).all()
+    # the older commit's feed is still addressable
+    assert lake.changes(v1).count() > 0
+    with pytest.raises(KeyError):
+        lake.changes(99)
+    # compaction folds deltas away -> the feed for v2 disappears, and the
+    # compaction commit itself has no feed
+    lake.compact(min_files=1)
+    with pytest.raises(KeyError):
+        lake.changes(v2)
+    with pytest.raises(KeyError):
+        lake.changes(lake.manifest.version)
+
+
+def test_view_incremental_refresh(ray_session, clog, tmp_path):
+    import shutil
+
+    priv = str(tmp_path / "clog")
+    shutil.copytree(clog, priv)
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=8)
+    lake.apply(priv)  # the full original changelog
+    turns_per_conv = _make_turns_per_conv()
+    view = BucketAggView(lake, "turns_per_conv", turns_per_conv)
+    r1 = view.refresh()
+    assert r1["recomputed"] > 0 and r1["reused"] == 0
+
+    def expected():
+        df = lake.final_table().to_pandas()
+        return (
+            df.groupby("conv_id", as_index=False)
+            .agg(n_turns=("turn_idx", "size"))
+            .astype({"n_turns": "int64"})
+            .sort_values("conv_id", ignore_index=True)
+        )
+
+    got = view.read().to_pandas().sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, expected())
+
+    # idempotent refresh: nothing changed -> nothing recomputed
+    r2 = view.refresh()
+    assert r2 == {"recomputed": 0, "reused": r1["recomputed"]}
+
+    # a tiny commit touches FEW buckets -> few bucket recomputes
+    import os
+
+    import pyarrow.parquet as pq
+
+    last = pq.read_table(os.path.join(priv, sorted(os.listdir(priv))[-2])).slice(0, 5)
+    e = lake.manifest.applied_epoch + 1
+    small = last.set_column(
+        last.schema.get_field_index("epoch"), "epoch",
+        pa.array([e] * 5, pa.int32()),
+    ).set_column(
+        last.schema.get_field_index("lsn"), "lsn",
+        pa.array(range(10**9, 10**9 + 5), pa.int64()),
+    )
+    pq.write_table(small, os.path.join(priv, f"epoch_{e:05d}.parquet"))
+    lake.apply(priv)
+    r3 = view.refresh()
+    assert 1 <= r3["recomputed"] <= 5  # only touched buckets
+    assert r3["recomputed"] + r3["reused"] == 8
+    got = view.read().to_pandas().sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, expected())
+
+    # a NEW view instance (process restart) reloads the manifest and reuses
+    view2 = BucketAggView(lake, "turns_per_conv", _make_turns_per_conv())
+    assert view2.refresh()["recomputed"] == 0
+
+    # bucket split invalidates everything coherently
+    lake.split_buckets(16)
+    r4 = view2.refresh()
+    assert r4["recomputed"] == len(lake.manifest.data["buckets"])
+    got = view2.read().to_pandas().sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, expected())
