@@ -102,6 +102,24 @@ def cmd_vacuum(a) -> int:
     return 0
 
 
+def cmd_changes(a) -> int:
+    from .pipelines.cdc import LakeTable
+
+    _ensure_ray(a.num_cpus)
+    lake = LakeTable.open(a.lake_dir)
+    try:
+        feed = lake.changes(a.version)
+    except KeyError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if a.out:
+        feed.write_parquet(a.out)
+        print(json.dumps({"version": a.version, "out": a.out}))
+    else:
+        print(json.dumps({"version": a.version, "rows": feed.count()}))
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence gate: the lake's merged state must equal the
     single-process oracle over the same changelog."""
@@ -315,6 +333,12 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("vacuum", help="delete unreferenced version dirs")
     v.add_argument("lake_dir")
     v.set_defaults(fn=cmd_vacuum)
+
+    ch = sub.add_parser("changes", help="export a commit's change feed")
+    ch.add_argument("lake_dir")
+    ch.add_argument("version", type=int)
+    ch.add_argument("--out", default=None, help="write feed parquet here")
+    ch.set_defaults(fn=cmd_changes)
 
     ve = sub.add_parser("verify", help="compare lake state against the oracle")
     ve.add_argument("changelog_dir")

@@ -121,3 +121,14 @@ def test_cli_rules_run_into_edge_lake(ray_session, tmp_path, capsys):
     lake2 = EdgeLake(f"{elakes}/belongs_to")
     assert lake2.manifest.applied_epoch == 1
     assert lake2.edges_table().equals(before)
+
+
+def test_cli_changes_feed(ray_session, clog, tmp_path, capsys):
+    lake = str(tmp_path / "lake")
+    assert main(["run", clog, lake, "--epochs-per-commit", "2"]) == 0
+    capsys.readouterr()
+    assert main(["changes", lake, "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+    assert main(["changes", lake, "99"]) == 1
+    capsys.readouterr()
