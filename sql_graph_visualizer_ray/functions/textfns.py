@@ -130,3 +130,31 @@ def hash_token(tok: str) -> int:
     import zlib
 
     return zlib.crc32(tok.encode("utf-8", "ignore"))
+
+
+WORD_LOWER_PATTERN = r"[a-z0-9_]+"
+
+
+class TermExploder:
+    """(doc_id, term, n) term frequencies per document — one exploded
+    C-level groupby per batch, no per-document Python."""
+
+    def __init__(self):
+        self.pat = re.compile(WORD_LOWER_PATTERN)
+
+    def explode(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(self.pat)
+        lens = toks.str.len().to_numpy()
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), lens),
+                "term": np.concatenate(
+                    [np.array(t, dtype=object) for t in toks if t]
+                )
+                if lens.sum()
+                else np.array([], dtype=object),
+            }
+        )
+        return flat.groupby(["doc_id", "term"], sort=False, as_index=False).agg(
+            n=("term", "size")
+        )

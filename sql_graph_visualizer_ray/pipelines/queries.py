@@ -443,6 +443,7 @@ def build_queries() -> dict:
         "text_quality": _text_quality,
         "text_langid_counts": _text_langid_counts,
         "text_fingerprints": _text_fingerprints,
+        "text_top_terms": text_top_terms,
         # dedup
         "dedup_exact_groups": dedup.exact_dedup_groups,
         "dedup_jaccard_pairs": dedup.jaccard_char_pairs,
@@ -566,6 +567,16 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT o_orderkey, o_custkey, "
             "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders "
             f"WHERE o_custkey IN ({', '.join(map(str, LOOKUP_KEYS))})"
+        ),
+        "text_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(coalesce(text,'')), '[a-z0-9_]+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS d FROM toks GROUP BY 1) "
+            "SELECT doc_id, term, rank FROM ("
+            "SELECT tf.doc_id, tf.term, CAST(row_number() OVER ("
+            "PARTITION BY tf.doc_id ORDER BY tf.n DESC, dfreq.d ASC, tf.term) "
+            "AS BIGINT) AS rank FROM tf JOIN dfreq USING (term)) WHERE rank <= 3"
         ),
         "docs_sample_per_lang": (
             "SELECT doc_id, lang FROM ("
@@ -1321,6 +1332,68 @@ def events_distinct_users_hll(sf_dir: str, *, p: int = 12) -> rd.Dataset:
         .groupby("event_type")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def text_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
+    """Top-k distinguishing terms per document — tf-idf-shaped two-pass
+    pattern with an integer-deterministic ranking (tf desc, document
+    frequency asc, term asc) so the SQL oracle matches exactly (no float
+    score formatting hazards).
+
+    Pass 1 computes GLOBAL document frequencies with per-batch partials
+    before a term groupby (the shuffle moves (term, count) pairs); the df
+    table — vocabulary-sized, not corpus-sized — broadcasts via the object
+    store. Pass 2 scores each document's terms against it vectorized."""
+    import ray as _ray
+
+    from ..functions.textfns import TermExploder
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ex = TermExploder()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tf = ex.explode(b)  # distinct (doc, term) within the batch
+        return tf.groupby("term", sort=False, as_index=False).agg(
+            partial_df=("doc_id", "size")
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("partial_df", alias_name="df"))
+        .to_pandas()
+    )
+    assert len(df_tbl) < 5_000_000, "vocabulary too large for broadcast df"
+    ref = _ray.put(df_tbl.set_index("term")["df"])
+
+    class Score:
+        def __init__(self):
+            self.df = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            tf = ex.explode(batch)
+            if len(tf) == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "term": pd.Series([], dtype="object"),
+                        "rank": pd.Series([], dtype="int64"),
+                    }
+                )
+            tf["df"] = tf["term"].map(self.df).astype("int64")
+            tf = tf.sort_values(
+                ["doc_id", "n", "df", "term"],
+                ascending=[True, False, True, True],
+                kind="mergesort",
+                ignore_index=True,
+            )
+            rank = (tf.groupby("doc_id", sort=False).cumcount() + 1).to_numpy()
+            keep = rank <= k
+            out = tf[keep].copy()
+            out["rank"] = rank[keep].astype("int64")
+            return out[["doc_id", "term", "rank"]].astype({"doc_id": "int64"})
+
+    return docs.map_batches(Score, batch_format="pandas", concurrency=(2, 8))
 
 
 def dedup_minhash_components(sf_dir: str) -> rd.Dataset:
