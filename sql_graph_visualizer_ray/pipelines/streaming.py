@@ -31,6 +31,7 @@ def tail(
     idle_timeout: float = 10.0,
     stop_after_epoch: int | None = None,
     max_commits: int | None = None,
+    auto_compact_files: int | None = None,
     **apply_kw,
 ) -> LakeTable:
     """Apply new epochs as they appear until ``stop_after_epoch`` is reached
@@ -55,6 +56,10 @@ def tail(
         if counters.get("epochs", 0):
             idle = 0.0
             commits += 1
+            if auto_compact_files:
+                # size-tiered background compaction folded into the ingest
+                # loop: delta file counts stay bounded while the tail runs
+                lake.compact(min_files=auto_compact_files)
             if max_commits is not None and commits >= max_commits:
                 break
         if (

@@ -256,3 +256,28 @@ def test_tombstone_compaction_watermark(tmp_path):
     )
     assert tombs_after == 0
     assert lake.final_table().equals(before_live)
+
+
+def test_tail_with_auto_compaction(tmp_path):
+    """The ingest loop's size-tiered compaction keeps per-bucket file counts
+    bounded while the tail follows the changelog; result unchanged."""
+    from sql_graph_visualizer_ray.pipelines.streaming import tail
+    from sql_graph_visualizer_ray.sources.changelog import (
+        ChangelogSpec,
+        materialize,
+    )
+
+    spec = ChangelogSpec(n_events=6_000, n_convs=150, n_epochs=6, seed=43)
+    clog = materialize("unit-tailcompact", spec)
+    lake = tail(
+        str(clog), str(tmp_path / "lake"), num_buckets=4,
+        stop_after_epoch=spec.n_epochs - 1, idle_timeout=2.0,
+        max_epochs=1,  # one commit per epoch -> deltas accumulate fast
+        auto_compact_files=2,
+    )
+    assert all(
+        len(b["files"]) <= 2 for b in lake.manifest.data["buckets"].values()
+    )
+    from sql_graph_visualizer_ray.pipelines.oracle import replay_oracle
+
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
