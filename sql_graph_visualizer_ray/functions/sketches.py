@@ -42,11 +42,14 @@ class HyperLogLog:
         # rho = leading-zero count of w in (64-p)-bit space, + 1
         bits = np.zeros(len(w), dtype=np.int64)
         nz = w > 0
-        # exact bit_length via exponent extraction: values < 2^52 are exact
-        # in float64; larger w only lose sub-ulp detail, and frexp reads the
-        # EXPONENT, which rounding cannot carry across a power of two for
-        # integer inputs converted upward
-        bits[nz] = np.frexp(w[nz].astype(np.float64))[1]
+        # bit_length via exponent extraction; for w >= 2^53 round-to-nearest
+        # float conversion can carry UP across a power of two (2^54-1 ->
+        # 2^54), never down (2^(b-1) is exactly representable), so correct
+        # the one-off overestimate with an exact integer compare
+        bf = np.frexp(w[nz].astype(np.float64))[1]
+        sh = np.minimum(bf - 1, 63).astype(np.uint64)  # avoid shift-by-64
+        over = (bf > 64) | (w[nz] < (np.uint64(1) << sh))
+        bits[nz] = bf - over
         rho = (64 - self.p) - bits + 1
         regs = np.zeros(self.m, dtype=np.uint8)
         np.maximum.at(regs, idx, rho.astype(np.uint8))

@@ -669,7 +669,12 @@ class LakeTable:
         for k, v in commit_counters.items():
             cum[k] = cum.get(k, 0) + v
         m.data["history"].append(
-            {"version": new_version, "applied_epoch": applied_epoch, **commit_counters}
+            {
+                "version": new_version,
+                "applied_epoch": applied_epoch,
+                "mode": "delta" if delta_mode else "rewrite",
+                **commit_counters,
+            }
         )
         m.save_atomic(self.path)
         return commit_counters
@@ -967,9 +972,11 @@ class LakeTable:
         the lake commit-by-commit without any reprocessing (the engine's
         Debezium-out counterpart to the adapter's Debezium-in).
 
-        Only delta/initial commits have a feed; compaction and split commits
-        rewrite existing rows and are not data changes (raises KeyError for
-        versions with no delta files)."""
+        Only DELTA commits have a feed; compaction, split and
+        ``commit_mode="rewrite"`` commits rewrite existing rows (a rewrite
+        commit's per-bucket files contain the merged prior state, not just
+        that commit's changes), so serving them here would replay
+        pre-existing rows as changes — raises KeyError for all three."""
         entry = next(
             (
                 h
@@ -990,6 +997,17 @@ class LakeTable:
             for f in b["files"]
             if f.startswith(prefix)
         ]
+        # mode recorded since manifest v3 history; older entries: a delta
+        # commit's files are delta.parquet, a rewrite's are data.parquet
+        mode = entry.get("mode")
+        if mode is None and files:
+            mode = "delta" if files[0].endswith("delta.parquet") else "rewrite"
+        if mode == "rewrite":
+            raise KeyError(
+                f"no change feed for v{version}: rewrite commit — its files "
+                "hold the merged prior state (a full-state snapshot), not a "
+                "delta; commit with commit_mode='delta' to get a feed"
+            )
         if not files:
             raise KeyError(
                 f"change feed for v{version} was compacted away (run "

@@ -537,6 +537,15 @@ def connected_components(
         .aggregate(Min("cand", alias_name="label"))
         .materialize()
     )
+    if labels.count() == 0:  # empty pair set: Dataset.sum returns None below
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "component_id": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def part_of(col: pa.ChunkedArray) -> pa.Array:
         h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))

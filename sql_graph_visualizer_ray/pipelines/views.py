@@ -42,6 +42,16 @@ class BucketAggView:
     """
 
     def __init__(self, lake: LakeTable, name: str, agg_fn: Callable[[pa.Table], pa.Table]):
+        if lake.manifest.turn_shard_size is not None:
+            # turn-sharded lakes spread one conv_id over several buckets
+            # (bucket = hash(conv) ^ f(turn//shard)), so a conv_id-grouped
+            # agg_fn would emit multiple partial rows per conv_id
+            raise ValueError(
+                "BucketAggView requires conv-partitioned buckets; this lake "
+                f"uses turn_shard_size={lake.manifest.turn_shard_size}, which "
+                "splits a conversation across buckets — per-bucket aggregates "
+                "would be partial. Aggregate over read_final() instead."
+            )
         self.lake = lake
         self.name = name
         self.agg_fn = agg_fn
@@ -72,6 +82,10 @@ class BucketAggView:
                 todo[bk] = files
         agg_fn = self.agg_fn
         out_dir = self.dir
+        # generation-stamped filenames: new partitions land beside the live
+        # ones and only become visible via the manifest os.replace below, so
+        # a killed refresh leaves the previous view state fully intact
+        gen = int(self.state.get("gen", 0)) + 1
 
         def _task(items: pa.Table) -> pa.Table:
             outs = []
@@ -80,9 +94,10 @@ class BucketAggView:
                 t = _read_files_merged(todo[bk], target)
                 t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
                 agg = agg_fn(t.select(payload_cols))
-                tmp = os.path.join(out_dir, f"bucket={bk:05d}.parquet.tmp")
+                name = f"bucket={bk:05d}.g{gen}.parquet"
+                tmp = os.path.join(out_dir, name + ".tmp")
                 pq.write_table(agg, tmp)
-                os.replace(tmp, os.path.join(out_dir, f"bucket={bk:05d}.parquet"))
+                os.replace(tmp, os.path.join(out_dir, name))
                 outs.append(pa.table({"bucket": [bk], "rows": [agg.num_rows]}))
             return pa.concat_tables(outs)
 
@@ -94,21 +109,27 @@ class BucketAggView:
         for bk, files in todo.items():
             self.state["buckets"][str(bk)] = {
                 "files": [os.path.relpath(f, self.lake.path) for f in files],
-                "out": f"bucket={bk:05d}.parquet",
+                "out": f"bucket={bk:05d}.g{gen}.parquet",
             }
         # drop view partitions for buckets that vanished (split rewrites)
         live = {str(b) for b in by_bucket}
         for bk in list(self.state["buckets"]):
             if bk not in live:
                 del self.state["buckets"][bk]
-                try:
-                    os.remove(os.path.join(self.dir, f"bucket={int(bk):05d}.parquet"))
-                except FileNotFoundError:
-                    pass
+        self.state["gen"] = gen
         tmp = os.path.join(self.dir, VIEW_MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(self.state, f)
         os.replace(tmp, os.path.join(self.dir, VIEW_MANIFEST))
+        # GC: every partition file not referenced by the committed manifest
+        # (previous generations, vanished buckets, crashed-refresh orphans)
+        referenced = {b["out"] for b in self.state["buckets"].values()}
+        for fn in os.listdir(self.dir):
+            if fn.endswith(".parquet") and fn not in referenced:
+                try:
+                    os.remove(os.path.join(self.dir, fn))
+                except FileNotFoundError:
+                    pass
         return {"recomputed": len(todo), "reused": reused}
 
     def read(self) -> rd.Dataset:

@@ -237,6 +237,16 @@ def test_connected_components_matches_union_find(ray_session):
     assert got == want
     assert got[5] == 1 and got[12] == 10 and got[21] == 20
 
+    # empty pair set -> empty labeling (Dataset.sum yields None on empty)
+    empty = rd.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    )
+    out_ds = connected_components(empty)
+    assert out_ds.count() == 0
+    assert out_ds.schema().names == ["doc_id", "component_id"]
+
 
 def test_minhash_components_consistent_with_pairs(ray_session):
     from sql_graph_visualizer_ray.pipelines.queries import build_queries

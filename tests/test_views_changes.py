@@ -56,6 +56,51 @@ def test_change_feed_covers_commit_rows(ray_session, clog, tmp_path):
         lake.changes(lake.manifest.version)
 
 
+def test_changes_rewrite_commit_has_no_feed(ray_session, clog, tmp_path):
+    """A rewrite commit's files hold merged prior state, not a delta —
+    serving them as a feed would replay pre-existing rows as changes."""
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=4)
+    lake.apply(clog, max_epochs=3)
+    lake.apply(clog, commit_mode="rewrite")
+    with pytest.raises(KeyError, match="rewrite"):
+        lake.changes(lake.manifest.version)
+
+
+def test_view_rejects_turn_sharded_lake(ray_session, clog, tmp_path):
+    """bucket = hash(conv) ^ f(turn//shard) spreads one conv over several
+    buckets, so a conv-grouped per-bucket aggregate would emit partials."""
+    lake = LakeTable.open(
+        str(tmp_path / "lake"), num_buckets=4, turn_shard_size=8
+    )
+    lake.apply(clog)
+    with pytest.raises(ValueError, match="turn_shard_size"):
+        BucketAggView(lake, "v", _make_turns_per_conv())
+
+
+def test_view_refresh_crash_atomic(ray_session, clog, tmp_path):
+    """Partitions are generation-stamped and only become visible via the
+    manifest commit; orphans from a killed refresh are GC'd next refresh."""
+    import os
+
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=4)
+    lake.apply(clog)
+    view = BucketAggView(lake, "v", _make_turns_per_conv())
+    view.refresh()
+    before = view.read().to_pandas().sort_values("conv_id", ignore_index=True)
+    # simulate a refresh killed after writing partitions, before the
+    # manifest commit: an orphan next-generation file appears
+    orphan = os.path.join(view.dir, "bucket=00000.g99.parquet")
+    live0 = os.path.join(view.dir, view.state["buckets"]["0"]["out"])
+    import shutil
+
+    shutil.copyfile(live0, orphan)
+    reopened = BucketAggView(lake, "v", _make_turns_per_conv())
+    after = reopened.read().to_pandas().sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(after, before)  # orphan invisible
+    reopened.refresh()
+    assert not os.path.exists(orphan)  # GC'd by the next committed refresh
+
+
 def test_view_incremental_refresh(ray_session, clog, tmp_path):
     import shutil
 
