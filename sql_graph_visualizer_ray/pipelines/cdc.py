@@ -862,6 +862,39 @@ class LakeTable:
         m.save_atomic(self.path)
         return {"dropped": dropped, "watermark_us": watermark}
 
+    def bucket_bytes(self) -> dict[int, int]:
+        """Physical bytes per bucket: sum of the manifest's live file sizes.
+        Metadata-only (one os.stat per live file — file count is bounded by
+        buckets x compaction tier, never data volume)."""
+        return {
+            b: sum(os.path.getsize(p) for p in fs)
+            for b, fs in self.manifest.bucket_files(self.path).items()
+        }
+
+    def maybe_auto_split(
+        self, max_bucket_bytes: int, *, max_factor: int = 8
+    ) -> dict:
+        """Automatic bucket-count evolution: when the largest bucket's
+        physical size exceeds ``max_bucket_bytes``, split by the smallest
+        power-of-two factor that brings it back under (capped at
+        ``max_factor`` per call — repeated triggers converge geometrically).
+
+        This is the trigger merge-on-read needs to stay scale-safe: a merge
+        task holds one whole bucket in memory, so bucket size — not table
+        size — is the per-task memory bound, and hash splitting (``h % kn``
+        preserves ``h % n``) keeps the rewrite local per old bucket. Returns
+        ``{"split": 0}`` when under the threshold."""
+        sizes = self.bucket_bytes()
+        if not sizes:
+            return {"split": 0}
+        biggest = max(sizes.values())
+        if biggest <= max_bucket_bytes:
+            return {"split": 0}
+        k = 2
+        while k < max_factor and biggest // k > max_bucket_bytes:
+            k *= 2
+        return self.split_buckets(self.manifest.num_buckets * k)
+
     def split_buckets(self, new_num_buckets: int) -> dict:
         """Bucket-count evolution: rewrite the lake at a finer partitioning.
 
@@ -1108,11 +1141,14 @@ def replay(
     merge_actors: bool = False,
     commit_mode: str = "delta",
     auto_compact_files: int | None = None,
+    auto_split_bytes: int | None = None,
 ) -> LakeTable:
     """Replay a full changelog into a (possibly pre-existing) lake table,
     committing every ``epochs_per_commit`` epochs (None = single commit).
     ``auto_compact_files`` triggers a size-tiered ``compact()`` after any
-    commit that leaves a bucket with at least that many files."""
+    commit that leaves a bucket with at least that many files;
+    ``auto_split_bytes`` splits the bucket count when any bucket outgrows
+    that physical size (see ``LakeTable.maybe_auto_split``)."""
     lake = LakeTable.open(
         lake_dir, num_buckets=num_buckets, turn_shard_size=turn_shard_size
     )
@@ -1127,6 +1163,8 @@ def replay(
         )
         if auto_compact_files and c.get("epochs", 0):
             lake.compact(min_files=auto_compact_files)
+        if auto_split_bytes and c.get("epochs", 0):
+            lake.maybe_auto_split(auto_split_bytes)
         if c.get("epochs", 0) == 0:
             break
         if epochs_per_commit is None:

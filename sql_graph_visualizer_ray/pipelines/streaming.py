@@ -32,6 +32,7 @@ def tail(
     stop_after_epoch: int | None = None,
     max_commits: int | None = None,
     auto_compact_files: int | None = None,
+    auto_split_bytes: int | None = None,
     **apply_kw,
 ) -> LakeTable:
     """Apply new epochs as they appear until ``stop_after_epoch`` is reached
@@ -60,6 +61,11 @@ def tail(
                 # size-tiered background compaction folded into the ingest
                 # loop: delta file counts stay bounded while the tail runs
                 lake.compact(min_files=auto_compact_files)
+            if auto_split_bytes:
+                # bucket-size management folded into the ingest loop: a
+                # bucket outgrowing the per-task memory bound splits before
+                # the next commit (see LakeTable.maybe_auto_split)
+                lake.maybe_auto_split(auto_split_bytes)
             if max_commits is not None and commits >= max_commits:
                 break
         if (

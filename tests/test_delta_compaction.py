@@ -152,6 +152,41 @@ def test_split_buckets_preserves_table(clog, tmp_path):
         lake.split_buckets(33)
 
 
+def test_auto_split_triggers_on_bucket_size(clog, tmp_path):
+    """Ingesting past the per-bucket byte cap triggers an automatic split;
+    table state is preserved and the split factor converges geometrically."""
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=2)
+    before = canonical(lake.final_table())
+    sizes = lake.bucket_bytes()
+    assert set(sizes) == {0, 1} and all(v > 0 for v in sizes.values())
+    # cap above the largest bucket: no-op
+    assert lake.maybe_auto_split(max(sizes.values()) + 1) == {"split": 0}
+    assert lake.manifest.num_buckets == 2
+    # cap at half the largest bucket: one doubling suffices
+    res = lake.maybe_auto_split(max(sizes.values()) // 2 + 1)
+    assert res == {"split": 1, "from": 2, "to": 4}
+    assert canonical(lake.final_table()).equals(before)
+    # far smaller cap: factor rises geometrically but is bounded by max_factor
+    res2 = lake.maybe_auto_split(1, max_factor=8)
+    assert res2 == {"split": 1, "from": 4, "to": 32}
+    assert canonical(lake.final_table()).equals(before)
+
+
+def test_auto_split_in_ingest_loop(clog, tmp_path):
+    """The tail/replay loop folds bucket-size management into ingest: a lake
+    created too coarse ends finer, with state equal to the oracle."""
+    cap = 60_000  # bytes; the 10k-event fixture at 2 buckets far exceeds it
+    lake = replay(
+        clog, str(tmp_path / "lake"), num_buckets=2, epochs_per_commit=2,
+        auto_split_bytes=cap,
+    )
+    assert lake.manifest.num_buckets > 2
+    assert max(lake.bucket_bytes().values()) <= cap * 8  # bounded per trigger
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
+    # resumes cleanly at the finer bucket count
+    assert lake.apply(clog)["epochs"] == 0
+
+
 def test_split_then_apply_matches_oracle(tmp_path):
     """Half the epochs at 4 buckets, split to 16, apply the rest — must equal
     the one-shot oracle (bucket routing of NEW events uses the new count)."""
