@@ -169,14 +169,26 @@ def lsh_near_dup_pairs(
     n_planes: int = 6,
     threshold: float = 0.35,
     seed: int = 42,
+    chunk: int = 2048,
 ) -> rd.Dataset:
     """Embedding near-dup pairs, the SCALE path: random-hyperplane LSH
     buckets co-locate likely-similar vectors (2^n_planes buckets), and the
     all-pairs cosine compare runs only WITHIN each bucket — O(sum b_i^2)
     instead of O(N^2), no driver materialization, no broadcast matrix.
     Cross-bucket near-dups are the recall tradeoff (same as every LSH
-    dedup); the bounded exact demo ``queries.dedup_embed_cosine`` is the
-    oracle-checkable counterpart. Output (vec_a, vec_b) with vec_a < vec_b.
+    dedup). Output (vec_a, vec_b) with vec_a < vec_b.
+
+    SKEW SAFETY: a dup-heavy corpus (exactly when you run dedup) produces a
+    hot bucket; a naive per-bucket map_groups pins its entire O(b^2) compare
+    on one task. Buckets larger than ``chunk`` members are therefore
+    decomposed triangle-join style: members hash to ``C = ceil(b/chunk)``
+    sub-chunks and every chunk PAIR (i <= j) becomes its own task, so the
+    hot bucket fans out to C(C+1)/2 bounded tasks (each <= 2*chunk vectors,
+    <= chunk^2 sims) at the cost of replicating each member C times — data
+    shipped grows by C while compute per task drops by C^2. The emitted pair
+    set is EXACTLY the within-bucket pair set (every unordered pair lands in
+    exactly one chunk-pair task), so semantics are unchanged from the
+    unchunked form.
     """
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = emb.take(1)[0]
@@ -189,19 +201,76 @@ def lsh_near_dup_pairs(
         def __init__(self):
             self.planes = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def _buckets(self, batch: pd.DataFrame) -> np.ndarray:
             m = _norm_rows(_stack(batch["embedding"]))
             sig = (m @ self.planes.T > 0).astype(np.uint8)
-            bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(
+            return np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(
                 np.int64
             )
-            out = pd.DataFrame(
-                {"vec_id": batch["vec_id"].astype("int64"), "bucket": bucket}
+
+    class BucketOnly(Bucketize):
+        """Pass 1: bucket histogram — no embeddings leave the read task."""
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"bucket": self._buckets(batch)})
+
+    sizes = {
+        int(r["bucket"]): int(r["count()"])
+        for r in emb.map_batches(
+            BucketOnly, batch_format="pandas", concurrency=(1, 8)
+        )
+        .groupby("bucket")
+        .count()
+        .take_all()  # tiny: <= 2^n_planes rows
+    }
+    if not sizes:
+        return rd.from_items([]).map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    n_chunks = {b: -(-c // chunk) for b, c in sizes.items()}
+    enc = max(n_chunks.values()) + 1  # group-key radix
+    chunks_ref = ray.put(n_chunks)
+
+    class Route(Bucketize):
+        """Pass 2: replicate each member to its C chunk-pair tasks,
+        fully vectorized (repeat + cumsum arithmetic — no per-row loop).
+        gkey = (bucket * enc + i) * enc + j for chunk pair (i <= j)."""
+
+        def __init__(self):
+            super().__init__()
+            self.n_chunks = ray.get(chunks_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            bucket = self._buckets(batch)
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            C_arr = (
+                pd.Series(bucket).map(self.n_chunks).fillna(1).to_numpy(np.int64)
             )
-            out["embedding"] = batch["embedding"].to_numpy()
+            c = ids % C_arr  # member's own chunk
+            # expand each row C times; i_seq = 0..C-1 per row
+            idx = np.repeat(np.arange(len(ids)), C_arr)
+            starts = np.cumsum(C_arr) - C_arr
+            i_seq = np.arange(int(C_arr.sum())) - np.repeat(starts, C_arr)
+            c_rep = np.repeat(c, C_arr)
+            lo = np.minimum(i_seq, c_rep)
+            hi = np.maximum(i_seq, c_rep)
+            gkey = (np.repeat(bucket, C_arr) * enc + lo) * enc + hi
+            out = pd.DataFrame(
+                {
+                    "gkey": gkey.astype(np.int64),
+                    "vec_id": ids[idx],
+                }
+            )
+            out["embedding"] = batch["embedding"].to_numpy()[idx]
             return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def chunk_pair_fn(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "vec_a": pd.Series([], dtype="int64"),
@@ -210,25 +279,37 @@ def lsh_near_dup_pairs(
         )
         if len(g) < 2:
             return empty
+        gkey = int(g["gkey"].iloc[0])
+        b, i, j = gkey // (enc * enc), (gkey // enc) % enc, gkey % enc
+        C = n_chunks.get(b, 1)
         g = g.sort_values("vec_id", ignore_index=True)
-        m = _norm_rows(_stack(g["embedding"]))
         ids = g["vec_id"].to_numpy()
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        if not keep.any():
+        m = _norm_rows(_stack(g["embedding"]))
+        if i == j:  # within-chunk: upper triangle
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            a, bb = ids[ia[keep]], ids[ib[keep]]
+        else:  # cross-chunk: full bipartite compare, pair as (min, max)
+            side = ids % C
+            am, bm = side == i, side == j
+            if not am.any() or not bm.any():
+                return empty
+            sims = m[am] @ m[bm].T
+            ia, ib = np.nonzero(sims >= threshold)
+            a_ids, b_ids = ids[am][ia], ids[bm][ib]
+            a = np.minimum(a_ids, b_ids)
+            bb = np.maximum(a_ids, b_ids)
+        if len(a) == 0:
             return empty
         return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]].astype("int64"),
-                "vec_b": ids[ib[keep]].astype("int64"),
-            }
+            {"vec_a": a.astype("int64"), "vec_b": bb.astype("int64")}
         )
 
     return (
-        emb.map_batches(Bucketize, batch_format="pandas", concurrency=(1, 8))
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        emb.map_batches(Route, batch_format="pandas", concurrency=(1, 8))
+        .groupby("gkey")
+        .map_groups(chunk_pair_fn, batch_format="pandas")
     )
 
 

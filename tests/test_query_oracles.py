@@ -384,3 +384,61 @@ def test_retired_bounded_demos_against_duckdb(ray_session):
         .sort_values(["vec_a", "vec_b"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got2[want2.columns], want2, check_dtype=False)
+
+
+def test_lsh_near_dup_pairs_hot_bucket_chunked(ray_session, tmp_path):
+    """Adversarial skew: a dup-heavy corpus collapses into one LSH bucket.
+    With a small chunk cap the bucket decomposes into many bounded chunk-pair
+    tasks; the emitted pair set must EQUAL the unchunked within-bucket
+    brute force (the decomposition is exact, not an approximation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sql_graph_visualizer_ray.pipelines.similarity import lsh_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    n = 240
+    # near-identical vectors -> identical hyperplane signature (hot bucket)
+    vecs = base[None, :] + 1e-3 * rng.standard_normal((n, 16))
+    # plus background noise vectors spread over other buckets
+    noise = rng.standard_normal((120, 16))
+    allv = np.vstack([vecs, noise]).astype(np.float32)
+    ids = np.arange(len(allv), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array([list(map(float, v)) for v in allv],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(allv), dtype=np.int32)),
+        }
+    )
+    d = tmp_path / "hot"
+    d.mkdir()
+    _pq.write_table(t, d / "embeddings.parquet")
+
+    got = set(
+        map(
+            tuple,
+            lsh_near_dup_pairs(str(d), chunk=32)
+            .to_pandas()[["vec_a", "vec_b"]]
+            .itertuples(index=False),
+        )
+    )
+
+    # independent recompute: same planes, per-bucket brute force
+    m = allv.astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    planes = np.random.default_rng(42).standard_normal((6, 16))
+    bucket = np.packbits((m @ planes.T > 0).astype(np.uint8), axis=1,
+                         bitorder="little")[:, 0]
+    want = set()
+    for b in np.unique(bucket):
+        pos = np.flatnonzero(bucket == b)
+        sims = m[pos] @ m[pos].T
+        ia, ib = np.triu_indices(len(pos), k=1)
+        for x, y in zip(ia[sims[ia, ib] >= 0.35], ib[sims[ia, ib] >= 0.35]):
+            want.add((int(ids[pos][x]), int(ids[pos][y])))
+    assert (bucket == bucket[0]).sum() >= n  # the hot bucket really is hot
+    assert got == want
+    assert len(got) >= n * (n - 1) // 2  # the hot bucket's pairs all survive
