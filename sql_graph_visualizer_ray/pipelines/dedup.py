@@ -171,6 +171,51 @@ def _shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+# above this many (deduped) candidate pairs the shingle dict stops being a
+# broadcastable small side and verification falls back to the shuffle join
+_BROADCAST_PAIR_CAP = 2_000_000
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Sorted unique uint64 hashes of a doc's shingle set — the exact-Jaccard
+    currency both verification paths trade in."""
+    sh = list(_shingles(text or ""))
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(pd.util.hash_array(np.array(sh, dtype=object)))
+
+
+def _pair_jaccard_keep(
+    a_arrs: list, b_arrs: list, threshold: float
+) -> np.ndarray:
+    """Vectorized exact Jaccard over many (a, b) shingle-hash-set pairs in ONE
+    sort-merge pass: concatenate every pair's two sorted-unique arrays labeled
+    by pair index, lexsort, and count adjacent equal values within a pair —
+    each duplicate is exactly one intersection element. Returns a keep mask."""
+    n = len(a_arrs)
+    if n == 0:
+        return np.empty(0, dtype=bool)
+    lens = np.empty(2 * n, dtype=np.int64)
+    lens[0::2] = [len(x) for x in a_arrs]
+    lens[1::2] = [len(x) for x in b_arrs]
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=bool)
+    vals = np.empty(total, dtype=np.uint64)
+    pos = 0
+    for i in range(n):
+        for arr in (a_arrs[i], b_arrs[i]):
+            vals[pos : pos + len(arr)] = arr
+            pos += len(arr)
+    pid = np.repeat(np.arange(2 * n, dtype=np.int64) // 2, lens)
+    order = np.lexsort((vals, pid))
+    v, p = vals[order], pid[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = lens[0::2] + lens[1::2] - inter
+    return (union > 0) & (inter / np.maximum(union, 1) >= threshold)
+
+
 class MinHasher:
     """Per-batch minhash signatures: shingle -> 31-bit hashes -> per-permutation
     min via the (a*x+b) mod p trick, all in native uint64 vector math.
@@ -311,13 +356,104 @@ def minhash_lsh_pairs(
         .select_columns(["doc_a", "doc_b"])
     )
 
-    # shuffle-native verification (no driver materialization, no whole-text
-    # broadcast — both were the scale-killers at 100 TB): each candidate pair
-    # splits into two (doc_id, doc_a, doc_b) half-rows, ONE hash join pulls
-    # the half's text in, and a coarse groupby on hash(pair) co-locates both
-    # halves, dedups the pair set (cross-band duplicates collapse there —
-    # no separate dedup shuffle needed) and verifies with exact shingle
-    # Jaccard. Document bodies move exactly once; pair keys twice.
+    # Verification has two regimes, switched on the DEDUPED candidate count
+    # (ids only — 16 bytes/pair — so counting them is cheap at any scale):
+    #
+    # * broadcast (pairs <= _BROADCAST_PAIR_CAP): candidate doc ids are
+    #   broadcast once (ray.put), one map_batches over the corpus shingles
+    #   only candidate docs, the resulting {doc_id: sorted-hash-array} dict
+    #   (orders of magnitude smaller than the corpus) is broadcast back, and
+    #   verification is a plain map_batches over the pair list — NO join, NO
+    #   pair exchange. This is the common case: even a dup-heavy corpus
+    #   yields candidate pairs ~ O(dup clusters), not O(corpus).
+    #
+    # * shuffle-join (above the cap): each pair splits into two half-rows,
+    #   ONE hash join (fan-in sized to corpus bytes, never a fixed constant)
+    #   pulls the half's text in, a post-join map shingles each doc once per
+    #   partition, and a coarse groupby on hash(pair) co-locates both halves,
+    #   dedups cross-band duplicates and verifies in one vectorized pass.
+    #   Ray's join operator carries a per-partition actor-pool startup cost
+    #   (~6.5 s floor observed even at num_partitions=2 on this host), which
+    #   is exactly why the broadcast path exists for the small-candidate case.
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    p_pair = max(64, 4 * cpus)  # pair-exchange groups
+    candidates = candidates.materialize()  # ids only — tiny relative to corpus
+    n_pairs = candidates.count()
+
+    empty_pairs = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if n_pairs == 0:
+        return rd.from_arrow(empty_pairs)
+
+    if n_pairs <= _BROADCAST_PAIR_CAP:
+        pairs = (
+            candidates.to_pandas()
+            .drop_duplicates(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        cand_ids = np.unique(
+            np.concatenate(
+                [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
+            )
+        )
+        ids_ref = _ray.put(cand_ids)  # sorted — filter uses searchsorted
+
+        class ShingleCandidates:
+            """Actor stage: the candidate-id array is fetched ONCE per actor
+            (zero-copy numpy from plasma), each batch keeps only candidate
+            docs and emits their sorted shingle-hash arrays."""
+
+            def __init__(self):
+                self.ids = _ray.get(ids_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                did = b["doc_id"].to_numpy(np.int64)
+                pos = np.searchsorted(self.ids, did)
+                pos[pos >= len(self.ids)] = 0
+                mask = self.ids[pos] == did
+                kept = b.loc[mask]
+                return pd.DataFrame(
+                    {
+                        "doc_id": kept["doc_id"].to_numpy(np.int64),
+                        "sh": [_shingle_hashes(t) for t in kept["text"]],
+                    }
+                )
+
+        sh_rows = docs.map_batches(
+            ShingleCandidates, batch_format="pandas", concurrency=(1, cpus)
+        ).take_all()
+        sh_ref = _ray.put({int(r["doc_id"]): r["sh"] for r in sh_rows})
+
+        class VerifyBroadcast:
+            def __init__(self):
+                self.sh = _ray.get(sh_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                a = t.column("doc_a").to_numpy()
+                b = t.column("doc_b").to_numpy()
+                e = np.empty(0, dtype=np.uint64)
+                a_arrs = [self.sh.get(int(x), e) for x in a]
+                b_arrs = [self.sh.get(int(x), e) for x in b]
+                keep = _pair_jaccard_keep(a_arrs, b_arrs, jaccard_threshold)
+                return pa.table(
+                    {
+                        "doc_a": pa.array(a[keep], pa.int64()),
+                        "doc_b": pa.array(b[keep], pa.int64()),
+                    }
+                )
+
+        pairs_ds = rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+        return pairs_ds.map_batches(
+            VerifyBroadcast, batch_format="pyarrow", concurrency=(1, cpus)
+        )
+
+    # --- shuffle-join path: candidate set too large to broadcast ---
+    corpus_bytes = docs.size_bytes() or 0
+    num_partitions = int(np.clip(corpus_bytes // (64 << 20), 2, 4 * cpus))
+
     halves = candidates.map_batches(
         lambda t: pa.table(
             {
@@ -346,51 +482,77 @@ def minhash_lsh_pairs(
         ),
         batch_format="pyarrow",
     )
-    joined = halves.join(texts, join_type="inner", num_partitions=4, on=("doc_id",))
+    joined = halves.join(
+        texts, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
+    )
 
-    def add_pair_part(b: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(b["doc_a"].to_numpy()) * np.uint64(
-            0x9E3779B97F4A7C15
-        ) ^ pd.util.hash_array(b["doc_b"].to_numpy())
-        b["_ppart"] = (h % 64).astype(np.int32)
-        return b
+    def attach_shingles(b: pd.DataFrame) -> pa.Table:
+        """Shingle each candidate doc ONCE per partition block (the join
+        co-locates a doc's half-rows), emit per-half rows carrying the
+        sorted shingle-hash array as an Arrow large_list<uint64> column —
+        texts never enter the pair exchange."""
+        if b.empty:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "sh": pa.array([], pa.large_list(pa.uint64())),
+                    "_ppart": pa.array([], pa.int32()),
+                }
+            )
+        sh_map: dict[int, np.ndarray] = {}
+        for did, txt in zip(b["doc_id"], b["text"]):
+            if did not in sh_map:
+                sh_map[did] = _shingle_hashes(txt)
+        arrs = [sh_map[d] for d in b["doc_id"]]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+        offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        values = (
+            np.concatenate(arrs) if offsets[-1] else np.empty(0, dtype=np.uint64)
+        )
+        sh_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
+        )
+        a = b["doc_a"].to_numpy()
+        bb = b["doc_b"].to_numpy()
+        ph = pd.util.hash_array(a) * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(bb)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(bb, pa.int64()),
+                "side": pa.array((b["doc_id"].to_numpy() == bb).astype(np.int8)),
+                "sh": sh_col,
+                "_ppart": pa.array((ph % p_pair).astype(np.int32)),
+            }
+        )
+
+    with_sh = joined.map_batches(
+        attach_shingles, batch_format="pandas", batch_size=None
+    )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        """All pairs of the group in one pass: concatenate both sides'
+        shingle hashes labeled by pair index, lexsort, count adjacent equal
+        values within a pair (hashes are unique per doc, so every duplicate
+        is one intersection element)."""
         empty = pd.DataFrame(
             {
                 "doc_a": pd.Series([], dtype="int64"),
                 "doc_b": pd.Series([], dtype="int64"),
             }
         )
-        # side 0 = the a-half, side 1 = the b-half; after dedup every pair
-        # has exactly two rows, so sorting by (pair, side) interleaves them
-        g = g.assign(side=(g["doc_id"] == g["doc_b"]).astype("int8"))
         g = g.drop_duplicates(["doc_a", "doc_b", "side"]).sort_values(
             ["doc_a", "doc_b", "side"], kind="mergesort", ignore_index=True
         )
         if len(g) == 0:
             return empty
         assert len(g) % 2 == 0
-        txts = g["text"].tolist()
-        # shingle each distinct doc once; sets as sorted uint64 hash arrays
-        # so the per-pair set ops are numpy intersects
-        hashes: dict[int, np.ndarray] = {}
-        for i, t in zip(g["doc_id"], txts):
-            if i not in hashes:
-                sh = list(_shingles(t or ""))
-                hashes[i] = (
-                    np.sort(pd.util.hash_array(np.array(sh, dtype=object)))
-                    if sh
-                    else np.array([], dtype=np.uint64)
-                )
+        arrs = g["sh"].tolist()  # ndarray cells (Arrow list -> pandas)
+        keep = _pair_jaccard_keep(arrs[0::2], arrs[1::2], jaccard_threshold)
         a_ids = g["doc_a"].to_numpy()[0::2]
         b_ids = g["doc_b"].to_numpy()[0::2]
-        keep = np.empty(len(a_ids), dtype=bool)
-        for k, (a, d) in enumerate(zip(a_ids, b_ids)):
-            sa, sb = hashes[a], hashes[d]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            keep[k] = union > 0 and inter / union >= jaccard_threshold
         return pd.DataFrame(
             {
                 "doc_a": a_ids[keep].astype("int64"),
@@ -398,11 +560,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    return (
-        joined.map_batches(add_pair_part, batch_format="pandas")
-        .groupby("_ppart")
-        .map_groups(verify, batch_format="pandas")
-    )
+    return with_sh.groupby("_ppart").map_groups(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
