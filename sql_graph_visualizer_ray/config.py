@@ -185,6 +185,70 @@ def rule_to_dict(r: "NodeRule | RelationshipRule") -> dict:
 _PRED_OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "not_null", "is_null"}
 
 
+@dataclass(frozen=True)
+class TableFilter:
+    """Config-level table selection + per-table row predicates/limits — the
+    reference's ``DataFilteringConfig``
+    (``/root/reference/internal/domain/models/config.go:74-81``): blacklist
+    beats whitelist, both case-insensitive
+    (``mysql/repository.go:285-319`` applyTableFiltering/isInList),
+    ``row_limit_per_table`` and per-table WHERE conditions apply at
+    extraction time, BEFORE any rule-level filter. Where the reference
+    carries WHERE as raw SQL strings, we use the same declarative
+    ``Predicate`` specs the rules use — they compile to pyarrow filters."""
+
+    whitelist: tuple[str, ...] = ()
+    blacklist: tuple[str, ...] = ()
+    row_limit_per_table: int | None = None
+    where: dict[str, tuple[Predicate, ...]] = field(default_factory=dict)
+
+    def allows(self, table: str) -> bool:
+        t = table.lower()
+        if t in {b.lower() for b in self.blacklist}:
+            return False
+        if self.whitelist:
+            return t in {w.lower() for w in self.whitelist}
+        return True
+
+    def select(self, tables: "list[str]") -> "list[str]":
+        return [t for t in tables if self.allows(t)]
+
+    def where_for(self, table: str) -> tuple[Predicate, ...]:
+        t = table.lower()
+        for name, preds in self.where.items():
+            if name.lower() == t:
+                return preds
+        return ()
+
+
+def _table_filter_from_dict(d: dict) -> TableFilter:
+    return TableFilter(
+        whitelist=tuple(d.get("whitelist", ())),
+        blacklist=tuple(d.get("blacklist", ())),
+        row_limit_per_table=d.get("row_limit_per_table"),
+        where={
+            t: tuple(_predicate_from_dict(p) for p in preds)
+            for t, preds in (d.get("where") or {}).items()
+        },
+    )
+
+
+def _table_filter_to_dict(tf: TableFilter) -> dict:
+    d: dict = {}
+    if tf.whitelist:
+        d["whitelist"] = list(tf.whitelist)
+    if tf.blacklist:
+        d["blacklist"] = list(tf.blacklist)
+    if tf.row_limit_per_table is not None:
+        d["row_limit_per_table"] = tf.row_limit_per_table
+    if tf.where:
+        d["where"] = {
+            t: [{"column": p.column, "op": p.op, "value": p.value} for p in preds]
+            for t, preds in tf.where.items()
+        }
+    return d
+
+
 class RuleSet:
     """Ordered, persistable collection of transform rules.
 
@@ -193,8 +257,13 @@ class RuleSet:
     delete, update priority — all persisted by ``save_yaml``.
     """
 
-    def __init__(self, rules: "list[NodeRule | RelationshipRule] | None" = None):
+    def __init__(
+        self,
+        rules: "list[NodeRule | RelationshipRule] | None" = None,
+        tables: "TableFilter | None" = None,
+    ):
         self.rules: list[NodeRule | RelationshipRule] = list(rules or [])
+        self.tables: TableFilter = tables or TableFilter()
 
     # -- persistence ------------------------------------------------------
     @classmethod
@@ -204,18 +273,23 @@ class RuleSet:
         with open(path) as f:
             doc = yaml.safe_load(f) or {}
         entries = doc.get("transform_rules", doc if isinstance(doc, list) else [])
-        return cls([rule_from_dict(d) for d in entries])
+        tables = (
+            _table_filter_from_dict(doc["tables"])
+            if isinstance(doc, dict) and doc.get("tables")
+            else None
+        )
+        return cls([rule_from_dict(d) for d in entries], tables=tables)
 
     def save_yaml(self, path: str) -> None:
         import yaml
 
         tmp = path + ".tmp"
+        doc: dict = {"transform_rules": [rule_to_dict(r) for r in self.rules]}
+        tf = _table_filter_to_dict(self.tables)
+        if tf:
+            doc["tables"] = tf
         with open(tmp, "w") as f:
-            yaml.safe_dump(
-                {"transform_rules": [rule_to_dict(r) for r in self.rules]},
-                f,
-                sort_keys=False,
-            )
+            yaml.safe_dump(doc, f, sort_keys=False)
         os.replace(tmp, path)
 
     # -- CRUD -------------------------------------------------------------
@@ -283,4 +357,17 @@ class RuleSet:
                             f"relationship rule {r.name!r} {side}_type {t!r} "
                             "matches no node rule"
                         )
+        for t, preds in self.tables.where.items():
+            for p in preds:
+                if p.op not in _PRED_OPS:
+                    problems.append(
+                        f"tables.where[{t!r}] op {p.op!r} not in {_PRED_OPS}"
+                    )
+            if known_tables is not None and t not in known_tables:
+                problems.append(f"tables.where references unknown table {t!r}")
+        if (
+            self.tables.row_limit_per_table is not None
+            and self.tables.row_limit_per_table <= 0
+        ):
+            problems.append("tables.row_limit_per_table must be positive")
         return problems

@@ -594,9 +594,12 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
         ),
         "rules_from_yaml": (
+            # the YAML's tables: section filters customer rows at extraction
+            # (c_acctbal > 0) and blacklists `part` (its node rule vanishes)
             "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
             "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
-            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_acctbal > 0"
         ),
         "rel_lake_roundtrip": (
             "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
@@ -1433,10 +1436,12 @@ def dedup_minhash_components(sf_dir: str) -> rd.Dataset:
 
 
 def rules_from_yaml(sf_dir: str) -> rd.Dataset:
-    """S8/M8 + rule CRUD: the packaged example YAML (mirroring the
-    reference's ``config.yml`` transform_rules) round-trips through the
-    RuleSet loader and priority-ordered runner; output = the relationship
-    rule's edges (same semantics as ``rel_customer_nation``)."""
+    """S8/M8/M9 + rule CRUD: the packaged example YAML (mirroring the
+    reference's ``config.yml`` transform_rules + DataFilteringConfig)
+    round-trips through the RuleSet loader and priority-ordered runner;
+    the ``tables:`` section blacklists ``part`` (that node rule is skipped)
+    and filters customers to ``c_acctbal > 0`` at extraction; output = the
+    relationship rule's edges."""
     from ..config import RuleSet
     from .rules import run_rules
 

@@ -14,26 +14,52 @@ from __future__ import annotations
 import ray.data as rd
 
 from ..config import NodeRule, RelationshipRule, RuleSet
-from .relational import apply_node_rule, apply_relationship_rule, read_table, union_nodes
+from .relational import (
+    apply_node_rule,
+    apply_relationship_rule,
+    compile_predicate,
+    read_table,
+    union_nodes,
+)
 
 
 def run_rules(
     sf_dir: str, rs: RuleSet, *, num_partitions: int = 4
 ) -> dict[str, rd.Dataset]:
     """Execute every rule in priority order; returns rule name -> output
-    Dataset (nodes for node rules, edges for relationship rules)."""
+    Dataset (nodes for node rules, edges for relationship rules).
+
+    The rule set's ``tables:`` filter applies at extraction, mirroring the
+    reference (filtered tables are never read —
+    ``mysql/repository.go:285-309``; per-table WHERE / row limits go into
+    the extraction query, ``models/config.go:74-81``): node rules over an
+    excluded table are silently skipped, and relationship rules whose
+    endpoint node sets were entirely filtered away are skipped with them."""
     problems = rs.validate()
     if problems:
         raise ValueError("invalid rule set: " + "; ".join(problems))
+    tf = rs.tables
     node_sets: dict[str, list[rd.Dataset]] = {}
     outputs: dict[str, rd.Dataset] = {}
     for r in rs.ordered():
         if isinstance(r, NodeRule):
-            out = apply_node_rule(read_table(sf_dir, r.source_table), r)
+            if not tf.allows(r.source_table):
+                continue
+            src_ds = read_table(sf_dir, r.source_table)
+            preds = tf.where_for(r.source_table)
+            if preds:
+                src_ds = src_ds.map_batches(
+                    compile_predicate(preds), batch_format="pyarrow"
+                )
+            if tf.row_limit_per_table is not None:
+                src_ds = src_ds.limit(tf.row_limit_per_table)
+            out = apply_node_rule(src_ds, r)
             outputs[r.name] = out
             node_sets.setdefault(r.target_type, []).append(out)
         else:
             assert isinstance(r, RelationshipRule)
+            if r.source_type not in node_sets or r.target_type not in node_sets:
+                continue  # an endpoint's source tables were filtered out
             src = union_nodes(node_sets[r.source_type])
             tgt = union_nodes(node_sets[r.target_type])
             outputs[r.name] = apply_relationship_rule(

@@ -112,7 +112,16 @@ def test_cli_rules_run_into_edge_lake(ray_session, tmp_path, capsys):
     assert "edge lake" in res["outputs"]["belongs_to"]
     lake = EdgeLake(f"{elakes}/belongs_to")
     before = lake.edges_table()
-    assert before.num_rows == 150  # sf0.001 customers
+    # sf0.001 customers passing the YAML's tables.where c_acctbal > 0 filter
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_acctbal"]
+    )
+    import pyarrow.compute as pc
+
+    n_pos = pc.sum(pc.greater(cust.column("c_acctbal"), 0)).as_py()
+    assert before.num_rows == n_pos == 139
     # a re-run commits a NEW refresh epoch; the same edges LWW-collapse, so
     # the table is unchanged (content idempotence)
     assert main(["rules", "run", yml, "/root/testdata/sf0.001", out_dir,

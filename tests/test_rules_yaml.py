@@ -93,7 +93,11 @@ def test_validate_catches_problems():
 
 def test_run_rules_from_yaml_matches_handbuilt(ray_session, tmp_path):
     """The YAML-loaded customer/nation rules must produce the exact edges of
-    the hand-built rel_customer_nation pipeline."""
+    the hand-built rel_customer_nation pipeline, restricted by the YAML's
+    tables.where extraction filter (c_acctbal > 0)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
     from sql_graph_visualizer_ray.pipelines.queries import (
         rel_customer_nation,
         rules_from_yaml,
@@ -101,11 +105,91 @@ def test_run_rules_from_yaml_matches_handbuilt(ray_session, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     got = rules_from_yaml(sf).to_pandas()
+    cust = pq.read_table(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()
+    positive = set(cust.loc[cust["c_acctbal"] > 0, "c_custkey"])
     want = rel_customer_nation(sf).to_pandas()
+    want = want[want["source_id"].isin(positive)]
     key = ["source_id", "target_id"]
     got = got.sort_values(key, ignore_index=True)
     want = want.sort_values(key, ignore_index=True)
+    assert len(got) < len(rel_customer_nation(sf).to_pandas())  # filter bites
     assert got.equals(want)
+
+
+def test_table_filter_semantics():
+    """Blacklist beats whitelist; both case-insensitive; where/limit lookup
+    is case-insensitive too — mirroring applyTableFiltering/isInList
+    (mysql/repository.go:285-319)."""
+    from sql_graph_visualizer_ray.config import TableFilter
+
+    tf = TableFilter(
+        whitelist=("CUSTOMER", "nation", "part"),
+        blacklist=("Part",),
+        where={"Customer": (Predicate("c_acctbal", ">", 0),)},
+    )
+    assert tf.allows("customer") and tf.allows("NATION")
+    assert not tf.allows("part")  # blacklist wins over whitelist
+    assert not tf.allows("orders")  # not whitelisted
+    assert tf.select(["customer", "orders", "part", "nation"]) == [
+        "customer",
+        "nation",
+    ]
+    assert tf.where_for("CUSTOMER")[0].column == "c_acctbal"
+    assert tf.where_for("nation") == ()
+    # no whitelist -> everything except the blacklist
+    assert TableFilter(blacklist=("x",)).allows("y")
+    assert not TableFilter(blacklist=("X",)).allows("x")
+
+
+def test_table_filter_yaml_round_trip(tmp_path):
+    from sql_graph_visualizer_ray.config import TableFilter
+
+    tf = TableFilter(
+        whitelist=("customer",),
+        blacklist=("part",),
+        row_limit_per_table=10,
+        where={"customer": (Predicate("c_acctbal", ">", 0),)},
+    )
+    rs = RuleSet(RULES, tables=tf)
+    p = str(tmp_path / "rules.yml")
+    rs.save_yaml(p)
+    back = RuleSet.load_yaml(p)
+    assert back.tables == tf
+    assert back.rules == RULES
+
+
+def test_run_rules_honors_row_limit_and_skips(ray_session):
+    """row_limit_per_table caps extraction; rules over excluded tables and
+    relationship rules with filtered-away endpoints are silently skipped."""
+    from sql_graph_visualizer_ray.config import TableFilter
+    from sql_graph_visualizer_ray.pipelines.rules import run_rules
+
+    rs = RuleSet(
+        RULES,
+        tables=TableFilter(blacklist=("supplier",), row_limit_per_table=7),
+    )
+    outs = run_rules("/root/testdata/sf0.001", rs)
+    assert "suppliers" not in outs  # blacklisted source table
+    assert "supplies" not in outs  # endpoint node set filtered away
+    assert outs["customers"].count() == 7  # row limit at extraction
+
+
+def test_validate_flags_bad_tables_section():
+    from sql_graph_visualizer_ray.config import TableFilter
+
+    rs = RuleSet(
+        RULES,
+        tables=TableFilter(
+            row_limit_per_table=0,
+            where={"ghost": (Predicate("c", "~~", 1),)},
+        ),
+    )
+    problems = rs.validate(known_tables={"supplier", "customer"})
+    assert any("row_limit_per_table" in p for p in problems)
+    assert any("'~~'" in p for p in problems)
+    assert any("unknown table 'ghost'" in p for p in problems)
 
 
 def test_run_rules_rejects_invalid(ray_session):
