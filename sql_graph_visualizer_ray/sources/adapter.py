@@ -127,3 +127,155 @@ def sql_to_epochs(
     return batches_to_epochs(
         _arrow_batches_from_sql(conn, query, rows_per_epoch), out_dir
     )
+
+
+def _fetchall(conn, query: str) -> list[tuple]:
+    cur = conn.cursor() if hasattr(conn, "cursor") else conn
+    cur.execute(query)
+    return list(cur.fetchall())
+
+
+def introspect_foreign_keys(conn) -> list[dict]:
+    """True FK metadata from a live connection (S7 full).
+
+    The reference walks ``INFORMATION_SCHEMA.KEY_COLUMN_USAGE`` filtered to
+    rows with a referenced table
+    (``/root/reference/internal/application/services/schema_analyzer_service.go:116-161``).
+    MySQL's dialect puts REFERENCED_TABLE_NAME directly on that view; the
+    ANSI shape (DuckDB, PostgreSQL) splits it across
+    ``referential_constraints`` — join the FK-side key_column_usage row to
+    the PK-side row through the unique-constraint name. Returns one dict per
+    FK column: source_table/source_column/target_table/target_column/
+    constraint_name, deterministically ordered.
+    """
+    rows = _fetchall(
+        conn,
+        """
+        SELECT fk.table_name, fk.column_name,
+               pk.table_name, pk.column_name, fk.constraint_name
+        FROM information_schema.key_column_usage fk
+        JOIN information_schema.referential_constraints rc
+          ON fk.constraint_name = rc.constraint_name
+         AND fk.constraint_schema = rc.constraint_schema
+        JOIN information_schema.key_column_usage pk
+          ON pk.constraint_name = rc.unique_constraint_name
+         AND pk.constraint_schema = rc.unique_constraint_schema
+         AND pk.ordinal_position =
+               COALESCE(fk.position_in_unique_constraint, fk.ordinal_position)
+        ORDER BY 1, 5, 2
+        """,
+    )
+    return [
+        {
+            "source_table": r[0],
+            "source_column": r[1],
+            "target_table": r[2],
+            "target_column": r[3],
+            "constraint_name": r[4],
+        }
+        for r in rows
+    ]
+
+
+def introspect_columns(conn) -> dict[str, list[str]]:
+    """Base-table column inventory (ordinal order) from
+    ``information_schema.columns`` — the metadata half of the reference's
+    ``getTableList``/``analyzeTable`` pass."""
+    rows = _fetchall(
+        conn,
+        """
+        SELECT c.table_name, c.column_name
+        FROM information_schema.columns c
+        JOIN information_schema.tables t
+          ON t.table_name = c.table_name AND t.table_schema = c.table_schema
+        WHERE t.table_type = 'BASE TABLE'
+        ORDER BY c.table_name, c.ordinal_position
+        """,
+    )
+    out: dict[str, list[str]] = {}
+    for t, c in rows:
+        out.setdefault(t, []).append(c)
+    return out
+
+
+def rules_from_connection(conn) -> pa.Table:
+    """M13 on TRUE metadata: auto-generate transform rules from a live
+    schema's declared foreign keys instead of the column-suffix heuristic
+    (``pipelines.queries.auto_rules_from_schema`` remains the Parquet-input
+    fallback, where no FK metadata exists).
+
+    Mirrors the reference's analyzer (``schema_analyzer_service.go:74-196``):
+    one node rule per base table — demoted to a junction relationship rule
+    when the table looks like a many-to-many join table (>= 2 FKs and
+    FK-column ratio > 0.6, or an underscored name with >= 2 FKs,
+    ``isJunctionTable`` :163-196) — plus one relationship rule per FK,
+    carrying the real source/target column pair the heuristic can't know.
+    """
+    tables = introspect_columns(conn)
+    fks = introspect_foreign_keys(conn)
+    fk_by_table: dict[str, list[dict]] = {}
+    for fk in fks:
+        fk_by_table.setdefault(fk["source_table"], []).append(fk)
+
+    rules: list[dict] = []
+    for t, cols in tables.items():
+        tfk = fk_by_table.get(t, [])
+        junction = len(tfk) >= 2 and (
+            len(tfk) / max(len(cols), 1) > 0.6 or "_" in t
+        )
+        if junction:
+            rules.append(
+                {
+                    "rule_name": f"{t}_as_junction",
+                    "rule_type": "relationship",
+                    "source_table": t,
+                    "source_column": tfk[0]["source_column"],
+                    "target_type": tfk[1]["target_table"],
+                    "target_column": tfk[1]["target_column"],
+                    "priority": 2,
+                }
+            )
+        else:
+            rules.append(
+                {
+                    "rule_name": f"{t}_to_node",
+                    "rule_type": "node",
+                    "source_table": t,
+                    "source_column": "",
+                    "target_type": t,
+                    "target_column": "",
+                    "priority": 1,
+                }
+            )
+    for fk in fks:
+        rules.append(
+            {
+                "rule_name": (
+                    f"{fk['source_table']}_{fk['source_column']}"
+                    f"_to_{fk['target_table']}"
+                ),
+                "rule_type": "relationship",
+                "source_table": fk["source_table"],
+                "source_column": fk["source_column"],
+                "target_type": fk["target_table"],
+                "target_column": fk["target_column"],
+                "priority": 2,
+            }
+        )
+    rules.sort(key=lambda r: (r["priority"], r["rule_name"]))
+    return pa.table(
+        {
+            k: pa.array([r[k] for r in rules], pa.int64())
+            if k == "priority"
+            else [r[k] for r in rules]
+            for k in (
+                "rule_name",
+                "rule_type",
+                "source_table",
+                "source_column",
+                "target_type",
+                "target_column",
+                "priority",
+            )
+        }
+    )

@@ -87,3 +87,71 @@ def test_epoch_writer_resumes_numbering(tmp_path):
     assert w2.next_lsn == 2  # one synthesized lsn per row so far
     assert w2.write_epoch(t) == 2
     assert pq.read_table(epoch_files(out)[2][1]).column("lsn").to_pylist() == [2]
+
+
+def _fk_schema():
+    """A live schema with declared FKs + a junction table."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nation(n_nationkey INT PRIMARY KEY, n_name TEXT)")
+    con.execute(
+        "CREATE TABLE customer(c_custkey INT PRIMARY KEY, c_name TEXT, "
+        "c_nationkey INT REFERENCES nation(n_nationkey))"
+    )
+    con.execute(
+        "CREATE TABLE orders(o_orderkey INT PRIMARY KEY, "
+        "o_custkey INT REFERENCES customer(c_custkey), o_total DOUBLE)"
+    )
+    con.execute(
+        "CREATE TABLE part_supplier("
+        "ps_partkey INT REFERENCES nation(n_nationkey), "
+        "ps_suppkey INT REFERENCES customer(c_custkey))"
+    )
+    return con
+
+
+def test_introspect_foreign_keys_true_metadata():
+    """S7 full: declared FKs come back exactly, with real column pairs —
+    not suffix guesses (reference KEY_COLUMN_USAGE walk,
+    schema_analyzer_service.go:116-161)."""
+    from sql_graph_visualizer_ray.sources.adapter import introspect_foreign_keys
+
+    fks = introspect_foreign_keys(_fk_schema())
+    got = {
+        (f["source_table"], f["source_column"], f["target_table"], f["target_column"])
+        for f in fks
+    }
+    assert got == {
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("part_supplier", "ps_partkey", "nation", "n_nationkey"),
+        ("part_supplier", "ps_suppkey", "customer", "c_custkey"),
+    }
+
+
+def test_rules_from_connection_junction_and_fk_rules():
+    """M13 over true metadata: node rule per plain table, junction table
+    demoted to a relationship rule (isJunctionTable heuristic), one
+    relationship rule per declared FK with real column pairs."""
+    from sql_graph_visualizer_ray.sources.adapter import rules_from_connection
+
+    t = rules_from_connection(_fk_schema())
+    rows = t.to_pylist()
+    by_name = {r["rule_name"]: r for r in rows}
+    # plain tables -> node rules
+    for tbl in ("nation", "customer", "orders"):
+        assert by_name[f"{tbl}_to_node"]["rule_type"] == "node"
+    # junction: 2 FKs / 2 columns -> relationship, no node rule
+    assert "part_supplier_to_node" not in by_name
+    j = by_name["part_supplier_as_junction"]
+    assert j["rule_type"] == "relationship"
+    assert j["source_column"] == "ps_partkey"
+    assert (j["target_type"], j["target_column"]) == ("customer", "c_custkey")
+    # FK rules carry the true column pair
+    fk = by_name["customer_c_nationkey_to_nation"]
+    assert (fk["source_column"], fk["target_column"]) == (
+        "c_nationkey",
+        "n_nationkey",
+    )
+    # deterministic ordering: priority then name
+    prios = [r["priority"] for r in rows]
+    assert prios == sorted(prios)
