@@ -70,6 +70,13 @@ from ..state.manifest import Manifest, clean_uncommitted
 
 _META_COLS = ("lsn", "epoch", "op")
 
+#: physical names of the two merge-key columns inside every lake file and
+#: kernel. A lake whose manifest declares different LOGICAL ``key_columns``
+#: (e.g. the edge lake's (source_id, target_id)) is renamed to/from these at
+#: the LakeTable boundary — the name indirection lives in the manifest, the
+#: way Iceberg resolves columns through field ids rather than names.
+CANONICAL_KEYS = ("conv_id", "turn_idx")
+
 
 def _event_schema_for(payload_schema: pa.Schema) -> pa.Schema:
     return pa.schema(
@@ -117,19 +124,66 @@ class LakeTable:
         num_buckets: int = 16,
         turn_shard_size: int | None = None,
         payload_schema: pa.Schema | None = None,
+        key_columns: tuple[str, str] | None = None,
     ) -> "LakeTable":
-        """Open an existing table (manifest wins over kwargs) or create one."""
+        """Open an existing table (manifest wins over kwargs) or create one.
+
+        ``key_columns`` names the two merge-key columns as the CALLER sees
+        them (``payload_schema``, ingested events and every read view use
+        these names); physical files keep the canonical names, so all merge
+        kernels and shuffle paths are shared untouched.
+        """
         m = Manifest.load(path)
         if m is None:
             from ..schema import TRANSCRIPT_SCHEMA
 
             os.makedirs(path, exist_ok=True)
-            m = Manifest.new(
-                num_buckets, payload_schema or TRANSCRIPT_SCHEMA, turn_shard_size
-            )
+            kc = tuple(key_columns or CANONICAL_KEYS)
+            payload = payload_schema or TRANSCRIPT_SCHEMA
+            if kc != CANONICAL_KEYS:
+                missing = [c for c in kc if c not in payload.names]
+                if missing:
+                    raise ValueError(
+                        f"key_columns {missing} not in payload schema"
+                    )
+                clash = [c for c in CANONICAL_KEYS if c in payload.names]
+                if clash:
+                    raise ValueError(
+                        f"payload schema may not use the reserved physical "
+                        f"key names {clash} alongside key_columns={list(kc)}"
+                    )
+                ren = dict(zip(kc, CANONICAL_KEYS))
+                payload = pa.schema(
+                    [
+                        pa.field(ren.get(f.name, f.name), f.type)
+                        for f in payload
+                    ]
+                )
+            m = Manifest.new(num_buckets, payload, turn_shard_size, kc)
             m.save_atomic(path)
         clean_uncommitted(path, m.version)
         return cls(path, m)
+
+    # -- logical <-> physical key-name indirection ----------------------
+    @property
+    def key_columns(self) -> tuple[str, str]:
+        return self.manifest.key_columns
+
+    def _to_physical(self, t: pa.Table) -> pa.Table:
+        """Rename logical key columns to the canonical physical names."""
+        kc = self.manifest.key_columns
+        if kc == CANONICAL_KEYS:
+            return t
+        ren = dict(zip(kc, CANONICAL_KEYS))
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    def _to_logical(self, t: pa.Table) -> pa.Table:
+        """Rename canonical physical key columns back to the logical names."""
+        kc = self.manifest.key_columns
+        if kc == CANONICAL_KEYS:
+            return t
+        ren = dict(zip(CANONICAL_KEYS, kc))
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
 
     # ------------------------------------------------------------------
     # Apply
@@ -220,8 +274,15 @@ class LakeTable:
             md = pq.read_metadata(p)
             raw_events += md.num_rows
             file_schemas[p] = pq.read_schema(p)
+        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
         incoming_payload = [
-            pa.schema([f for f in s if f.name not in _META_COLS])
+            pa.schema(
+                [
+                    pa.field(ren_in.get(f.name, f.name), f.type)
+                    for f in s
+                    if f.name not in _META_COLS
+                ]
+            )
             for s in file_schemas.values()
         ]
         payload = unify([m.payload_schema] + incoming_payload)
@@ -234,6 +295,9 @@ class LakeTable:
             by_schema[s.to_string()].append(p)
 
         def _normalize_and_compact(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [ren_in.get(c, c) for c in t.column_names]
+            )
             t = normalize_table(t, event_schema)
             if precompact:
                 t = compact_with_lineage(t, keep_tombstones=True)  # combiner
@@ -297,9 +361,10 @@ class LakeTable:
                 "the input Dataset is created — use apply() or shuffle="
                 "'sort'/'spill'"
             )
+        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
         incoming = pa.schema(
             [
-                pa.field(n, t)
+                pa.field(ren_in.get(n, n), t)
                 for n, t in zip(events.schema().names, events.schema().types)
                 if n not in _META_COLS
             ]
@@ -311,6 +376,7 @@ class LakeTable:
         def _norm(t: pa.Table) -> pa.Table:
             import numpy as np
 
+            t = t.rename_columns([ren_in.get(c, c) for c in t.column_names])
             if "epoch" in t.column_names:
                 t = t.drop_columns(["epoch"])
             t = t.append_column(
@@ -1048,13 +1114,17 @@ class LakeTable:
                 "min_files threshold)"
             )
         payload_cols = [f.name for f in self.manifest.payload_schema]
+        ren_out = dict(zip(CANONICAL_KEYS, self.manifest.key_columns))
 
         def shape(t: pa.Table) -> pa.Table:
             t = t.rename_columns(
                 [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in t.column_names]
             )
             keep = [c for c in payload_cols if c in t.column_names]
-            return t.select(["op", "lsn"] + keep)
+            t = t.select(["op", "lsn"] + keep)
+            return t.rename_columns(
+                [ren_out.get(c, c) for c in t.column_names]
+            )
 
         return rd.read_parquet(files, override_num_blocks=len(files)).map_batches(
             shape, batch_format="pyarrow"
@@ -1078,17 +1148,28 @@ class LakeTable:
         m = self.manifest
         payload = m.payload_schema
         payload_cols = [f.name for f in payload]
+        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
+        ren_out = dict(zip(CANONICAL_KEYS, m.key_columns))
         if columns is not None:
-            unknown = set(columns) - set(payload_cols)
+            phys = [ren_in.get(c, c) for c in columns]
+            unknown = set(phys) - set(payload_cols)
             if unknown:
-                raise KeyError(f"unknown columns {sorted(unknown)}")
-            payload_cols = [c for c in payload_cols if c in set(columns)]
+                raise KeyError(
+                    f"unknown columns {sorted(ren_out.get(c, c) for c in unknown)}"
+                )
+            payload_cols = [c for c in payload_cols if c in set(phys)]
             need = set(payload_cols) | {"conv_id", "turn_idx", "ts"}
             payload = pa.schema([f for f in payload if f.name in need])
         by_bucket = m.bucket_files(self.path)
         if not by_bucket:
             return rd.from_arrow(
-                pa.schema([f for f in payload if f.name in payload_cols]).empty_table()
+                pa.schema(
+                    [
+                        pa.field(ren_out.get(f.name, f.name), f.type)
+                        for f in payload
+                        if f.name in payload_cols
+                    ]
+                ).empty_table()
             )
         target = pa.schema(
             list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
@@ -1099,7 +1180,10 @@ class LakeTable:
             for bk in items.column("bucket").to_pylist():
                 t = _read_files_merged(by_bucket[int(bk)], target)
                 t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
-                outs.append(t.select(payload_cols))
+                t = t.select(payload_cols)
+                outs.append(
+                    t.rename_columns([ren_out.get(c, c) for c in t.column_names])
+                )
             return pa.concat_tables(outs)
 
         return rd.from_items(
@@ -1118,13 +1202,14 @@ class LakeTable:
         t = (
             pa.concat_tables(tables, promote_options="permissive")
             if tables
-            else self.manifest.payload_schema.empty_table()
+            else self._to_logical(self.manifest.payload_schema.empty_table())
         )
         if t.num_rows == 0:
             return t
+        k1, k2 = self.manifest.key_columns
         return t.take(
             pc.sort_indices(
-                t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+                t, sort_keys=[(k1, "ascending"), (k2, "ascending")]
             )
         )
 

@@ -4,12 +4,12 @@ The reference stores relationships through its Neo4j repository
 (``/root/reference/internal/infrastructure/persistence/neo4j/repository.go:57-95``
 — MERGE by (source, target, type), i.e. keyed upsert). Here the edge store is
 a second ``LakeTable`` under the same manifest/commit protocol as the
-transcripts lake: the merge key is ``(source_id, target_id)`` (mapped onto
-the lake's ``(conv_id, turn_idx)`` key columns — the LWW kernels are
-key-type-agnostic, so the source key stays int64), re-ingesting the same
-edge set is a LWW no-op, newer epochs overwrite edge properties, and
-``op="D"`` rows tombstone-delete edges with the same late-data protection
-the transcripts lake has.
+transcripts lake, with its NATIVE merge key ``(source_id, target_id)``
+declared via the manifest's ``key_columns`` indirection — the LWW kernels
+are key-name- and key-type-agnostic, so the lake machinery is shared
+untouched. Re-ingesting the same edge set is a LWW no-op, newer epochs
+overwrite edge properties, and ``op="D"`` rows tombstone-delete edges with
+the same late-data protection the transcripts lake has.
 """
 
 from __future__ import annotations
@@ -23,12 +23,10 @@ import ray.data as rd
 
 from .cdc import LakeTable
 
-#: lake payload for edges; conv_id/turn_idx are the engine's generic
-#: (string-or-int, int) merge key columns — here source/target node ids
 EDGE_PAYLOAD_SCHEMA = pa.schema(
     [
-        ("conv_id", pa.int64()),  # source_id
-        ("turn_idx", pa.int64()),  # target_id
+        ("source_id", pa.int64()),
+        ("target_id", pa.int64()),
         ("relation_type", pa.string()),
         ("direction", pa.string()),
         ("ts", pa.timestamp("us")),
@@ -44,7 +42,10 @@ class EdgeLake:
 
     def __init__(self, path: str, *, num_buckets: int = 16):
         self.lake = LakeTable.open(
-            path, num_buckets=num_buckets, payload_schema=EDGE_PAYLOAD_SCHEMA
+            path,
+            num_buckets=num_buckets,
+            payload_schema=EDGE_PAYLOAD_SCHEMA,
+            key_columns=("source_id", "target_id"),
         )
 
     @property
@@ -84,8 +85,8 @@ class EdgeLake:
                 {
                     "lsn": pa.array(h, pa.int64()),
                     "op": op,
-                    "conv_id": src,
-                    "turn_idx": tgt,
+                    "source_id": src,
+                    "target_id": tgt,
                     "relation_type": t.column("relation_type"),
                     "direction": t.column("direction"),
                     # edge version time = the ingest epoch: a later epoch's
@@ -103,19 +104,8 @@ class EdgeLake:
 
     def read_edges(self) -> rd.Dataset:
         """Streaming live-edge view: (source_id, target_id, relation_type,
-        direction)."""
-
-        def shape(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "source_id": t.column("conv_id"),
-                    "target_id": t.column("turn_idx"),
-                    "relation_type": t.column("relation_type"),
-                    "direction": t.column("direction"),
-                }
-            )
-
-        return self.lake.read_final().map_batches(shape, batch_format="pyarrow")
+        direction) — the lake's native schema, column-pruned past ``ts``."""
+        return self.lake.read_final(columns=EDGE_COLUMNS)
 
     def edges_table(self) -> pa.Table:
         """Materialized, canonically sorted edge set (tests / small results)."""
@@ -126,12 +116,7 @@ class EdgeLake:
         ]
         if not tables:
             return pa.schema(
-                [
-                    ("source_id", pa.int64()),
-                    ("target_id", pa.int64()),
-                    ("relation_type", pa.string()),
-                    ("direction", pa.string()),
-                ]
+                [EDGE_PAYLOAD_SCHEMA.field(c) for c in EDGE_COLUMNS]
             ).empty_table()
         t = pa.concat_tables(tables, promote_options="permissive")
         return t.take(

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .cdc import LakeTable, _read_files_merged
+from .cdc import CANONICAL_KEYS, LakeTable, _read_files_merged
 
 VIEW_MANIFEST = "VIEW.json"
 
@@ -82,6 +82,8 @@ class BucketAggView:
                 todo[bk] = files
         agg_fn = self.agg_fn
         out_dir = self.dir
+        # agg_fn sees the lake's LOGICAL column names (edge lakes etc.)
+        ren_out = dict(zip(CANONICAL_KEYS, m.key_columns))
         # generation-stamped filenames: new partitions land beside the live
         # ones and only become visible via the manifest os.replace below, so
         # a killed refresh leaves the previous view state fully intact
@@ -93,7 +95,12 @@ class BucketAggView:
                 bk = int(bk)
                 t = _read_files_merged(todo[bk], target)
                 t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
-                agg = agg_fn(t.select(payload_cols))
+                t = t.select(payload_cols)
+                agg = agg_fn(
+                    t.rename_columns(
+                        [ren_out.get(c, c) for c in t.column_names]
+                    )
+                )
                 name = f"bucket={bk:05d}.g{gen}.parquet"
                 tmp = os.path.join(out_dir, name + ".tmp")
                 pq.write_table(agg, tmp)

@@ -45,7 +45,11 @@ class Manifest:
     # -- constructors -----------------------------------------------------
     @classmethod
     def new(
-        cls, num_buckets: int, payload_schema: pa.Schema, turn_shard_size: int | None
+        cls,
+        num_buckets: int,
+        payload_schema: pa.Schema,
+        turn_shard_size: int | None,
+        key_columns: tuple[str, str] | None = None,
     ) -> "Manifest":
         return cls(
             {
@@ -53,6 +57,10 @@ class Manifest:
                 "version": 0,
                 "num_buckets": num_buckets,
                 "turn_shard_size": turn_shard_size,
+                # logical names of the two merge-key columns; physical files
+                # always store them under the canonical (conv_id, turn_idx)
+                # names and LakeTable renames at its read/ingest boundary
+                "key_columns": list(key_columns or ("conv_id", "turn_idx")),
                 "applied_epoch": -1,
                 "applied_lsn": -1,
                 "payload_schema": _schema_to_str(payload_schema),
@@ -98,6 +106,13 @@ class Manifest:
     @property
     def payload_schema(self) -> pa.Schema:
         return _schema_from_str(self.data["payload_schema"])
+
+    @property
+    def key_columns(self) -> tuple[str, str]:
+        """Logical merge-key column names (pre-key_columns manifests are
+        transcripts lakes on the canonical names)."""
+        kc = self.data.get("key_columns")
+        return tuple(kc) if kc else ("conv_id", "turn_idx")
 
     def bucket_paths(self, lake_dir: str) -> list[str]:
         """All data files of all buckets (base + deltas), flattened."""

@@ -93,3 +93,78 @@ def test_rel_lake_roundtrip_matches_rule_output(ray_session):
         .sort_values(["source_id", "target_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_native_key_schema_round_trip(ray_session, tmp_path):
+    """VERDICT r2 #8: the edge lake's merge key is natively
+    (source_id, target_id) — declared in the manifest (key_columns), native
+    names on every read surface (read_edges, read_final, changes), canonical
+    physical names confined to the lake files."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    lk = EdgeLake(str(tmp_path / "edges"), num_buckets=2)
+    assert lk.manifest.key_columns == ("source_id", "target_id")
+    edges = rd.from_items(
+        [
+            {"source_id": i, "target_id": i % 3, "relation_type": "R",
+             "direction": "out"}
+            for i in range(20)
+        ]
+    )
+    lk.ingest(edges, epoch=0)
+    # read surfaces speak native names
+    assert lk.read_edges().schema().names == [
+        "source_id", "target_id", "relation_type", "direction",
+    ]
+    feed = lk.lake.changes(lk.manifest.version).to_pandas()
+    assert {"source_id", "target_id"} <= set(feed.columns)
+    assert "conv_id" not in feed.columns
+    # physical files keep the canonical key names (shared kernels/layout)
+    f = lk.manifest.bucket_files(lk.lake.path)
+    some = next(iter(f.values()))[0]
+    names = set(pq.read_schema(some).names)
+    assert {"conv_id", "turn_idx"} <= names and "source_id" not in names
+    # column pruning accepts/reports NATIVE names
+    one = lk.lake.read_final(columns=["source_id"]).schema().names
+    assert one == ["source_id"]
+    try:
+        lk.lake.read_final(columns=["nope"])
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_native_key_view_sees_logical_names(ray_session, tmp_path):
+    """BucketAggView agg_fn over a native-key lake receives logical
+    column names."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+    from sql_graph_visualizer_ray.pipelines.views import BucketAggView
+
+    lk = EdgeLake(str(tmp_path / "edges"), num_buckets=2)
+    lk.ingest(
+        rd.from_items(
+            [
+                {"source_id": i, "target_id": 1, "relation_type": "R",
+                 "direction": "out"}
+                for i in range(10)
+            ]
+        ),
+        epoch=0,
+    )
+
+    def fanout(t: pa.Table) -> pa.Table:
+        assert "source_id" in t.column_names  # logical names visible
+        g = t.group_by("source_id").aggregate([("target_id", "count")])
+        return g.rename_columns(["source_id", "n_out"])
+
+    v = BucketAggView(lk.lake, "fanout", fanout)
+    v.refresh()
+    got = v.read().to_pandas().sort_values("source_id", ignore_index=True)
+    assert got["n_out"].tolist() == [1] * 10
