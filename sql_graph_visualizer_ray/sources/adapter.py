@@ -177,6 +177,27 @@ def introspect_foreign_keys(conn) -> list[dict]:
     ]
 
 
+def introspect_primary_keys(conn) -> dict[str, list[str]]:
+    """table -> PK column list (key order), from table_constraints +
+    key_column_usage."""
+    rows = _fetchall(
+        conn,
+        """
+        SELECT k.table_name, k.column_name
+        FROM information_schema.table_constraints tc
+        JOIN information_schema.key_column_usage k
+          ON k.constraint_name = tc.constraint_name
+         AND k.constraint_schema = tc.constraint_schema
+        WHERE tc.constraint_type = 'PRIMARY KEY'
+        ORDER BY k.table_name, k.ordinal_position
+        """,
+    )
+    out: dict[str, list[str]] = {}
+    for t, c in rows:
+        out.setdefault(t, []).append(c)
+    return out
+
+
 def introspect_columns(conn) -> dict[str, list[str]]:
     """Base-table column inventory (ordinal order) from
     ``information_schema.columns`` — the metadata half of the reference's
@@ -279,3 +300,53 @@ def rules_from_connection(conn) -> pa.Table:
             )
         }
     )
+
+
+def ruleset_from_connection(conn):
+    """S7 -> S8 end-to-end: compile a live schema's declared FKs into an
+    EXECUTABLE ``RuleSet`` — the reference's analyze-then-transform flow
+    (``schema_analyzer_service.go`` feeding ``transform_service.go``) with
+    real constraint metadata instead of suffix guesses.
+
+    One full-projection node rule per base table (key property = its PK
+    column), one relationship rule per declared FK joining the two node
+    sets on the true (fk_column = pk_column) pair. Junction tables keep
+    their node rule here — the executable join path needs both endpoints
+    as node sets; ``rules_from_connection`` (the reporting surface) is
+    where junction demotion is surfaced. Snapshot the tables to Parquet
+    (``sql_to_epochs`` / ``batches_to_epochs``) and hand the returned set
+    to ``pipelines.rules.run_rules``.
+    """
+    from ..config import NodeRule, RelationshipRule, RuleSet
+
+    tables = introspect_columns(conn)
+    pks = introspect_primary_keys(conn)
+    rules: list = []
+    for t, cols in tables.items():
+        key = (pks.get(t) or cols)[0]
+        rules.append(
+            NodeRule(
+                name=f"{t}_to_node",
+                source_table=t,
+                target_type=t,
+                field_mappings={c: c for c in cols},
+                key_property=key,
+                priority=1,
+            )
+        )
+    for fk in introspect_foreign_keys(conn):
+        st, tt = fk["source_table"], fk["target_table"]
+        rules.append(
+            RelationshipRule(
+                name=f"{st}_{fk['source_column']}_to_{tt}",
+                relation_type=f"HAS_{tt.upper()}",
+                source_type=st,
+                target_type=tt,
+                source_id=(pks.get(st) or tables[st])[0],
+                target_id=(pks.get(tt) or tables[tt])[0],
+                source_match=fk["source_column"],
+                target_match=fk["target_column"],
+                priority=2,
+            )
+        )
+    return RuleSet(rules)

@@ -155,3 +155,43 @@ def test_rules_from_connection_junction_and_fk_rules():
     # deterministic ordering: priority then name
     prios = [r["priority"] for r in rows]
     assert prios == sorted(prios)
+
+
+def test_ruleset_from_connection_executes(ray_session, tmp_path):
+    """The FK-derived RuleSet is executable end-to-end: introspect a live
+    DuckDB, snapshot its tables to Parquet, run_rules — edges equal the
+    declared FK joins."""
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.rules import run_rules
+    from sql_graph_visualizer_ray.sources.adapter import ruleset_from_connection
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nation(n_nationkey INT PRIMARY KEY, n_name TEXT)")
+    con.execute(
+        "CREATE TABLE customer(c_custkey INT PRIMARY KEY, c_name TEXT, "
+        "c_nationkey INT REFERENCES nation(n_nationkey))"
+    )
+    con.execute(
+        "INSERT INTO nation SELECT i, 'N' || i FROM range(5) r(i)"
+    )
+    con.execute(
+        "INSERT INTO customer SELECT i, 'C' || i, CAST(i % 5 AS INT) "
+        "FROM range(40) r(i)"
+    )
+    # snapshot the live tables to parquet (the adapter's normal export path)
+    for t in ("nation", "customer"):
+        con.execute(
+            f"COPY {t} TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    rs = ruleset_from_connection(con)
+    assert rs.validate() == []
+    out = run_rules(str(tmp_path), rs)
+    edges = out["customer_c_nationkey_to_nation"].to_pandas()
+    assert len(edges) == 40
+    assert set(edges["relation_type"]) == {"HAS_NATION"}
+    # every edge joins on the declared (c_nationkey = n_nationkey) pair
+    assert sorted(edges["target_id"].unique()) == [0, 1, 2, 3, 4]
+    nodes = out["customer_to_node"].to_pandas()
+    assert len(nodes) == 40 and "c_name" in nodes.columns
