@@ -175,6 +175,11 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 # broadcastable small side and verification falls back to the shuffle join
 _BROADCAST_PAIR_CAP = 2_000_000
 
+# below this many pairs the verify kernel runs on the driver over the
+# already-fetched shingle dict (one vectorized pass) instead of spinning a
+# third Ray execution; 100k pairs * ~2 * 200 shingles * 8 B ~ 320 MB peak
+_DRIVER_VERIFY_CAP = 100_000
+
 
 def _shingle_hashes(text: str) -> np.ndarray:
     """Sorted unique uint64 hashes of a doc's shingle set — the exact-Jaccard
@@ -401,54 +406,69 @@ def minhash_lsh_pairs(
         )
         ids_ref = _ray.put(cand_ids)  # sorted — filter uses searchsorted
 
-        class ShingleCandidates:
-            """Actor stage: the candidate-id array is fetched ONCE per actor
-            (zero-copy numpy from plasma), each batch keeps only candidate
-            docs and emits their sorted shingle-hash arrays."""
-
-            def __init__(self):
-                self.ids = _ray.get(ids_ref)
-
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                did = b["doc_id"].to_numpy(np.int64)
-                pos = np.searchsorted(self.ids, did)
-                pos[pos >= len(self.ids)] = 0
-                mask = self.ids[pos] == did
-                kept = b.loc[mask]
-                return pd.DataFrame(
-                    {
-                        "doc_id": kept["doc_id"].to_numpy(np.int64),
-                        "sh": [_shingle_hashes(t) for t in kept["text"]],
-                    }
-                )
+        def shingle_candidates(b: pd.DataFrame) -> pd.DataFrame:
+            """Stateless task stage (no actor-pool warmup — the pool startup
+            was measurably the dominant cost of this phase at small scale):
+            the candidate-id array is a zero-copy plasma fetch per task."""
+            ids = _ray.get(ids_ref)
+            did = b["doc_id"].to_numpy(np.int64)
+            pos = np.searchsorted(ids, did)
+            pos[pos >= len(ids)] = 0
+            mask = ids[pos] == did
+            kept = b.loc[mask]
+            return pd.DataFrame(
+                {
+                    "doc_id": kept["doc_id"].to_numpy(np.int64),
+                    "sh": [_shingle_hashes(t) for t in kept["text"]],
+                }
+            )
 
         sh_rows = docs.map_batches(
-            ShingleCandidates, batch_format="pandas", concurrency=(1, cpus)
+            shingle_candidates, batch_format="pandas"
         ).take_all()
-        sh_ref = _ray.put({int(r["doc_id"]): r["sh"] for r in sh_rows})
+        sh = {int(r["doc_id"]): r["sh"] for r in sh_rows}
+        e = np.empty(0, dtype=np.uint64)
 
-        class VerifyBroadcast:
-            def __init__(self):
-                self.sh = _ray.get(sh_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                a = t.column("doc_a").to_numpy()
-                b = t.column("doc_b").to_numpy()
-                e = np.empty(0, dtype=np.uint64)
-                a_arrs = [self.sh.get(int(x), e) for x in a]
-                b_arrs = [self.sh.get(int(x), e) for x in b]
-                keep = _pair_jaccard_keep(a_arrs, b_arrs, jaccard_threshold)
-                return pa.table(
+        if len(pairs) <= _DRIVER_VERIFY_CAP:
+            # the shingle dict is already on the driver (take_all above) and
+            # the verify kernel is one vectorized sort-merge pass — a third
+            # Ray execution + actor pool would cost more than it saves
+            a = pairs["doc_a"].to_numpy(np.int64)
+            b = pairs["doc_b"].to_numpy(np.int64)
+            keep = _pair_jaccard_keep(
+                [sh.get(int(x), e) for x in a],
+                [sh.get(int(x), e) for x in b],
+                jaccard_threshold,
+            )
+            return rd.from_arrow(
+                pa.table(
                     {
                         "doc_a": pa.array(a[keep], pa.int64()),
                         "doc_b": pa.array(b[keep], pa.int64()),
                     }
                 )
+            )
+
+        sh_ref = _ray.put(sh)
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            shd = _ray.get(sh_ref)
+            a = t.column("doc_a").to_numpy()
+            b = t.column("doc_b").to_numpy()
+            keep = _pair_jaccard_keep(
+                [shd.get(int(x), e) for x in a],
+                [shd.get(int(x), e) for x in b],
+                jaccard_threshold,
+            )
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
+                }
+            )
 
         pairs_ds = rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
-        return pairs_ds.map_batches(
-            VerifyBroadcast, batch_format="pyarrow", concurrency=(1, cpus)
-        )
+        return pairs_ds.map_batches(verify_broadcast, batch_format="pyarrow")
 
     # --- shuffle-join path: candidate set too large to broadcast ---
     corpus_bytes = docs.size_bytes() or 0
