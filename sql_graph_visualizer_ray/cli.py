@@ -120,6 +120,34 @@ def cmd_changes(a) -> int:
     return 0
 
 
+def cmd_snapshot(a) -> int:
+    """Time-travel read: export (or count) the lake state as of a commit."""
+    from .pipelines.cdc import LakeTable
+
+    _ensure_ray(a.num_cpus)
+    lake = LakeTable.open(a.lake_dir)
+    try:
+        snap = lake.snapshot(a.version)
+    except KeyError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    ds = snap.read_final()
+    if a.out:
+        ds.write_parquet(a.out)
+        print(json.dumps({"version": a.version, "out": a.out}))
+    else:
+        print(
+            json.dumps(
+                {
+                    "version": a.version,
+                    "rows": ds.count(),
+                    "num_buckets": snap.manifest.num_buckets,
+                }
+            )
+        )
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence gate: the lake's merged state must equal the
     single-process oracle over the same changelog."""
@@ -339,6 +367,12 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("version", type=int)
     ch.add_argument("--out", default=None, help="write feed parquet here")
     ch.set_defaults(fn=cmd_changes)
+
+    sn = sub.add_parser("snapshot", help="time-travel read of a commit's state")
+    sn.add_argument("lake_dir")
+    sn.add_argument("version", type=int)
+    sn.add_argument("--out", default=None, help="write snapshot parquet here")
+    sn.set_defaults(fn=cmd_snapshot)
 
     ve = sub.add_parser("verify", help="compare lake state against the oracle")
     ve.add_argument("changelog_dir")

@@ -112,9 +112,18 @@ def _read_files_merged(paths: list[str], target: pa.Schema) -> pa.Table:
 class LakeTable:
     """A partitioned transcripts lake table rooted at ``path``."""
 
-    def __init__(self, path: str, manifest: Manifest):
+    def __init__(self, path: str, manifest: Manifest, *, readonly: bool = False):
         self.path = path
         self.manifest = manifest
+        # True for time-travel snapshots: reads only, commits refused
+        self.readonly = readonly
+
+    def _check_writable(self) -> None:
+        if self.readonly:
+            raise RuntimeError(
+                f"lake snapshot at v{self.manifest.version} is read-only; "
+                "open the live table to commit"
+            )
 
     @classmethod
     def open(
@@ -220,6 +229,7 @@ class LakeTable:
         watermark; a crash before the manifest publish leaves the table at the
         previous version and the next call re-applies cleanly.
         """
+        self._check_writable()
         # the shuffle strategy must be chosen BEFORE any dataset is created:
         # Ray snapshots DataContext per dataset at creation time
         from ray.data.context import DataContext, ShuffleStrategy
@@ -352,6 +362,7 @@ class LakeTable:
         a commit at or below the applied watermark is a no-op — re-running a
         failed sink pipeline cannot double-apply.
         """
+        self._check_writable()
         m = self.manifest
         if epoch <= m.applied_epoch:
             return {"epochs": 0}
@@ -856,6 +867,7 @@ class LakeTable:
         files (or those listed) rewrite — commit IO ~ the compacted buckets.
         Applies no epochs, so it interleaves with ``apply``/``tail`` freely.
         """
+        self._check_writable()
         m = self.manifest
         todo = {
             b: fs
@@ -893,6 +905,7 @@ class LakeTable:
         relative to the LWW-merged view (superseded duplicate versions across
         delta files collapse in the merge, not in this counter).
         """
+        self._check_writable()
         m = self.manifest
         paths = m.bucket_paths(self.path)
         if not paths:
@@ -971,6 +984,7 @@ class LakeTable:
         cross-bucket reads), which is what makes re-bucketing a 100 TB table
         a per-bucket streaming rewrite instead of an all-to-all.
         """
+        self._check_writable()
         m = self.manifest
         old = m.num_buckets
         if new_num_buckets % old != 0:
@@ -1133,7 +1147,22 @@ class LakeTable:
     # ------------------------------------------------------------------
     # Read views (merge-on-read)
     # ------------------------------------------------------------------
-    def read_final(self, columns: list[str] | None = None) -> rd.Dataset:
+    def snapshot(self, version: int) -> "LakeTable":
+        """A read-only view of the table as of commit ``version`` (time
+        travel). Pure metadata: loads the per-commit ``_snapshot.json`` the
+        commit pinned into its version dir — no data is copied, and the
+        snapshot's files stay valid until ``vacuum()`` removes de-referenced
+        version dirs (same retention contract as Iceberg/Delta). Raises
+        KeyError for unknown / vacuumed versions."""
+        if version == self.manifest.version:
+            return self
+        return LakeTable(
+            self.path, Manifest.load_snapshot(self.path, version), readonly=True
+        )
+
+    def read_final(
+        self, columns: list[str] | None = None, *, version: int | None = None
+    ) -> rd.Dataset:
         """Streaming read view of live rows: each bucket's base + delta files
         are normalized to the current payload schema (null-fill/cast — keeps
         post-evolution lakes readable when a commit touched only some
@@ -1144,7 +1173,12 @@ class LakeTable:
         ``columns`` prunes the OUTPUT projection; the merge itself always
         reads the key/order columns (conv_id, turn_idx, ts, lsn, op) plus the
         requested payload columns, so a 2-column read of a wide lake never
-        pays for the wide columns."""
+        pays for the wide columns.
+
+        ``version`` time-travels: reads the table as of that commit (see
+        ``snapshot``)."""
+        if version is not None and version != self.manifest.version:
+            return self.snapshot(version).read_final(columns)
         m = self.manifest
         payload = m.payload_schema
         payload_cols = [f.name for f in payload]
@@ -1191,9 +1225,11 @@ class LakeTable:
             override_num_blocks=len(by_bucket),
         ).map_batches(_merge_read, batch_format="pyarrow", batch_size=1)
 
-    def final_table(self) -> pa.Table:
+    def final_table(self, *, version: int | None = None) -> pa.Table:
         """Driver-side materialized final state, canonically sorted — for
         tests / small results only."""
+        if version is not None and version != self.manifest.version:
+            return self.snapshot(version).final_table()
         ds = self.read_final()
         refs = ds.to_arrow_refs()
         import ray as _ray

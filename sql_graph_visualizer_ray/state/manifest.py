@@ -26,6 +26,7 @@ from typing import Any
 import pyarrow as pa
 
 MANIFEST_NAME = "MANIFEST.json"
+SNAPSHOT_NAME = "_snapshot.json"
 
 
 def _schema_to_str(schema: pa.Schema) -> str:
@@ -133,6 +134,7 @@ class Manifest:
 
     # -- commit protocol --------------------------------------------------
     def save_atomic(self, lake_dir: str) -> None:
+        self._write_snapshot(lake_dir)
         p = os.path.join(lake_dir, MANIFEST_NAME)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
@@ -140,6 +142,54 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
+
+    def _write_snapshot(self, lake_dir: str) -> None:
+        """Pin this version's table state inside its own version directory
+        (Iceberg-style per-commit metadata) so reads can time-travel to any
+        still-on-disk commit. Written BEFORE the manifest publish: a crash in
+        between leaves the snapshot as garbage that ``clean_uncommitted``
+        removes with the version dir. Commits never mutate published files,
+        so a snapshot's file list stays valid until ``vacuum`` deletes the
+        de-referenced version dirs it points into."""
+        vdir = os.path.join(lake_dir, f"v{self.version}")
+        if not os.path.isdir(vdir):  # v0 (creation) has no version dir
+            return
+        snap = {
+            k: self.data[k]
+            for k in (
+                "format",
+                "version",
+                "num_buckets",
+                "turn_shard_size",
+                "payload_schema",
+                "buckets",
+            )
+        }
+        snap["key_columns"] = list(self.key_columns)
+        p = os.path.join(vdir, SNAPSHOT_NAME)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp, p)
+
+    @classmethod
+    def load_snapshot(cls, lake_dir: str, version: int) -> "Manifest":
+        """The table state as of commit ``version`` (time travel). Raises
+        KeyError if that commit predates snapshot support or its version dir
+        was vacuumed."""
+        p = os.path.join(lake_dir, f"v{version}", SNAPSHOT_NAME)
+        if not os.path.exists(p):
+            raise KeyError(
+                f"no snapshot for v{version}: the commit predates snapshot "
+                "support, never existed, or was removed by vacuum()"
+            )
+        with open(p) as f:
+            snap = json.load(f)
+        snap.setdefault("applied_epoch", -1)
+        snap.setdefault("applied_lsn", -1)
+        snap.setdefault("counters", {})
+        snap.setdefault("history", [])
+        return cls(snap)
 
 
 def clean_uncommitted(lake_dir: str, committed_version: int) -> None:

@@ -141,3 +141,14 @@ def test_cli_changes_feed(ray_session, clog, tmp_path, capsys):
     assert out["rows"] > 0
     assert main(["changes", lake, "99"]) == 1
     capsys.readouterr()
+
+
+def test_cli_snapshot(ray_session, clog, tmp_path, capsys):
+    lake = str(tmp_path / "lake")
+    assert main(["run", clog, lake, "--epochs-per-commit", "2"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", lake, "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0 and out["version"] == 1
+    assert main(["snapshot", lake, "99"]) == 1
+    capsys.readouterr()
