@@ -17,6 +17,7 @@ verified pairs into dedup clusters with join-free label propagation.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -180,6 +181,13 @@ _BROADCAST_PAIR_CAP = 2_000_000
 # third Ray execution; 100k pairs * ~2 * 200 shingles * 8 B ~ 320 MB peak
 _DRIVER_VERIFY_CAP = 100_000
 
+# below this many band rows (bands x docs; 24 B each so the cap is ~50 MB)
+# candidate generation pulls the (doc_id, band, band_hash) triples to the
+# driver and pair-mines them in one pandas groupby — the distributed
+# alternative is a Ray sort-shuffle whose fixed cost (~2 s) dwarfs moving a
+# few MB. Above the cap the coarse-partition groupby is the scale path.
+_DRIVER_BAND_CAP = 2_000_000
+
 
 def _shingle_hashes(text: str) -> np.ndarray:
     """Sorted unique uint64 hashes of a doc's shingle set — the exact-Jaccard
@@ -219,6 +227,14 @@ def _pair_jaccard_keep(
     inter = np.bincount(p[1:][dup], minlength=n)
     union = lens[0::2] + lens[1::2] - inter
     return (union > 0) & (inter / np.maximum(union, 1) >= threshold)
+
+
+@functools.lru_cache(maxsize=8)
+def _minhasher_cached(num_perm: int) -> "MinHasher":
+    """One MinHasher per (worker process, num_perm): lets the band-row stage
+    run as stateless TASKS (no actor-pool warmup — measured dominant at small
+    scale) while still building the permutation matrix once per process."""
+    return MinHasher(num_perm=num_perm)
 
 
 class MinHasher:
@@ -299,41 +315,36 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    class BandRows:
-        """Actor-pool stage: permutation coefficients built once per actor
-        (stateful setup), per-batch work is vectorized across documents."""
-
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.mh.signatures(batch["text"].fillna("").tolist())  # (n, P)
-            n = len(batch)
-            # per-band rolling hash over the band's signature columns,
-            # vectorized across all docs at once (uint64 wraparound is the
-            # mixing); emitted as ints so the shuffle moves 8-byte keys
-            mult = np.uint64(0x9E3779B97F4A7C15)
-            bh = np.empty((n, bands), dtype=np.uint64)
-            for b in range(bands):
-                h = np.zeros(n, dtype=np.uint64)
-                for c in range(rows):
-                    h = h * mult + sigs[:, b * rows + c]
-                bh[:, b] = h
-            flat = bh.reshape(-1).astype(np.int64)
-            return pd.DataFrame(
-                {
-                    "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "band_hash": flat,
-                    # coarse partition key: the Ray exchange moves 256 groups,
-                    # the exact (band, band_hash) split happens vectorized in
-                    # pandas INSIDE each group — per-group Python dispatch on
-                    # ~1 group per doc-band would dominate otherwise
-                    "_part": (flat % 256).astype(np.int32),
-                }
-            )
-
-    band_rows = BandRows
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        """Stateless task stage (the per-process ``_minhasher_cached`` gives
+        actor-style one-time setup without actor-pool warmup); per-batch work
+        is vectorized across documents."""
+        mh = _minhasher_cached(num_perm)
+        sigs = mh.signatures(batch["text"].fillna("").tolist())  # (n, P)
+        n = len(batch)
+        # per-band rolling hash over the band's signature columns,
+        # vectorized across all docs at once (uint64 wraparound is the
+        # mixing); emitted as ints so the shuffle moves 8-byte keys
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        bh = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(rows):
+                h = h * mult + sigs[:, b * rows + c]
+            bh[:, b] = h
+        flat = bh.reshape(-1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_hash": flat,
+                # coarse partition key: the Ray exchange moves 256 groups,
+                # the exact (band, band_hash) split happens vectorized in
+                # pandas INSIDE each group — per-group Python dispatch on
+                # ~1 group per doc-band would dominate otherwise
+                "_part": (flat % 256).astype(np.int32),
+            }
+        )
 
     def bucket_pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
         outs_a: list[np.ndarray] = []
@@ -354,12 +365,32 @@ def minhash_lsh_pairs(
             {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
         )
 
-    candidates = (
-        docs.map_batches(band_rows, batch_format="pandas", concurrency=(1, 8))
-        .groupby("_part")
-        .map_groups(bucket_pairs_coarse, batch_format="pandas")
-        .select_columns(["doc_a", "doc_b"])
-    )
+    # Candidate generation has two regimes, switched on the band-row count
+    # (bands x docs, known from Parquet metadata before any read):
+    #
+    # * driver (band rows <= _DRIVER_BAND_CAP): band rows are 24-byte
+    #   triples, so even a 100k-doc corpus yields only a few MB — pair-mine
+    #   them on the driver with the SAME kernel the distributed path runs
+    #   per partition. The alternative is a Ray sort-shuffle whose fixed
+    #   barrier cost (~2 s) exceeds the entire phase at this scale.
+    # * groupby (above the cap): coarse-partition hash shuffle, pair mining
+    #   inside each partition — nothing driver-side grows with the corpus.
+    n_docs = docs.count()  # Parquet metadata, no data read
+    if n_docs * bands <= _DRIVER_BAND_CAP:
+        band_pd = docs.map_batches(band_rows, batch_format="pandas").to_pandas()
+        candidates = rd.from_arrow(
+            pa.Table.from_pandas(
+                bucket_pairs_coarse(band_pd)[["doc_a", "doc_b"]],
+                preserve_index=False,
+            )
+        )
+    else:
+        candidates = (
+            docs.map_batches(band_rows, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(bucket_pairs_coarse, batch_format="pandas")
+            .select_columns(["doc_a", "doc_b"])
+        )
 
     # Verification has two regimes, switched on the DEDUPED candidate count
     # (ids only — 16 bytes/pair — so counting them is cheap at any scale):
