@@ -1,19 +1,43 @@
 """Text-analysis stages for training-data pipelines over the ``documents``
 table: token counting, quality scoring, language ID, fingerprinting.
 
-All are callable CLASSES for ``map_batches`` actor pools — regexes compile
-and stopword tables build ONCE per actor in ``__init__``; ``__call__`` is
-vectorized pandas/numpy per batch. (The reference's analogue of "stateful
-setup once" is its prepared-statement cache,
-``/root/reference/internal/application/services/performance/performance_schema_adapter.go:402-425``.)
+All are callable CLASSES with setup (regex compile, stopword tables) in
+``__init__`` and vectorized pandas/numpy work in ``__call__``. (The
+reference's analogue of "stateful setup once" is its prepared-statement
+cache, ``/root/reference/internal/application/services/performance/performance_schema_adapter.go:402-425``.)
+
+How they run: pipelines wrap them with ``as_tasks`` — stateless
+``map_batches`` tasks holding ONE cached instance per worker process. That
+keeps the setup-once amortization of an actor pool with none of the pool's
+startup latency, which measurably dominated these stages (setup here is
+microseconds of regex compile). Stages with genuinely heavy state (model
+weights, e.g. ``multimodal.FeatureExtractor``) stay actor pools.
 """
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
 import pandas as pd
+
+
+@functools.lru_cache(maxsize=None)
+def _instance(cls):
+    return cls()
+
+
+def as_tasks(cls):
+    """Wrap a stage class as a stateless task function with a per-process
+    cached instance (see module docstring for when this beats an actor
+    pool)."""
+
+    def fn(batch):
+        return _instance(cls)(batch)
+
+    fn.__name__ = cls.__name__  # keep the stage name in ds.stats()
+    return fn
 
 #: ASCII-explicit token regex, chosen so the DuckDB oracle
 #: (``regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r]')``) has

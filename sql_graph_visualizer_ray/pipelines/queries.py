@@ -518,35 +518,35 @@ def build_queries() -> dict:
 
 
 def _text_token_counts(sf_dir: str) -> rd.Dataset:
-    from ..functions.textfns import TokenCounter
+    from ..functions.textfns import TokenCounter, as_tasks
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=(2, 8)
+        as_tasks(TokenCounter), batch_format="pandas"
     )
 
 
 def _text_quality(sf_dir: str) -> rd.Dataset:
-    from ..functions.textfns import QualityScorer
+    from ..functions.textfns import QualityScorer, as_tasks
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=(2, 8)
+        as_tasks(QualityScorer), batch_format="pandas"
     )
 
 
 def _text_langid_counts(sf_dir: str) -> rd.Dataset:
-    from ..functions.textfns import LanguageId
+    from ..functions.textfns import LanguageId, as_tasks
 
     preds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        LanguageId, batch_format="pandas", concurrency=(2, 8)
+        as_tasks(LanguageId), batch_format="pandas"
     )
     return preds.groupby("pred_lang").aggregate(Count(alias_name="n_docs"))
 
 
 def _text_fingerprints(sf_dir: str) -> rd.Dataset:
-    from ..functions.textfns import Fingerprinter
+    from ..functions.textfns import Fingerprinter, as_tasks
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        Fingerprinter, batch_format="pandas", concurrency=(2, 8)
+        as_tasks(Fingerprinter), batch_format="pandas"
     )
 
 
@@ -1242,10 +1242,10 @@ def docs_quality_filter(sf_dir: str) -> rd.Dataset:
     thresholds (word count, punctuation) — the filter stage a 100 TB corpus
     pipeline runs before tokenization. Integer-only so the SQL oracle matches
     exactly."""
-    from ..functions.textfns import QualityScorer
+    from ..functions.textfns import QualityScorer, as_tasks
 
     scored = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", concurrency=(2, 8)
+        as_tasks(QualityScorer), batch_format="pandas"
     )
     # band filter: too-short docs are boilerplate, too-long ones truncate
     # downstream (the synthetic corpus carries no punctuation, so the word-
@@ -1278,10 +1278,10 @@ def text_token_histogram(sf_dir: str, *, bin_width: int = 10) -> rd.Dataset:
     """Token-count distribution: docs per ``bin_width``-token bin — the
     length-histogram a corpus profile reports before truncation decisions.
     Pre-aggregated per batch (combiner) before the tiny bin groupby."""
-    from ..functions.textfns import TokenCounter
+    from ..functions.textfns import TokenCounter, as_tasks
 
     counts = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=(2, 8)
+        as_tasks(TokenCounter), batch_format="pandas"
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
