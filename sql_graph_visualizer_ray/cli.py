@@ -120,6 +120,32 @@ def cmd_changes(a) -> int:
     return 0
 
 
+def cmd_lookup(a) -> int:
+    """Point lookup by key — opens only the keys' home buckets, no Ray
+    session needed (the latency-sensitive serving verb)."""
+    from .pipelines.cdc import LakeTable
+
+    lake = LakeTable.open(a.lake_dir)
+    turns = a.turn if a.turn else None
+    if turns is not None and len(turns) not in (0, len(a.key)):
+        print("--turn must be given once per --key", file=sys.stderr)
+        return 1
+    t = lake.lookup(
+        a.key,
+        turns=turns,
+        columns=a.columns.split(",") if a.columns else None,
+        version=a.version,
+    )
+    if a.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, a.out)
+        print(json.dumps({"rows": t.num_rows, "out": a.out}))
+    else:
+        print(json.dumps({"rows": t.num_rows, "data": t.to_pylist()}, default=str))
+    return 0
+
+
 def cmd_snapshot(a) -> int:
     """Time-travel read: export (or count) the lake state as of a commit."""
     from .pipelines.cdc import LakeTable
@@ -367,6 +393,15 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("version", type=int)
     ch.add_argument("--out", default=None, help="write feed parquet here")
     ch.set_defaults(fn=cmd_changes)
+
+    lk = sub.add_parser("lookup", help="point lookup by key (no Ray session)")
+    lk.add_argument("lake_dir")
+    lk.add_argument("--key", action="append", required=True, help="repeatable")
+    lk.add_argument("--turn", action="append", type=int, help="pairs with --key")
+    lk.add_argument("--columns", help="comma-separated projection")
+    lk.add_argument("--version", type=int, help="time-travel to a commit")
+    lk.add_argument("--out", help="write parquet instead of printing rows")
+    lk.set_defaults(fn=cmd_lookup)
 
     sn = sub.add_parser("snapshot", help="time-travel read of a commit's state")
     sn.add_argument("lake_dir")

@@ -84,12 +84,22 @@ def _event_schema_for(payload_schema: pa.Schema) -> pa.Schema:
     )
 
 
-def _read_files_merged(paths: list[str], target: pa.Schema) -> pa.Table:
+def _read_files_merged(
+    paths: list[str], target: pa.Schema, row_filter=None
+) -> pa.Table:
     """Read one bucket's lake files (base + deltas), normalize each to the
     unified ``target`` event schema (old-schema files null-fill/cast — this is
     what keeps a post-evolution lake readable when a commit touched only some
     buckets), and LWW-merge when there is more than one file. Tombstones are
-    retained (callers filter)."""
+    retained (callers filter).
+
+    ``row_filter`` (a ``pyarrow.compute.Expression`` over physical column
+    names) pushes down into the parquet read: data files are key-sorted by
+    ``lww_compact``, so conv_id row-group statistics are tight and a point
+    predicate skips every non-matching row group. Safe for LWW because the
+    filter is key-exact — every version of a matching key passes, every
+    version of a non-matching key is dropped — so winner selection is
+    unchanged."""
     from ..stages.apply import lww_compact
 
     tabs = []
@@ -98,7 +108,7 @@ def _read_files_merged(paths: list[str], target: pa.Schema) -> pa.Table:
     }  # prune at the file read: only target columns leave storage
     for p in paths:
         cols = [c for c in pq.read_schema(p).names if c in want]
-        t = pq.read_table(p, columns=cols)
+        t = pq.read_table(p, columns=cols, filters=row_filter)
         t = t.rename_columns(
             [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in t.column_names]
         )
@@ -1160,6 +1170,145 @@ class LakeTable:
             self.path, Manifest.load_snapshot(self.path, version), readonly=True
         )
 
+    def _projection(
+        self, columns: list[str] | None
+    ) -> tuple[pa.Schema, list[str], dict[str, str]]:
+        """Resolve a logical (native-key-name) column selection into the
+        pruned physical payload schema, the output column list, and the
+        physical→native rename map. Shared by ``read_final`` and ``lookup``.
+
+        The merge itself always needs the key/order columns (conv_id,
+        turn_idx, ts) in addition to the requested payload columns, so a
+        2-column read of a wide lake never pays for the wide columns."""
+        m = self.manifest
+        payload = m.payload_schema
+        payload_cols = [f.name for f in payload]
+        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
+        ren_out = dict(zip(CANONICAL_KEYS, m.key_columns))
+        if columns is not None:
+            phys = [ren_in.get(c, c) for c in columns]
+            unknown = set(phys) - set(payload_cols)
+            if unknown:
+                raise KeyError(
+                    f"unknown columns {sorted(ren_out.get(c, c) for c in unknown)}"
+                )
+            payload_cols = [c for c in payload_cols if c in set(phys)]
+            need = set(payload_cols) | {"conv_id", "turn_idx", "ts"}
+            payload = pa.schema([f for f in payload if f.name in need])
+        return payload, payload_cols, ren_out
+
+    def lookup(
+        self,
+        keys,
+        *,
+        turns=None,
+        columns: list[str] | None = None,
+        version: int | None = None,
+    ) -> pa.Table:
+        """Point lookup of live rows by key — the CDC-serving primitive.
+
+        ``keys`` is a sequence of values for the first key column (e.g.
+        conv_ids); with ``turns`` (a parallel sequence for the second key
+        column) the match is exact ``(key, turn)`` pairs, otherwise every
+        live row of each requested key is returned.
+
+        Cost is O(requested keys), never O(lake): each key hashes to its
+        home bucket (``bucket_of`` — the same stable siphash the writer
+        uses), only those buckets' files are opened, and a key-exact
+        predicate pushes down into the parquet read so row-group statistics
+        (files are key-sorted) skip everything else. On a 100 TB lake with
+        4k buckets a single-conversation lookup reads ~1/4000th of the
+        files and, within them, only the matching row groups. Runs on the
+        caller's process — this is the latency-sensitive serving path, not
+        a batch scan (use ``read_final`` for those).
+
+        On a ``turn_shard_size`` lake a conversation spans several buckets;
+        without ``turns`` the lookup falls back to scanning every bucket's
+        files but still pushes the key predicate into each read. Returns a
+        canonically sorted ``pyarrow.Table`` with native column names.
+        ``version`` time-travels like ``read_final``.
+
+        Reference analogue: the direct-id node fetch
+        (``/root/reference/internal/application/services/direct_database_service.go``
+        ``GetNodeByID``), made key-partition-aware."""
+        import numpy as np
+        import pandas as pd
+
+        if version is not None and version != self.manifest.version:
+            return self.snapshot(version).lookup(keys, turns=turns, columns=columns)
+        m = self.manifest
+        keys = list(keys)
+        if turns is not None:
+            turns = [int(t) for t in turns]
+            if len(turns) != len(keys):
+                raise ValueError("turns must parallel keys (one turn per key)")
+        payload, payload_cols, ren_out = self._projection(columns)
+        by_bucket = m.bucket_files(self.path)
+        out_names = [ren_out.get(c, c) for c in payload_cols]
+        empty = pa.schema(
+            [pa.field(ren_out.get(f.name, f.name), f.type) for f in payload]
+        ).empty_table().select(out_names)
+        if not by_bucket or not keys:
+            return empty
+
+        uniq_keys = list(dict.fromkeys(keys))
+        conv_np = np.asarray(uniq_keys, dtype=object)
+        if m.turn_shard_size and turns is None:
+            # conv spans turn shards; can't enumerate them without a turn
+            # bound — read all buckets, still key-filtered at the file read
+            need_buckets = {b: uniq_keys for b in by_bucket}
+        elif m.turn_shard_size:
+            b_ids = bucket_of(
+                np.asarray(keys, dtype=object),
+                np.asarray(turns, dtype=np.int64),
+                m.num_buckets,
+                m.turn_shard_size,
+            )
+            need_buckets = defaultdict(list)
+            for k, b in zip(keys, b_ids):
+                if k not in need_buckets[int(b)]:
+                    need_buckets[int(b)].append(k)
+        else:
+            b_ids = bucket_of(
+                conv_np, np.zeros(len(uniq_keys), dtype=np.int64), m.num_buckets
+            )
+            need_buckets = defaultdict(list)
+            for k, b in zip(uniq_keys, b_ids):
+                need_buckets[int(b)].append(k)
+
+        target = pa.schema(
+            list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        )
+        key_type = m.payload_schema.field("conv_id").type
+        tabs = []
+        for bk, bucket_keys in sorted(need_buckets.items()):
+            paths = by_bucket.get(bk)
+            if not paths:
+                continue
+            expr = pc.field("conv_id").isin(pa.array(bucket_keys, type=key_type))
+            if turns is not None:
+                expr = expr & pc.field("turn_idx").isin(
+                    pa.array(sorted(set(turns)), type=pa.int64())
+                )
+            t = _read_files_merged(paths, target, row_filter=expr)
+            tabs.append(t.filter(pc.not_equal(t.column("op"), pa.scalar("D"))))
+        t = pa.concat_tables(tabs) if tabs else target.empty_table()
+        if turns is not None and t.num_rows:
+            # the pushdown keeps the (keys × turns) cross product; narrow to
+            # the exact requested pairs with one vectorized MultiIndex probe
+            mi = pd.MultiIndex.from_arrays(
+                [
+                    t.column("conv_id").to_numpy(zero_copy_only=False),
+                    t.column("turn_idx").to_numpy(zero_copy_only=False),
+                ]
+            )
+            t = t.filter(pa.array(mi.isin(list(zip(keys, turns)))))
+        if t.num_rows == 0:
+            return empty
+        t = t.select(payload_cols).rename_columns(out_names)
+        sort_keys = [(k, "ascending") for k in m.key_columns if k in out_names]
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)) if sort_keys else t
+
     def read_final(
         self, columns: list[str] | None = None, *, version: int | None = None
     ) -> rd.Dataset:
@@ -1180,20 +1329,7 @@ class LakeTable:
         if version is not None and version != self.manifest.version:
             return self.snapshot(version).read_final(columns)
         m = self.manifest
-        payload = m.payload_schema
-        payload_cols = [f.name for f in payload]
-        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
-        ren_out = dict(zip(CANONICAL_KEYS, m.key_columns))
-        if columns is not None:
-            phys = [ren_in.get(c, c) for c in columns]
-            unknown = set(phys) - set(payload_cols)
-            if unknown:
-                raise KeyError(
-                    f"unknown columns {sorted(ren_out.get(c, c) for c in unknown)}"
-                )
-            payload_cols = [c for c in payload_cols if c in set(phys)]
-            need = set(payload_cols) | {"conv_id", "turn_idx", "ts"}
-            payload = pa.schema([f for f in payload if f.name in need])
+        payload, payload_cols, ren_out = self._projection(columns)
         by_bucket = m.bucket_files(self.path)
         if not by_bucket:
             return rd.from_arrow(

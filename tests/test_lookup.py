@@ -1,0 +1,127 @@
+"""Key-pruned point lookup (``LakeTable.lookup``) — the CDC-serving
+primitive: hash the key to its home bucket, open only that bucket's files,
+push a key-exact predicate into the parquet read. Reference analogue:
+``GetNodeByID`` in
+``/root/reference/internal/application/services/direct_database_service.go``,
+made key-partition-aware so cost is O(keys), not O(lake).
+"""
+
+from unittest import mock
+
+import pyarrow.parquet as pq
+import pytest
+
+from sql_graph_visualizer_ray.pipelines import cdc
+from sql_graph_visualizer_ray.pipelines.cdc import LakeTable, replay
+from sql_graph_visualizer_ray.sources.changelog import ChangelogSpec, materialize
+
+SPEC = ChangelogSpec(n_events=8_000, n_convs=200, n_epochs=4, seed=47)
+
+
+@pytest.fixture(scope="module")
+def clog():
+    return materialize("unit-lookup", SPEC)
+
+
+@pytest.fixture(scope="module")
+def lake(clog, tmp_path_factory):
+    return replay(clog, str(tmp_path_factory.mktemp("lk") / "lake"), num_buckets=16)
+
+
+def _expected(lake, convs):
+    full = lake.final_table().to_pandas()
+    return full[full.conv_id.isin(convs)].reset_index(drop=True)
+
+
+def test_conv_lookup_matches_full_scan(lake):
+    convs = lake.final_table().to_pandas().conv_id.unique()[:4].tolist()
+    got = lake.lookup(convs).to_pandas().reset_index(drop=True)
+    assert got.equals(_expected(lake, convs))
+
+
+def test_pair_lookup_exact(lake):
+    full = lake.final_table().to_pandas()
+    pairs = full.iloc[[0, 7, 100]][["conv_id", "turn_idx"]]
+    got = lake.lookup(pairs.conv_id.tolist(), turns=pairs.turn_idx.tolist())
+    exp = (
+        full.merge(pairs, on=["conv_id", "turn_idx"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.to_pandas().reset_index(drop=True).equals(exp)
+
+
+def test_lookup_opens_only_home_bucket_files(lake):
+    """The scale property itself: a one-key lookup must not touch the other
+    15 buckets' files."""
+    conv = lake.final_table().column("conv_id")[0].as_py()
+    by_bucket = lake.manifest.bucket_files(lake.path)
+    opened = []
+    real = pq.read_table
+
+    def spy(path, *a, **kw):
+        opened.append(path)
+        return real(path, *a, **kw)
+
+    with mock.patch.object(cdc.pq, "read_table", side_effect=spy):
+        got = lake.lookup([conv])
+    assert got.num_rows > 0
+    home = {b for b, paths in by_bucket.items() if set(opened) & set(paths)}
+    assert len(home) == 1, f"lookup touched buckets {sorted(home)}"
+    assert len(opened) == len(by_bucket[home.pop()])
+
+
+def test_projection_and_missing_key(lake):
+    convs = lake.final_table().to_pandas().conv_id.unique()[:2].tolist()
+    t = lake.lookup(convs, columns=["conv_id", "role"])
+    assert t.column_names == ["conv_id", "role"]
+    assert t.num_rows == len(_expected(lake, convs))
+    miss = lake.lookup(["conv-that-does-not-exist"])
+    assert miss.num_rows == 0
+    assert miss.column_names == lake.final_table().column_names
+
+
+def test_lookup_time_travel(clog, tmp_path):
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8, epochs_per_commit=1)
+    conv = lake.final_table().column("conv_id")[0].as_py()
+    for v in (1, lake.manifest.version):
+        want = lake.final_table(version=v).to_pandas()
+        want = want[want.conv_id == conv].reset_index(drop=True)
+        got = lake.lookup([conv], version=v).to_pandas().reset_index(drop=True)
+        assert got.equals(want), f"lookup diverged at v{v}"
+
+
+def test_lookup_on_sharded_lake(clog, tmp_path):
+    """turn_shard_size spreads a conv over buckets; conv-only lookup falls
+    back to a key-filtered scan of all buckets, pair lookup stays pruned —
+    both must return exactly the live rows."""
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8, turn_shard_size=5)
+    full = lake.final_table().to_pandas()
+    conv = full.conv_id.iloc[0]
+    exp = full[full.conv_id == conv].reset_index(drop=True)
+    assert lake.lookup([conv]).to_pandas().reset_index(drop=True).equals(exp)
+    pair = exp.iloc[[1]]
+    got = lake.lookup(pair.conv_id.tolist(), turns=pair.turn_idx.tolist())
+    assert got.to_pandas().reset_index(drop=True).equals(pair.reset_index(drop=True))
+
+
+def test_lookup_sees_deletes_and_updates(tmp_path):
+    """A deleted key returns no rows; an updated key returns the winner."""
+    spec = ChangelogSpec(n_events=6_000, n_convs=80, n_epochs=5, seed=11)
+    clog = materialize("unit-lookup-del", spec)
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8)
+    import duckdb
+
+    con = duckdb.connect()
+    dead = con.execute(
+        f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY ts DESC, lsn DESC) rn
+          FROM read_parquet('{clog}/*.parquet'))
+        SELECT conv_id, turn_idx FROM ranked WHERE rn=1 AND op = 'D' LIMIT 3
+        """
+    ).df()
+    assert len(dead) > 0, "fixture produced no deletes"
+    got = lake.lookup(dead.conv_id.tolist(), turns=dead.turn_idx.tolist())
+    assert got.num_rows == 0
