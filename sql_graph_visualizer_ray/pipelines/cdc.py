@@ -78,6 +78,13 @@ _META_COLS = ("lsn", "epoch", "op")
 CANONICAL_KEYS = ("conv_id", "turn_idx")
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first. The losing writer's
+    in-memory manifest is untouched and no published file was harmed —
+    ``reload()`` and retry (its staging/spill output is version-addressed
+    garbage that the next ``clean_uncommitted`` removes)."""
+
+
 def _event_schema_for(payload_schema: pa.Schema) -> pa.Schema:
     return pa.schema(
         [CHANGE_EVENT_SCHEMA.field(c) for c in _META_COLS] + list(payload_schema)
@@ -127,6 +134,48 @@ class LakeTable:
         self.manifest = manifest
         # True for time-travel snapshots: reads only, commits refused
         self.readonly = readonly
+
+    def _publish_version_dir(self, staging: str, new_version: int) -> None:
+        """CAS publish: the rename of ``v{N}`` into place IS the atomic
+        claim on version number N (optimistic concurrency, Iceberg-style —
+        no lock server; POSIX/shared-FS rename atomicity is the primitive).
+
+        If ``v{N}`` already exists there are two cases, distinguished by the
+        ON-DISK manifest: its version >= N means another writer committed N
+        first — raise ``CommitConflictError`` with this writer's manifest
+        and the published lake both untouched (every commit path mutates
+        ``self.manifest`` only AFTER this claim succeeds); version < N means
+        the dir is our own crashed earlier attempt's garbage — remove it
+        and claim."""
+        import shutil
+
+        final_dir = os.path.join(self.path, f"v{new_version}")
+        for _ in range(2):
+            if os.path.exists(final_dir):
+                on_disk = Manifest.load(self.path)
+                if on_disk is not None and on_disk.version >= new_version:
+                    raise CommitConflictError(
+                        f"v{new_version} was committed by another writer "
+                        f"(lake is at v{on_disk.version}); reload() and retry"
+                    )
+                shutil.rmtree(final_dir)
+            try:
+                os.replace(staging, final_dir)
+                return
+            except OSError:
+                continue  # lost a race on the rename itself; re-examine
+        raise CommitConflictError(
+            f"could not claim v{new_version} (concurrent writers); "
+            "reload() and retry"
+        )
+
+    def reload(self) -> "LakeTable":
+        """Re-read the on-disk manifest (after a ``CommitConflictError``)."""
+        m = Manifest.load(self.path)
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {self.path}")
+        self.manifest = m
+        return self
 
     def _check_writable(self) -> None:
         if self.readonly:
@@ -701,13 +750,9 @@ class LakeTable:
             counters = counters_ds.take_all()  # tiny: one row per bucket
             self.last_stats = counters_ds.stats()  # per-operator observability
 
-        # --- atomic publish: staging -> v{N}, then manifest
-        final_dir = os.path.join(self.path, f"v{new_version}")
-        if os.path.exists(final_dir):  # crashed previous attempt
-            import shutil
-
-            shutil.rmtree(final_dir)
-        os.replace(staging, final_dir)
+        # --- atomic publish: claim v{N} (CAS vs concurrent writers), then
+        # manifest
+        self._publish_version_dir(staging, new_version)
 
         applied_lsn = max(
             [int(r["max_lsn"]) for r in counters] + [m.data["applied_lsn"]]
@@ -856,12 +901,7 @@ class LakeTable:
             .map_batches(_task, batch_format="pyarrow", batch_size=1)
             .take_all()
         )
-        final_dir = os.path.join(self.path, f"v{new_version}")
-        if os.path.exists(final_dir):
-            import shutil
-
-            shutil.rmtree(final_dir)
-        os.replace(staging, final_dir)
+        self._publish_version_dir(staging, new_version)
         for r in counters:
             m.data["buckets"][str(int(r["bucket"]))] = {
                 "files": [f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"],
@@ -1059,12 +1099,7 @@ class LakeTable:
             .map_batches(_task, batch_format="pyarrow", batch_size=1)
             .take_all()
         )
-        final_dir = os.path.join(self.path, f"v{new_version}")
-        if os.path.exists(final_dir):
-            import shutil
-
-            shutil.rmtree(final_dir)
-        os.replace(staging, final_dir)
+        self._publish_version_dir(staging, new_version)
         m.data["buckets"] = {
             str(int(r["bucket"])): {
                 "files": [f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"],

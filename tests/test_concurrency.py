@@ -1,0 +1,99 @@
+"""Optimistic concurrency on commits (``CommitConflictError`` + CAS publish).
+
+The version-dir rename is the atomic claim on a version number: of two
+writers based on the same manifest, exactly one publishes; the loser raises
+with nothing mutated and retries after ``reload()``. The reference has no
+concurrent-writer story at all (single process, destructive full refresh —
+``/root/reference/cmd/main.go:165-177``); at 100 TB independent jobs
+(ingest vs compaction, two ingest shards) WILL race on one table, so the
+commit protocol has to arbitrate.
+"""
+
+import json
+import os
+
+import pytest
+
+from sql_graph_visualizer_ray.pipelines.cdc import (
+    CommitConflictError,
+    LakeTable,
+    replay,
+)
+from sql_graph_visualizer_ray.pipelines.oracle import replay_oracle
+from sql_graph_visualizer_ray.sources.changelog import ChangelogSpec, materialize
+
+from test_delta_compaction import canonical
+
+SPEC = ChangelogSpec(n_events=8_000, n_convs=200, n_epochs=4, seed=83)
+
+
+@pytest.fixture(scope="module")
+def clog():
+    return materialize("unit-conc", SPEC)
+
+
+def test_stale_writer_conflicts_then_retries(clog, tmp_path):
+    """B commits between A's manifest read and A's publish; A must raise,
+    reload, retry — and the final lake equals the sequential replay."""
+    path = str(tmp_path / "lake")
+    a = LakeTable.open(path, num_buckets=8)
+    a.apply(clog, max_epochs=2)
+    b = LakeTable.open(path, num_buckets=8)
+    b.apply(clog, max_epochs=1)  # B wins v(a+1): applies epoch 2
+    with pytest.raises(CommitConflictError, match="another writer"):
+        a.apply(clog, max_epochs=1)  # A still based on B's predecessor
+    # nothing of A's attempt leaked into the published lake
+    assert LakeTable.open(path, num_buckets=8).manifest.version == b.manifest.version
+    a.reload()
+    a.apply(clog)  # retry applies the remaining epochs
+    assert canonical(a.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_compaction_races_ingest(clog, tmp_path):
+    """Compaction and ingest arbitrate through the same CAS: the loser
+    (whichever it is) conflicts cleanly instead of silently dropping the
+    winner's commit."""
+    path = str(tmp_path / "lake")
+    ingest = LakeTable.open(path, num_buckets=8)
+    for _ in range(3):
+        ingest.apply(clog, max_epochs=1)
+    compactor = LakeTable.open(path, num_buckets=8)
+    ingest.apply(clog, max_epochs=1)  # ingest advances past compactor's base
+    with pytest.raises(CommitConflictError):
+        compactor.compact()
+    compactor.reload()
+    out = compactor.compact()
+    assert out["compacted_buckets"] > 0
+    assert canonical(compactor.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_crashed_attempt_garbage_is_reclaimed(clog, tmp_path):
+    """A v{N} dir WITHOUT a manifest at >= N is a crashed attempt, not a
+    conflict: the next commit removes it and claims the version."""
+    path = str(tmp_path / "lake")
+    lake = LakeTable.open(path, num_buckets=8)
+    lake.apply(clog, max_epochs=2)
+    orphan = os.path.join(path, f"v{lake.manifest.version + 1}")
+    os.makedirs(os.path.join(orphan, "bucket=00000"))
+    with open(os.path.join(orphan, "bucket=00000", "junk"), "w") as f:
+        f.write("crashed")
+    lake.apply(clog)  # claims that version, clearing the garbage
+    assert not os.path.exists(os.path.join(orphan, "bucket=00000", "junk"))
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_loser_manifest_not_corrupted(clog, tmp_path):
+    """After a conflict the on-disk manifest is exactly the winner's —
+    byte-identical before and after the loser's failed attempt."""
+    path = str(tmp_path / "lake")
+    a = LakeTable.open(path, num_buckets=8)
+    a.apply(clog, max_epochs=1)
+    b = LakeTable.open(path, num_buckets=8)
+    b.apply(clog, max_epochs=1)
+    with open(os.path.join(path, "MANIFEST.json")) as f:
+        before = json.load(f)
+    with pytest.raises(CommitConflictError):
+        a.apply(clog, max_epochs=1)
+    with open(os.path.join(path, "MANIFEST.json")) as f:
+        after = json.load(f)
+    assert before == after
