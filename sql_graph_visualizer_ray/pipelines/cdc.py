@@ -1232,6 +1232,39 @@ class LakeTable:
             payload = pa.schema([f for f in payload if f.name in need])
         return payload, payload_cols, ren_out
 
+    def _buckets_for_keys(
+        self, keys, turns, by_bucket: dict[int, list[str]]
+    ) -> dict[int, list]:
+        """Route requested keys to their home buckets: ``{bucket: unique
+        keys}``. On a turn-sharded lake with no turn bound a conversation
+        spans several buckets, so every bucket qualifies (callers still push
+        the key predicate into each read)."""
+        import numpy as np
+
+        m = self.manifest
+        uniq_keys = list(dict.fromkeys(keys))
+        if m.turn_shard_size and turns is None:
+            return {b: uniq_keys for b in by_bucket}
+        if m.turn_shard_size:
+            b_ids = bucket_of(
+                np.asarray(keys, dtype=object),
+                np.asarray(turns, dtype=np.int64),
+                m.num_buckets,
+                m.turn_shard_size,
+            )
+            routed = zip(keys, b_ids)
+        else:
+            b_ids = bucket_of(
+                np.asarray(uniq_keys, dtype=object),
+                np.zeros(len(uniq_keys), dtype=np.int64),
+                m.num_buckets,
+            )
+            routed = zip(uniq_keys, b_ids)
+        need = defaultdict(list)
+        for k, b in routed:
+            need[int(b)].append(k)
+        return {b: list(dict.fromkeys(ks)) for b, ks in need.items()}
+
     def lookup(
         self,
         keys,
@@ -1266,7 +1299,6 @@ class LakeTable:
         Reference analogue: the direct-id node fetch
         (``/root/reference/internal/application/services/direct_database_service.go``
         ``GetNodeByID``), made key-partition-aware."""
-        import numpy as np
         import pandas as pd
 
         if version is not None and version != self.manifest.version:
@@ -1286,30 +1318,7 @@ class LakeTable:
         if not by_bucket or not keys:
             return empty
 
-        uniq_keys = list(dict.fromkeys(keys))
-        conv_np = np.asarray(uniq_keys, dtype=object)
-        if m.turn_shard_size and turns is None:
-            # conv spans turn shards; can't enumerate them without a turn
-            # bound — read all buckets, still key-filtered at the file read
-            need_buckets = {b: uniq_keys for b in by_bucket}
-        elif m.turn_shard_size:
-            b_ids = bucket_of(
-                np.asarray(keys, dtype=object),
-                np.asarray(turns, dtype=np.int64),
-                m.num_buckets,
-                m.turn_shard_size,
-            )
-            need_buckets = defaultdict(list)
-            for k, b in zip(keys, b_ids):
-                if k not in need_buckets[int(b)]:
-                    need_buckets[int(b)].append(k)
-        else:
-            b_ids = bucket_of(
-                conv_np, np.zeros(len(uniq_keys), dtype=np.int64), m.num_buckets
-            )
-            need_buckets = defaultdict(list)
-            for k, b in zip(uniq_keys, b_ids):
-                need_buckets[int(b)].append(k)
+        need_buckets = self._buckets_for_keys(keys, turns, by_bucket)
 
         target = pa.schema(
             list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
@@ -1345,7 +1354,11 @@ class LakeTable:
         return t.take(pc.sort_indices(t, sort_keys=sort_keys)) if sort_keys else t
 
     def read_final(
-        self, columns: list[str] | None = None, *, version: int | None = None
+        self,
+        columns: list[str] | None = None,
+        *,
+        keys=None,
+        version: int | None = None,
     ) -> rd.Dataset:
         """Streaming read view of live rows: each bucket's base + delta files
         are normalized to the current payload schema (null-fill/cast — keeps
@@ -1359,13 +1372,34 @@ class LakeTable:
         requested payload columns, so a 2-column read of a wide lake never
         pays for the wide columns.
 
+        ``keys`` restricts the scan to the given first-key values and gives
+        the BATCH path the same O(keys) property as ``lookup``: only the
+        keys' home buckets become read tasks, and a key-exact predicate is
+        pushed into each parquet read — selecting 1M conversations from a
+        1B-conversation lake reads ~keys/num_buckets of the buckets and only
+        their matching row groups, not the lake. (Turn-sharded lakes scan
+        every bucket but still push the key predicate.)
+
         ``version`` time-travels: reads the table as of that commit (see
         ``snapshot``)."""
         if version is not None and version != self.manifest.version:
-            return self.snapshot(version).read_final(columns)
+            return self.snapshot(version).read_final(columns, keys=keys)
         m = self.manifest
         payload, payload_cols, ren_out = self._projection(columns)
         by_bucket = m.bucket_files(self.path)
+        if keys is not None:
+            need = self._buckets_for_keys(list(keys), None, by_bucket)
+            by_bucket = {
+                b: paths
+                for b, paths in by_bucket.items()
+                if b in need and need[b]
+            }
+            key_type = m.payload_schema.field("conv_id").type
+            key_arrays = {
+                b: pa.array(ks, type=key_type) for b, ks in need.items() if ks
+            }
+        else:
+            key_arrays = None
         if not by_bucket:
             return rd.from_arrow(
                 pa.schema(
@@ -1383,7 +1417,12 @@ class LakeTable:
         def _merge_read(items: pa.Table) -> pa.Table:
             outs = []
             for bk in items.column("bucket").to_pylist():
-                t = _read_files_merged(by_bucket[int(bk)], target)
+                expr = (
+                    pc.field("conv_id").isin(key_arrays[int(bk)])
+                    if key_arrays is not None
+                    else None
+                )
+                t = _read_files_merged(by_bucket[int(bk)], target, row_filter=expr)
                 t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
                 t = t.select(payload_cols)
                 outs.append(

@@ -105,6 +105,38 @@ def test_lookup_on_sharded_lake(clog, tmp_path):
     assert got.to_pandas().reset_index(drop=True).equals(pair.reset_index(drop=True))
 
 
+def test_read_final_keys_pruned_scan(lake):
+    """read_final(keys=...) is the distributed counterpart of lookup: same
+    rows as a post-hoc filter, but only the keys' home buckets become read
+    tasks."""
+    full = lake.final_table().to_pandas()
+    convs = full.conv_id.unique()[:5].tolist()
+    ds = lake.read_final(keys=convs)
+    got = (
+        ds.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        full[full.conv_id.isin(convs)]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # bucket pruning is observable in the task count: one input block per
+    # needed bucket, strictly fewer than the lake's bucket count
+    need = lake._buckets_for_keys(convs, None, lake.manifest.bucket_files(lake.path))
+    assert ds.materialize().num_blocks() == len(need) < lake.manifest.num_buckets
+
+
+def test_read_final_keys_empty_and_columns(lake):
+    assert lake.read_final(keys=[]).count() == 0
+    convs = lake.final_table().to_pandas().conv_id.unique()[:2].tolist()
+    df = lake.read_final(columns=["conv_id", "role"], keys=convs).to_pandas()
+    assert sorted(df.columns) == ["conv_id", "role"]
+    assert set(df.conv_id) == set(convs)
+
+
 def test_lookup_sees_deletes_and_updates(tmp_path):
     """A deleted key returns no rows; an updated key returns the winner."""
     spec = ChangelogSpec(n_events=6_000, n_convs=80, n_epochs=5, seed=11)
