@@ -137,6 +137,45 @@ def test_read_final_keys_empty_and_columns(lake):
     assert set(df.conv_id) == set(convs)
 
 
+def test_lookup_native_keys_on_edge_lake(tmp_path):
+    """lookup speaks the lake's NATIVE key schema: an edge lake keyed
+    (source_id, target_id) looks up by int source ids and returns native
+    column names."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    lake = EdgeLake(str(tmp_path / "edges"), num_buckets=4)
+    rows = [
+        {"source_id": s, "target_id": t, "relation_type": "KNOWS",
+         "direction": "outgoing", "op": "I"}
+        for s, t in [(1, 2), (1, 3), (2, 3), (7, 1)]
+    ]
+    lake.ingest(rd.from_arrow(pa.Table.from_pylist(rows)), epoch=0)
+    got = lake.lake.lookup([1]).to_pandas()
+    assert set(zip(got.source_id, got.target_id)) == {(1, 2), (1, 3)}
+    pair = lake.lake.lookup([2], turns=[3])
+    assert pair.num_rows == 1 and pair.column("target_id")[0].as_py() == 3
+
+
+def test_reader_snapshot_isolation(clog, tmp_path):
+    """A read_final Dataset captures the manifest at creation; commits that
+    land afterwards don't bleed into it (published files are immutable
+    until vacuum) — concurrent readers see a consistent snapshot."""
+    path = str(tmp_path / "lake")
+    lake = LakeTable.open(path, num_buckets=8)
+    lake.apply(clog, max_epochs=2)
+    before = lake.final_table()
+    ds = lake.read_final()  # plan pinned to the pre-commit manifest
+    lake.apply(clog)  # more commits land
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = before.to_pandas().reset_index(drop=True)
+    assert got.equals(want)
+    # and the lake itself did move on
+    assert not lake.final_table().to_pandas().reset_index(drop=True).equals(want)
+
+
 def test_lookup_sees_deletes_and_updates(tmp_path):
     """A deleted key returns no rows; an updated key returns the winner."""
     spec = ChangelogSpec(n_events=6_000, n_convs=80, n_epochs=5, seed=11)
