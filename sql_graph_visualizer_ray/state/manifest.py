@@ -192,16 +192,53 @@ class Manifest:
         return cls(snap)
 
 
+#: how long an unpublished staging/version dir must sit untouched before a
+#: cleaner may assume its writer is dead. Must exceed the longest commit's
+#: publish window; tune via $GRAFT_PUBLISH_GRACE_S (tests set it to 0).
+PUBLISH_GRACE_S = 300.0
+
+
+def publish_grace_s() -> float:
+    v = os.environ.get("GRAFT_PUBLISH_GRACE_S")
+    return float(v) if v is not None else PUBLISH_GRACE_S
+
+
 def clean_uncommitted(lake_dir: str, committed_version: int) -> None:
-    """Delete staging dirs and any version dir newer than the manifest —
-    leftovers of a crash between data rename and manifest publish."""
+    """Delete staging entries and any version dir newer than the manifest —
+    leftovers of a crash between data rename and manifest publish.
+
+    Age-gated for multi-writer safety: only entries untouched for longer
+    than the publish grace window are collected, so opening a lake never
+    destroys a LIVE peer writer's in-flight staging or just-renamed
+    version dir (writers refresh their staging dir's mtime as they add
+    bucket subdirs). A genuinely crashed attempt is collected by whoever
+    opens or commits after the grace expires."""
+    import time
+
     if not os.path.isdir(lake_dir):
         return
+    now = time.time()
+    grace = publish_grace_s()
+
+    def _stale(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) > grace
+        except OSError:
+            return False  # vanished underneath us — someone else cleaned it
+
     for name in os.listdir(lake_dir):
         full = os.path.join(lake_dir, name)
         if name == "_staging":
-            shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith("v") and name[1:].isdigit() and int(name[1:]) > committed_version:
+            for sub in os.listdir(full):
+                p = os.path.join(full, sub)
+                if _stale(p):
+                    shutil.rmtree(p, ignore_errors=True)
+        elif (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) > committed_version
+            and _stale(full)
+        ):
             shutil.rmtree(full, ignore_errors=True)
 
 

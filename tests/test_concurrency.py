@@ -68,8 +68,12 @@ def test_compaction_races_ingest(clog, tmp_path):
 
 
 def test_crashed_attempt_garbage_is_reclaimed(clog, tmp_path):
-    """A v{N} dir WITHOUT a manifest at >= N is a crashed attempt, not a
-    conflict: the next commit removes it and claims the version."""
+    """A v{N} dir WITHOUT a manifest at >= N and older than the publish
+    grace window is a crashed attempt: the next commit removes it and
+    claims the version. The SAME dir while fresh is indistinguishable from
+    a live peer mid-publish and must conflict instead."""
+    import time
+
     path = str(tmp_path / "lake")
     lake = LakeTable.open(path, num_buckets=8)
     lake.apply(clog, max_epochs=2)
@@ -77,9 +81,56 @@ def test_crashed_attempt_garbage_is_reclaimed(clog, tmp_path):
     os.makedirs(os.path.join(orphan, "bucket=00000"))
     with open(os.path.join(orphan, "bucket=00000", "junk"), "w") as f:
         f.write("crashed")
-    lake.apply(clog)  # claims that version, clearing the garbage
+    with pytest.raises(CommitConflictError, match="publishing right now"):
+        lake.apply(clog)  # fresh orphan: could be a live peer — hands off
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    lake.apply(clog)  # stale orphan: reclaimed, version claimed
     assert not os.path.exists(os.path.join(orphan, "bucket=00000", "junk"))
     assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_two_writers_race_to_completion(clog, tmp_path):
+    """Two writer instances race epoch-by-epoch over the same lake with a
+    conflict-retry loop (the documented client protocol). Whatever the
+    interleaving: every epoch applies exactly once (fencing), the union of
+    both writers' work is the full changelog, and the result equals the
+    sequential-replay oracle."""
+    import threading
+
+    path = str(tmp_path / "lake")
+    LakeTable.open(path, num_buckets=8)  # create
+    applied = {"a": 0, "b": 0, "conflicts": 0}
+    lock = threading.Lock()
+    errors = []
+
+    def writer(tag: str):
+        lake = LakeTable.open(path, num_buckets=8)
+        try:
+            while True:
+                try:
+                    c = lake.apply(clog, max_epochs=1)
+                except CommitConflictError:
+                    with lock:
+                        applied["conflicts"] += 1
+                    lake.reload()
+                    continue
+                if not c.get("epochs"):
+                    break
+                with lock:
+                    applied[tag] += c["epochs"]
+        except Exception as e:  # surface thread failures in the main thread
+            errors.append((tag, e))
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert applied["a"] + applied["b"] == SPEC.n_epochs, applied
+    final = LakeTable.open(path, num_buckets=8)
+    assert canonical(final.final_table()).equals(canonical(replay_oracle(clog)))
 
 
 def test_loser_manifest_not_corrupted(clog, tmp_path):

@@ -80,15 +80,22 @@ def test_crash_between_data_rename_and_manifest(tmp_path):
     lake = LakeTable.open(lake_dir, num_buckets=4)
     lake.apply(clog, max_epochs=2)
     committed_version = lake.manifest.version
-    # fabricate the crash window: orphan newer version dir + stale staging
-    shutil.copytree(
-        os.path.join(lake_dir, f"v{committed_version}"),
-        os.path.join(lake_dir, f"v{committed_version + 1}"),
-    )
-    os.makedirs(os.path.join(lake_dir, "_staging", "v999", "bucket=00000"))
+    # fabricate the crash window: orphan newer version dir + stale staging,
+    # backdated past the publish grace window (a FRESH orphan is treated as
+    # a possibly-live peer's in-flight publish and left alone — see
+    # test_concurrency.py)
+    import time
+
+    orphan_v = os.path.join(lake_dir, f"v{committed_version + 1}")
+    shutil.copytree(os.path.join(lake_dir, f"v{committed_version}"), orphan_v)
+    orphan_stg = os.path.join(lake_dir, "_staging", "v999-deadbeef")
+    os.makedirs(os.path.join(orphan_stg, "bucket=00000"))
+    old = time.time() - 3600
+    os.utime(orphan_v, (old, old))
+    os.utime(orphan_stg, (old, old))
     reopened = LakeTable.open(lake_dir, num_buckets=4)
-    assert not os.path.exists(os.path.join(lake_dir, f"v{committed_version + 1}"))
-    assert not os.path.exists(os.path.join(lake_dir, "_staging"))
+    assert not os.path.exists(orphan_v)
+    assert not os.path.exists(orphan_stg)
     reopened.apply(clog)  # remaining epochs
     assert canonical(reopened.final_table()).equals(canonical(replay_oracle(clog)))
 
