@@ -191,7 +191,7 @@ def rel_customer_nation(sf_dir: str) -> rd.Dataset:
         source_match="nation_key",
         target_match="id",
     )
-    out = apply_relationship_rule(cust, nat, rule, num_partitions=4)
+    out = apply_relationship_rule(cust, nat, rule)
 
     def cast_ids(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -190,6 +190,28 @@ def broadcast_join(
     )
 
 
+def sized_partitions(
+    *datasets: rd.Dataset, per_partition_bytes: int = 64 << 20
+) -> int:
+    """Join/shuffle fan-in proportional to the DATA, clamped to the
+    CLUSTER: bytes/64MB partitions, at least 2, at most 4x cluster CPUs.
+    A fixed constant is wrong at both ends — 4 partitions starve a 256-node
+    cluster, while hundreds of partitions on a laptop pay Ray's
+    per-partition aggregator startup (~seconds) for nothing. Uses Dataset
+    metadata size estimates; falls back to CPU count when unknown
+    (same sizing rule as the cdc hash exchange and the dedup text join)."""
+    import numpy as np
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        size = sum(d.size_bytes() or 0 for d in datasets)
+    except Exception:
+        size = 0
+    if not size:
+        return max(2, cpus)
+    return int(np.clip(size // per_partition_bytes, 2, 4 * cpus))
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -197,13 +219,14 @@ def hash_join(
     on: str,
     right_on: str | None = None,
     join_type: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
-    """Both-sides-large join via Ray's hash-partitioned ``Dataset.join``."""
+    """Both-sides-large join via Ray's hash-partitioned ``Dataset.join``.
+    ``num_partitions=None`` sizes the exchange to the inputs/cluster."""
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or sized_partitions(left, right),
         on=(on,),
         right_on=(right_on or on,),
         right_suffix="_r",
@@ -215,7 +238,7 @@ def apply_relationship_rule(
     target_nodes: rd.Dataset,
     rule: RelationshipRule,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Build typed edges by matching two node sets on key properties
     (J1, ``transform_service.go:361-444``). Node sets are per-type Datasets —

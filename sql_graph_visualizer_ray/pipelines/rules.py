@@ -24,7 +24,7 @@ from .relational import (
 
 
 def run_rules(
-    sf_dir: str, rs: RuleSet, *, num_partitions: int = 4
+    sf_dir: str, rs: RuleSet, *, num_partitions: int | None = None
 ) -> dict[str, rd.Dataset]:
     """Execute every rule in priority order; returns rule name -> output
     Dataset (nodes for node rules, edges for relationship rules).
