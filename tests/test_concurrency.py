@@ -90,12 +90,14 @@ def test_crashed_attempt_garbage_is_reclaimed(clog, tmp_path):
     assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
 
 
-def test_two_writers_race_to_completion(clog, tmp_path):
+@pytest.mark.parametrize("shuffles", [("sort", "sort"), ("sort", "spill")])
+def test_two_writers_race_to_completion(clog, tmp_path, shuffles):
     """Two writer instances race epoch-by-epoch over the same lake with a
     conflict-retry loop (the documented client protocol). Whatever the
     interleaving: every epoch applies exactly once (fencing), the union of
     both writers' work is the full changelog, and the result equals the
-    sequential-replay oracle."""
+    sequential-replay oracle. The mixed sort/spill variant exercises the
+    writer-unique spill scratch dirs under contention too."""
     import threading
 
     path = str(tmp_path / "lake")
@@ -104,12 +106,12 @@ def test_two_writers_race_to_completion(clog, tmp_path):
     lock = threading.Lock()
     errors = []
 
-    def writer(tag: str):
+    def writer(tag: str, shuffle: str):
         lake = LakeTable.open(path, num_buckets=8)
         try:
             while True:
                 try:
-                    c = lake.apply(clog, max_epochs=1)
+                    c = lake.apply(clog, max_epochs=1, shuffle=shuffle)
                 except CommitConflictError:
                     with lock:
                         applied["conflicts"] += 1
@@ -122,7 +124,10 @@ def test_two_writers_race_to_completion(clog, tmp_path):
         except Exception as e:  # surface thread failures in the main thread
             errors.append((tag, e))
 
-    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    ts = [
+        threading.Thread(target=writer, args=(t, sh))
+        for t, sh in zip(("a", "b"), shuffles)
+    ]
     for t in ts:
         t.start()
     for t in ts:
