@@ -120,6 +120,28 @@ def cmd_changes(a) -> int:
     return 0
 
 
+def cmd_feed(a) -> int:
+    """Drain the change feed to parquet with a durable consumer cursor —
+    the restart-safe CDC-out export loop (run from cron; at-least-once)."""
+    from .pipelines.cdc import LakeTable
+    from .pipelines.feed import ChangeFeedCursor, drain
+
+    _ensure_ray(a.num_cpus)
+    lake = LakeTable.open(a.lake_dir)
+    cur = ChangeFeedCursor(a.cursor, start_after=a.start_after)
+    try:
+        delivered = drain(lake, cur, a.out, max_polls=a.max_polls)
+    except KeyError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    print(
+        json.dumps(
+            {"delivered": delivered, "acked": cur.acked, "lag": cur.lag(lake)}
+        )
+    )
+    return 0
+
+
 def cmd_lookup(a) -> int:
     """Point lookup by key — opens only the keys' home buckets, no Ray
     session needed (the latency-sensitive serving verb)."""
@@ -393,6 +415,14 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("version", type=int)
     ch.add_argument("--out", default=None, help="write feed parquet here")
     ch.set_defaults(fn=cmd_changes)
+
+    fe = sub.add_parser("feed", help="drain the change feed with a durable cursor")
+    fe.add_argument("lake_dir")
+    fe.add_argument("--cursor", required=True, help="consumer offset file (JSON)")
+    fe.add_argument("--out", required=True, help="export dir (one v{N}/ per commit)")
+    fe.add_argument("--start-after", type=int, default=0, dest="start_after")
+    fe.add_argument("--max-polls", type=int, default=None, dest="max_polls")
+    fe.set_defaults(fn=cmd_feed)
 
     lk = sub.add_parser("lookup", help="point lookup by key (no Ray session)")
     lk.add_argument("lake_dir")

@@ -1,0 +1,122 @@
+"""Durable change-feed consumer (CDC-out): a pull cursor over the lake's
+commit-by-commit delta feed.
+
+The reference pushes graph updates to subscribers over WebSockets
+(``/root/reference/internal/interfaces/websocket`` — serving layer, out of
+scope per SURVEY.md); the data-engine counterpart is a durable PULL
+consumer, shaped like a Kafka consumer group of one: ``poll()`` hands the
+next unconsumed commit's delta Dataset, ``ack()`` advances a crash-safe
+offset. Delivery is at-least-once — a crash between poll and ack
+re-delivers the same commit; every fed row carries ``(conv_id, turn_idx,
+lsn)`` so downstream effects can be made idempotent exactly the way the
+lake's own LWW merge is.
+
+The cursor file belongs to the CONSUMER, not the lake: any number of
+independent consumers follow one lake, each at its own offset, with no
+lake-side registration (the lake's delta files ARE the feed — serving a
+consumer costs no lake IO at all, it is a metadata lookup).
+
+Operational coupling to compaction: ``compact()`` folds delta files into
+their base, destroying commit-granular feeds older than the fold. A
+consumer that fell behind a compaction gets a loud ``KeyError`` from
+``poll()`` (never silent data loss); run consumers ahead of compaction or
+raise its ``min_files`` threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray.data as rd
+
+from .cdc import LakeTable
+
+
+class ChangeFeedCursor:
+    """Crash-safe consumer offset over ``LakeTable.changes``.
+
+    ``path`` is the consumer's durable state file (JSON, atomically
+    replaced on ``ack``). A missing file starts from the beginning of the
+    lake's history (``start_after`` overrides, e.g. to begin at the current
+    head: ``ChangeFeedCursor(p, start_after=lake.manifest.version)``).
+    """
+
+    def __init__(self, path: str, *, start_after: int = 0):
+        self.path = path
+        if os.path.exists(path):
+            with open(path) as f:
+                self.acked = int(json.load(f)["acked_version"])
+        else:
+            self.acked = int(start_after)
+
+    # -- consuming -----------------------------------------------------
+    def _data_commits(self, lake: LakeTable) -> list[int]:
+        return sorted(
+            int(h["version"])
+            for h in lake.manifest.data["history"]
+            if h.get("version", 0) > self.acked
+            and not h.get("compaction")
+            and "split_buckets" not in h
+        )
+
+    def lag(self, lake: LakeTable) -> int:
+        """Unconsumed data commits between the cursor and the lake head."""
+        return len(self._data_commits(lake))
+
+    def poll(self, lake: LakeTable) -> tuple[int, rd.Dataset] | None:
+        """Next unconsumed commit as ``(version, delta Dataset)``; ``None``
+        at the head. Compaction/split commits are skipped (they rewrite
+        rows rather than change them). Two pending situations RAISE rather
+        than skip, because skipping would silently lose changes: a
+        ``commit_mode="rewrite"`` commit (its files are a full-state
+        snapshot, not a delta — ``skip()`` past it deliberately and
+        re-sync from ``read_final(version=...)``), and a feed that was
+        compacted away (the consumer fell behind compaction)."""
+        for v in self._data_commits(lake):
+            return v, lake.changes(v)
+        return None
+
+    def skip(self, version: int) -> None:
+        """Deliberately advance past an unservable commit (rewrite, or a
+        compacted-away feed) WITHOUT consuming it. The consumer must
+        re-sync its derived state from a snapshot read
+        (``lake.read_final(version=version)``) — that is the documented
+        contract, not a footgun: ``poll`` refuses to hide the gap."""
+        self.ack(version)
+
+    def ack(self, version: int) -> None:
+        """Durably advance past ``version`` (write-tmp + atomic replace)."""
+        if version <= self.acked:
+            raise ValueError(
+                f"ack({version}) does not advance the cursor (at {self.acked})"
+            )
+        self.acked = int(version)
+        d = os.path.dirname(self.path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"acked_version": self.acked}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+
+def drain(
+    lake: LakeTable, cursor: ChangeFeedCursor, out_dir: str, *, max_polls: int | None = None
+) -> list[int]:
+    """Consume every pending commit to partitioned parquet
+    (``out_dir/v{N}/``), acking after each successful write — the restart-
+    safe export loop a downstream system would run from cron. Returns the
+    versions delivered this call."""
+    delivered: list[int] = []
+    while max_polls is None or len(delivered) < max_polls:
+        nxt = cursor.poll(lake)
+        if nxt is None:
+            break
+        v, ds = nxt
+        ds.write_parquet(os.path.join(out_dir, f"v{v}"))
+        cursor.ack(v)
+        delivered.append(v)
+    return delivered
