@@ -283,7 +283,7 @@ def cmd_analyze(a) -> int:
         "payload_columns": [f.name for f in m.payload_schema],
         "counters": m.data["counters"],
         "buckets": buckets,
-        "commits": len(m.data["history"]),
+        "commits": m.history_total(),
         "recommendations": recs,
     }
     if a.format == "json":

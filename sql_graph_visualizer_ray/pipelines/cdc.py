@@ -860,7 +860,7 @@ class LakeTable:
         cum = m.data["counters"]
         for k, v in commit_counters.items():
             cum[k] = cum.get(k, 0) + v
-        m.data["history"].append(
+        m.append_history(
             {
                 "version": new_version,
                 "applied_epoch": applied_epoch,
@@ -994,7 +994,7 @@ class LakeTable:
             return {"compacted_buckets": 0, "files_merged": 0}
         counters = self._compact_impl(todo, watermark_us=None)
         files_merged = sum(int(r["files_in"]) for r in counters)
-        m.data["history"].append(
+        m.append_history(
             {
                 "version": m.version,
                 "compaction": True,
@@ -1046,7 +1046,7 @@ class LakeTable:
             m.bucket_files(self.path), watermark_us=watermark
         )
         dropped = sum(int(r["dropped"]) for r in counters)
-        m.data["history"].append(
+        m.append_history(
             {
                 "version": m.version,
                 "compaction": True,
@@ -1182,7 +1182,7 @@ class LakeTable:
         }
         m.data["num_buckets"] = new_num_buckets
         m.data["version"] = new_version
-        m.data["history"].append(
+        m.append_history(
             {
                 "version": new_version,
                 "split_buckets": {"from": old, "to": new_num_buckets},
@@ -1207,14 +1207,7 @@ class LakeTable:
         commit's per-bucket files contain the merged prior state, not just
         that commit's changes), so serving them here would replay
         pre-existing rows as changes — raises KeyError for all three."""
-        entry = next(
-            (
-                h
-                for h in self.manifest.data["history"]
-                if h.get("version") == version
-            ),
-            None,
-        )
+        entry = self.manifest.history_entry(self.path, version)
         if entry is None or entry.get("compaction") or "split_buckets" in entry:
             raise KeyError(
                 f"no change feed for v{version}: not a data commit "

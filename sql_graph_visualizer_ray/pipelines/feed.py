@@ -54,10 +54,8 @@ class ChangeFeedCursor:
     def _data_commits(self, lake: LakeTable) -> list[int]:
         return sorted(
             int(h["version"])
-            for h in lake.manifest.data["history"]
-            if h.get("version", 0) > self.acked
-            and not h.get("compaction")
-            and "split_buckets" not in h
+            for h in lake.manifest.history_after(lake.path, self.acked)
+            if not h.get("compaction") and "split_buckets" not in h
         )
 
     def lag(self, lake: LakeTable) -> int:

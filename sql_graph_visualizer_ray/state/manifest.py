@@ -133,7 +133,83 @@ class Manifest:
         }
 
     # -- commit protocol --------------------------------------------------
+    # -- commit history: bounded in-manifest, rolled to side segments ----
+    #
+    # One entry per commit would make the manifest grow without bound and
+    # be REWRITTEN on every commit (1M commits ~ 150 MB json per save).
+    # The manifest keeps only the newest GRAFT_HISTORY_KEEP entries; older
+    # ones roll into write-once `_history/seg-<first>-<last>.jsonl` files,
+    # named by version range so point lookups open exactly one segment.
+    # Readers go through history_entry / history_after, never the raw list.
+
+    def append_history(self, entry: dict) -> None:
+        self.data["history"].append(entry)
+        self.data["history_total"] = int(self.data.get("history_total", 0)) + 1
+
+    def history_total(self) -> int:
+        return int(self.data.get("history_total", len(self.data["history"])))
+
+    def _roll_history(self, lake_dir: str) -> None:
+        keep = int(os.environ.get("GRAFT_HISTORY_KEEP", "256"))
+        hist = self.data["history"]
+        if len(hist) <= keep:
+            return
+        roll, self.data["history"] = hist[:-keep], hist[-keep:]
+        d = os.path.join(lake_dir, "_history")
+        os.makedirs(d, exist_ok=True)
+        first = int(roll[0].get("version", 0))
+        last = int(roll[-1].get("version", 0))
+        p = os.path.join(d, f"seg-{first:012d}-{last:012d}.jsonl")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            for e in roll:
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, p)
+
+    @staticmethod
+    def _segments(lake_dir: str) -> list[tuple[int, int, str]]:
+        d = os.path.join(lake_dir, "_history")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for n in sorted(os.listdir(d)):
+            if n.startswith("seg-") and n.endswith(".jsonl"):
+                _, a, b = n[: -len(".jsonl")].split("-")
+                out.append((int(a), int(b), os.path.join(d, n)))
+        return out
+
+    def history_entry(self, lake_dir: str, version: int) -> dict | None:
+        """The history entry for a commit version, wherever it lives. Note
+        compaction entries reuse their data version number — returns the
+        first match the way the old linear scan did."""
+        for h in self.data["history"]:
+            if h.get("version") == version:
+                return h
+        for a, b, p in self._segments(lake_dir):
+            if a <= version <= b:
+                with open(p) as f:
+                    for line in f:
+                        e = json.loads(line)
+                        if e.get("version") == version:
+                            return e
+        return None
+
+    def history_after(self, lake_dir: str, min_version: int):
+        """All history entries with version > min_version, oldest first
+        (rolled segments, then the in-manifest tail)."""
+        for a, b, p in self._segments(lake_dir):
+            if b > min_version:
+                with open(p) as f:
+                    for line in f:
+                        e = json.loads(line)
+                        if e.get("version", 0) > min_version:
+                            yield e
+        for h in self.data["history"]:
+            if h.get("version", 0) > min_version:
+                yield h
+
     def save_atomic(self, lake_dir: str) -> None:
+        self._roll_history(lake_dir)
         self._write_snapshot(lake_dir)
         p = os.path.join(lake_dir, MANIFEST_NAME)
         tmp = p + ".tmp"

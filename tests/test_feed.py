@@ -91,6 +91,31 @@ def test_fell_behind_compaction_is_loud(lake, tmp_path):
     assert cur.poll(lake) is None
 
 
+def test_history_rolls_to_segments(clog, tmp_path, monkeypatch):
+    """The in-manifest commit history stays bounded (GRAFT_HISTORY_KEEP);
+    older entries roll to write-once _history/seg-*.jsonl files. Rolled
+    commits stay fully usable: changes(old_version) resolves through the
+    segment, a feed cursor walks across the roll boundary, and the commit
+    count survives."""
+    monkeypatch.setenv("GRAFT_HISTORY_KEEP", "2")
+    lk = LakeTable.open(str(tmp_path / "lake"), num_buckets=8)
+    for _ in range(SPEC.n_epochs):
+        lk.apply(clog, max_epochs=1)
+    assert len(lk.manifest.data["history"]) <= 2
+    assert lk.manifest.history_total() == SPEC.n_epochs
+    segs = os.listdir(os.path.join(str(tmp_path / "lake"), "_history"))
+    assert segs and all(s.startswith("seg-") for s in segs)
+    # a rolled commit's feed still resolves
+    assert lk.changes(1).count() > 0
+    # a cursor walks the full history across the roll boundary
+    cur = ChangeFeedCursor(str(tmp_path / "cursor.json"))
+    versions = []
+    while (nxt := cur.poll(lk)) is not None:
+        versions.append(nxt[0])
+        cur.ack(nxt[0])
+    assert versions == list(range(1, SPEC.n_epochs + 1))
+
+
 def test_start_after_head_sees_only_new_commits(lake, clog, tmp_path):
     cur = ChangeFeedCursor(
         str(tmp_path / "cursor.json"), start_after=lake.manifest.version
