@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+from ..stages.actors import taskify
 from ray.data.aggregate import Count
 
 from .relational import read_table
@@ -154,7 +156,7 @@ def jaccard_char_pairs(
 
     return (
         docs.select_columns(["doc_id"])
-        .map_batches(PairFinder, batch_format="pandas", concurrency=(1, 8))
+        .map_batches(taskify(PairFinder), batch_format="pandas")
     )
 
 
@@ -671,7 +673,7 @@ def simhash_buckets(sf_dir: str, *, band_bits: int = 16) -> rd.Dataset:
     """Docs sharing any 16-bit simhash band -> near-dup buckets:
     (band, band_value, doc_id) rows for buckets with >= 2 docs."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+    sigs = docs.map_batches(taskify(SimHasher), batch_format="pandas")
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         h = b["simhash"].to_numpy().astype(np.uint64)

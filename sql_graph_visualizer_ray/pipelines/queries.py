@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+
+from ..stages.actors import taskify
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import Computed, NodeRule, Predicate, RelationshipRule
@@ -1424,7 +1426,7 @@ def text_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
             out["rank"] = rank[keep].astype("int64")
             return out[["doc_id", "term", "rank"]].astype({"doc_id": "int64"})
 
-    return docs.map_batches(Score, batch_format="pandas", concurrency=(2, 8))
+    return docs.map_batches(taskify(Score), batch_format="pandas")
 
 
 def dedup_minhash_components(sf_dir: str) -> rd.Dataset:

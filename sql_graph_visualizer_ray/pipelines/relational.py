@@ -175,19 +175,28 @@ def broadcast_join(
     left_key: str,
     right_key: str,
     how: str = "inner",
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> rd.Dataset:
     """Join ``big`` (streamed) against ``small`` (materialized once, broadcast
-    via the object store). ``how``: inner | left | anti (semi-anti on keys)."""
+    via the object store). ``how``: inner | left | anti (semi-anti on keys).
+
+    Runs as stateless TASKS with a per-worker cache cell (the closure is
+    deserialized once per worker, so the ``ray.get`` of the broadcast side
+    runs once per process) — the setup-once amortization of an actor pool
+    without its startup latency. ``concurrency`` is accepted for explicit
+    throttling; ``None`` lets the scheduler use every core."""
     small_df = small.to_pandas()
     small_df = small_df.set_index(right_key)
     ref = ray.put(small_df)
-    return big.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(ref, left_key, how),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    cache: list = []
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        if not cache:
+            cache.append(_BroadcastJoiner(ref, left_key, how))
+        return cache[0](batch)
+
+    kw = {} if concurrency is None else {"concurrency": concurrency}
+    return big.map_batches(join_batch, batch_format="pyarrow", **kw)
 
 
 def sized_partitions(

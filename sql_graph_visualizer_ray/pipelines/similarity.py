@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.actors import taskify
+
 from .relational import read_table
 
 
@@ -51,32 +53,35 @@ def cosine_topk(
     q_ids = qdf["vec_id"].to_numpy()
     ref = ray.put((q_ids, q))
 
-    class PartialTopK:
-        def __init__(self):
-            self.q_ids, self.q = ray.get(ref)
+    # stateless TASK stage with a per-worker cache cell (Ray deserializes
+    # the closure once per worker, so the ray.get runs once per process) —
+    # the broadcast-query pattern without actor-pool startup latency, which
+    # dominated this stage's wall-time at small scale (cf. textfns.as_tasks)
+    cache: list = []
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids = batch["vec_id"].to_numpy()
-            m = _norm_rows(_stack(batch["embedding"]))
-            cos = self.q @ m.T  # (Q, B)
-            if exclude_self:
-                cos[self.q_ids[:, None] == ids[None, :]] = -np.inf
-            kk = min(k, cos.shape[1])
-            # per-query partial top-k within this batch
-            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(self.q_ids, kk)
-            cols = part.ravel()
-            return pd.DataFrame(
-                {
-                    "query_id": rows,
-                    "neighbor_id": ids[cols],
-                    "cosine": cos[np.repeat(np.arange(len(self.q_ids)), kk), cols],
-                }
-            )
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if not cache:
+            cache.append(ray.get(ref))
+        q_ids, qm = cache[0]
+        ids = batch["vec_id"].to_numpy()
+        m = _norm_rows(_stack(batch["embedding"]))
+        cos = qm @ m.T  # (Q, B)
+        if exclude_self:
+            cos[q_ids[:, None] == ids[None, :]] = -np.inf
+        kk = min(k, cos.shape[1])
+        # per-query partial top-k within this batch
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": rows,
+                "neighbor_id": ids[cols],
+                "cosine": cos[np.repeat(np.arange(len(q_ids)), kk), cols],
+            }
+        )
 
-    partials = emb.map_batches(
-        PartialTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    partials = emb.map_batches(partial_topk, batch_format="pandas", batch_size=4096)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[np.isfinite(g["cosine"])]
@@ -145,7 +150,7 @@ def lsh_ann_topk(
             return pd.concat(out, ignore_index=True)
 
     partials = emb.map_batches(
-        BucketScore, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        taskify(BucketScore), batch_format="pandas", batch_size=4096
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -216,9 +221,7 @@ def lsh_near_dup_pairs(
 
     sizes = {
         int(r["bucket"]): int(r["count()"])
-        for r in emb.map_batches(
-            BucketOnly, batch_format="pandas", concurrency=(1, 8)
-        )
+        for r in emb.map_batches(taskify(BucketOnly), batch_format="pandas")
         .groupby("bucket")
         .count()
         .take_all()  # tiny: <= 2^n_planes rows
@@ -307,7 +310,7 @@ def lsh_near_dup_pairs(
         )
 
     return (
-        emb.map_batches(Route, batch_format="pandas", concurrency=(1, 8))
+        emb.map_batches(taskify(Route), batch_format="pandas")
         .groupby("gkey")
         .map_groups(chunk_pair_fn, batch_format="pandas")
     )
@@ -338,4 +341,6 @@ def nearest_centroid(sf_dir: str, *, n_centroids: int = 8, seed: int = 7) -> rd.
                 }
             )
 
-    return emb.map_batches(Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+    return emb.map_batches(
+        taskify(Assign), batch_format="pandas", batch_size=4096
+    )

@@ -89,3 +89,26 @@ class SpillMergeActor:
         return out.append_column(
             "actor_merged_total", pa.array([self.merged_buckets] * n, pa.int64())
         )
+
+
+def taskify(make):
+    """Wrap a zero-arg stage factory (a callable class, often a closure
+    class holding a broadcast ``ObjectRef``) as a stateless ``map_batches``
+    task function with ONE cached instance per worker process: Ray
+    deserializes the closure once per worker, so the factory (and any
+    ``ray.get`` inside its ``__init__``) runs once per process, per
+    execution. Same setup-once amortization as an actor pool, none of the
+    pool's startup latency — which measurably dominates lightweight stages
+    at small scale (see textfns module docstring for the measurements).
+    Keep REAL actor pools for heavy state (e.g. multimodal model weights)
+    or when per-actor lifetime state must accumulate (SpillMergeActor)."""
+    cache: list = []
+
+    def fn(batch):
+        if not cache:
+            cache.append(make())
+        return cache[0](batch)
+
+    if hasattr(make, "__name__"):
+        fn.__name__ = make.__name__
+    return fn
