@@ -297,7 +297,7 @@ def cmd_analyze(a) -> int:
         rows = sum(b["rows"] for b in m.data["buckets"].values())
         files = sum(len(b["files"]) for b in m.data["buckets"].values())
         print(f"lake            {a.lake_dir}")
-        print(f"version         v{m.version} ({len(m.data['history'])} commits)")
+        print(f"version         v{m.version} ({m.history_total()} commits)")
         print(f"applied epoch   {m.applied_epoch} (lsn {m.data['applied_lsn']})")
         print(f"buckets         {m.num_buckets} ({files} data files, ~{rows} rows)")
         print(f"events applied  {c.get('raw_events', 0)}")

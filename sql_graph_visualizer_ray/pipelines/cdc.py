@@ -284,7 +284,34 @@ class LakeTable:
             m = Manifest.new(num_buckets, payload, turn_shard_size, kc)
             m.save_atomic(path)
         clean_uncommitted(path, m.version)
+        cls._clean_external_spill()
         return cls(path, m)
+
+    @staticmethod
+    def _clean_external_spill() -> None:
+        """GC crashed attempts' spill runs under $GRAFT_SPILL_DIR (the
+        default spill base lives in ``_staging`` and is covered by
+        ``clean_uncommitted``; an external NVMe/scratch base is not).
+        Age-gated by the same publish grace so a live peer's in-flight
+        spill is never collected."""
+        import shutil
+        import time
+
+        from ..state.manifest import publish_grace_s
+
+        base = os.environ.get("GRAFT_SPILL_DIR")
+        if not base or not os.path.isdir(base):
+            return
+        now = time.time()
+        for n in os.listdir(base):
+            if not n.startswith("spill_v"):
+                continue
+            p = os.path.join(base, n)
+            try:
+                if now - os.path.getmtime(p) > publish_grace_s():
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
 
     # -- logical <-> physical key-name indirection ----------------------
     @property
