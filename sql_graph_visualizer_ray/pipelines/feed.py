@@ -108,13 +108,24 @@ def drain(
     (``out_dir/v{N}/``), acking after each successful write — the restart-
     safe export loop a downstream system would run from cron. Returns the
     versions delivered this call."""
+    import shutil
+
     delivered: list[int] = []
     while max_polls is None or len(delivered) < max_polls:
         nxt = cursor.poll(lake)
         if nxt is None:
             break
         v, ds = nxt
-        ds.write_parquet(os.path.join(out_dir, f"v{v}"))
+        final = os.path.join(out_dir, f"v{v}")
+        # atomic (re)delivery: write to a staging dir and rename into place.
+        # A crash between write and ack re-delivers the commit; naive
+        # write_parquet into the existing dir would APPEND a second copy of
+        # every row — the staging swap makes re-delivery overwrite instead.
+        tmp = os.path.join(out_dir, f"_v{v}.writing")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
         cursor.ack(v)
         delivered.append(v)
     return delivered

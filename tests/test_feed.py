@@ -81,6 +81,24 @@ def test_drain_exports_and_acks(lake, tmp_path):
     assert drain(lake, cur, out) == []  # idempotent at head
 
 
+def test_drain_redelivery_overwrites_not_appends(lake, tmp_path):
+    """Crash between export write and ack re-delivers the commit; the
+    staged atomic swap must OVERWRITE the partial export, never append a
+    second copy of every row."""
+    import duckdb
+
+    out = str(tmp_path / "export")
+    cur = ChangeFeedCursor(str(tmp_path / "cursor.json"))
+    drain(lake, cur, out, max_polls=1)  # delivers v1, acked
+    rows_v1 = duckdb.sql(f"SELECT count(*) FROM '{out}/v1/*.parquet'").fetchone()[0]
+    # simulate the crash window: cursor file rolled back to before v1,
+    # export dir still present (written but un-acked)
+    cur2 = ChangeFeedCursor(str(tmp_path / "cursor2.json"))
+    drain(lake, cur2, out, max_polls=1)  # re-delivers v1 into the same dir
+    rows_again = duckdb.sql(f"SELECT count(*) FROM '{out}/v1/*.parquet'").fetchone()[0]
+    assert rows_again == rows_v1, "re-delivery duplicated exported rows"
+
+
 def test_fell_behind_compaction_is_loud(lake, tmp_path):
     cur = ChangeFeedCursor(str(tmp_path / "cursor.json"))
     lake.compact(min_files=2)  # folds the delta files the feed needs
