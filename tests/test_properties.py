@@ -193,3 +193,83 @@ def test_hll_estimate_error_bound(n):
     vals = np.arange(n, dtype=np.int64)
     est = hll.estimate(hll.registers(vals))
     assert abs(est - n) / n < 0.05, f"{est} vs {n}"
+
+
+# --- schema evolution kernel --------------------------------------------
+
+_COLTYPES = [pa.int32(), pa.int64(), pa.float64(), pa.string()]
+
+_WIDEN_OK = {
+    (pa.int32(), pa.int64()),
+    (pa.int32(), pa.float64()),
+    (pa.int64(), pa.float64()),
+}
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    names=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=5, unique=True
+    ),
+    which=st.data(),
+)
+def test_normalize_table_evolution_roundtrip(names, which):
+    """normalize_table must (1) preserve values of shared columns under a
+    legal widen, (2) null-fill added columns, (3) emit exactly the target
+    schema — the contract merge-on-read relies on when a lake mixes files
+    from before and after a schema evolution."""
+    import pandas as pd
+
+    from sql_graph_visualizer_ray.schema import normalize_table
+
+    src_fields, tgt_fields, widened = [], [], []
+    for n in names:
+        src_t = which.draw(st.sampled_from(_COLTYPES), label=f"src:{n}")
+        if which.draw(st.booleans(), label=f"widen:{n}"):
+            cands = [t for s, t in _WIDEN_OK if s == src_t]
+            tgt_t = which.draw(st.sampled_from(cands), label=f"tgt:{n}") if cands else src_t
+        else:
+            tgt_t = src_t
+        src_fields.append(pa.field(n, src_t))
+        tgt_fields.append(pa.field(n, tgt_t))
+        if tgt_t != src_t:
+            widened.append(n)
+    added = which.draw(
+        st.lists(st.sampled_from(["x", "y"]), max_size=2, unique=True), label="added"
+    )
+    tgt_fields += [pa.field(n, pa.string()) for n in added]
+    nrows = which.draw(st.integers(0, 7), label="rows")
+
+    def col(t, i):
+        if t == pa.string():
+            return pa.array([f"s{i}{j}" for j in range(nrows)], t)
+        return pa.array(range(i, i + nrows), t)
+
+    src = pa.Table.from_arrays(
+        [col(f.type, i) for i, f in enumerate(src_fields)],
+        schema=pa.schema(src_fields),
+    )
+    target = pa.schema(tgt_fields)
+    out = normalize_table(src, target)
+    assert out.schema == target
+    assert out.num_rows == nrows
+    for i, f in enumerate(src_fields):
+        got = out.column(f.name).to_pylist()
+        want = src.column(f.name).to_pylist()
+        if f.name in widened and target.field(f.name).type == pa.float64():
+            want = [float(v) for v in want]
+        assert got == want, f"column {f.name} changed under normalize"
+    for n in added:
+        assert out.column(n).null_count == nrows  # null-filled
+
+
+def test_unify_widens_and_refuses_narrowing():
+    from sql_graph_visualizer_ray.schema import unify
+
+    a = pa.schema([("k", pa.int32()), ("t", pa.string())])
+    b = pa.schema([("k", pa.int64()), ("u", pa.float64())])
+    u = unify([a, b])
+    assert u.field("k").type == pa.int64()  # widened
+    assert {f.name for f in u} == {"k", "t", "u"}  # union of columns
+    with pytest.raises(pa.lib.ArrowTypeError):
+        unify([pa.schema([("k", pa.string())]), pa.schema([("k", pa.int64())])])
