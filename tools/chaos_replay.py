@@ -32,14 +32,20 @@ import ray
 ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
-from sql_graph_visualizer_ray.pipelines.cdc import LakeTable
+from sql_graph_visualizer_ray.pipelines.cdc import CommitConflictError, LakeTable
 clog, lake_dir, shuffle = sys.argv[1], sys.argv[2], sys.argv[3]
 lake = LakeTable.open(lake_dir, num_buckets=8)
+conflicts = 0
 while True:
-    c = lake.apply(clog, max_epochs=1, shuffle=shuffle)
+    try:
+        c = lake.apply(clog, max_epochs=1, shuffle=shuffle)
+    except CommitConflictError:
+        conflicts += 1
+        lake.reload()
+        continue
     if not c.get("epochs"):
         break
-print("COMPLETE", lake.manifest.version)
+print("COMPLETE", lake.manifest.version, "conflicts", conflicts)
 """
 
 
@@ -50,6 +56,14 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--workdir", default="/tmp/chaos_replay")
+    ap.add_argument(
+        "--writers",
+        type=int,
+        default=1,
+        help="concurrent writer PROCESSES per iteration (each its own Ray "
+        "cluster) racing the commit CAS with the reload/retry protocol; "
+        "one of them is the random-kill victim",
+    )
     a = ap.parse_args()
 
     from sql_graph_visualizer_ray.sources.changelog import (
@@ -74,25 +88,41 @@ def main() -> None:
     kills = []
     for i in range(a.iters):
         shuffle = rng.choice(["sort", "spill"])
-        child = subprocess.Popen(
+        victim = subprocess.Popen(
             [sys.executable, "-c", CHILD, clog, lake_dir, shuffle],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
         )
+        # optional peer writers racing the victim through the commit CAS
+        peers = [
+            subprocess.Popen(
+                [sys.executable, "-c", CHILD, clog, lake_dir, rng.choice(["sort", "spill"])],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+            )
+            for _ in range(a.writers - 1)
+        ]
         # kill anywhere inside the run: Ray startup (~3s) + commit work
         delay = rng.uniform(2.0, 9.0)
+        entry = {"iter": i, "shuffle": shuffle}
         try:
-            out, _ = child.communicate(timeout=delay)
-            # finished before the axe fell — replay is complete
-            kills.append({"iter": i, "shuffle": shuffle, "outcome": "completed"})
-            break
+            victim.communicate(timeout=delay)
+            entry["outcome"] = "completed"  # finished before the axe fell
         except subprocess.TimeoutExpired:
-            child.send_signal(signal.SIGKILL)
-            child.wait()
-            kills.append(
-                {"iter": i, "shuffle": shuffle, "killed_after_s": round(delay, 2)}
-            )
+            victim.send_signal(signal.SIGKILL)
+            victim.wait()
+            entry["killed_after_s"] = round(delay, 2)
+        for p in peers:
+            out, _ = p.communicate(timeout=300)
+            if b"conflicts" in out:
+                entry.setdefault("peer_conflicts", []).append(
+                    int(out.split()[-1])
+                )
+        kills.append(entry)
+        if entry.get("outcome") == "completed":
+            break
         time.sleep(0.5)
 
     # final clean run to completion
