@@ -190,6 +190,13 @@ _DRIVER_VERIFY_CAP = 100_000
 # few MB. Above the cap the coarse-partition groupby is the scale path.
 _DRIVER_BAND_CAP = 2_000_000
 
+# below this estimated in-memory corpus size the candidate texts are read
+# driver-side with one column-pruned parquet read instead of a second full
+# Ray execution over the corpus (each Ray exec carries ~1 s fixed cost that
+# dwarfs a few-MB read); above it, the distributed shingle stage is the
+# scale path
+_DRIVER_TEXT_CAP = 256 << 20
+
 
 def _shingle_hashes(text: str) -> np.ndarray:
     """Sorted unique uint64 hashes of a doc's shingle set — the exact-Jaccard
@@ -378,6 +385,65 @@ def minhash_lsh_pairs(
     # * groupby (above the cap): coarse-partition hash shuffle, pair mining
     #   inside each partition — nothing driver-side grows with the corpus.
     n_docs = docs.count()  # Parquet metadata, no data read
+
+    if n_docs * bands <= _DRIVER_BAND_CAP and (
+        docs.size_bytes() or 0
+    ) <= _DRIVER_TEXT_CAP:
+        # FULL-driver regime: the whole corpus fits comfortably in driver
+        # memory, so the pipeline is one column-pruned parquet read plus
+        # the SAME vectorized kernels the distributed stages run
+        # (band_rows / bucket_pairs_coarse / _pair_jaccard_keep) — zero
+        # Ray executions. Each Ray exec carries ~1 s fixed cost; at this
+        # scale that is 4-8x the actual compute (signatures for 5k docs:
+        # 0.5 s single-threaded). The distributed regimes below are the
+        # scale path and are exercised by the regime-parity tests with
+        # forced caps.
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(
+            _os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        band_pd = band_rows(pd.DataFrame({"doc_id": did, "text": texts}))
+        pairs = (
+            bucket_pairs_coarse(band_pd)
+            .drop_duplicates(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        if not len(pairs):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        text_by_id = dict(zip(did.tolist(), texts))
+        a = pairs["doc_a"].to_numpy(np.int64)
+        b = pairs["doc_b"].to_numpy(np.int64)
+        sh = {
+            int(x): _shingle_hashes(text_by_id.get(int(x), ""))
+            for x in np.unique(np.concatenate([a, b]))
+        }
+        keep = _pair_jaccard_keep(
+            [sh[int(x)] for x in a],
+            [sh[int(x)] for x in b],
+            jaccard_threshold,
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+        )
+
     if n_docs * bands <= _DRIVER_BAND_CAP:
         band_pd = docs.map_batches(band_rows, batch_format="pandas").to_pandas()
         candidates = rd.from_arrow(
@@ -437,29 +503,54 @@ def minhash_lsh_pairs(
                 [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
             )
         )
-        ids_ref = _ray.put(cand_ids)  # sorted — filter uses searchsorted
+        corpus_bytes = docs.size_bytes() or 0
+        if corpus_bytes <= _DRIVER_TEXT_CAP:
+            # small corpus: ONE driver-side column-pruned parquet read for
+            # the candidate texts — a second full Ray execution's fixed
+            # cost (~1 s) dwarfs moving a few MB
+            import os as _os
 
-        def shingle_candidates(b: pd.DataFrame) -> pd.DataFrame:
-            """Stateless task stage (no actor-pool warmup — the pool startup
-            was measurably the dominant cost of this phase at small scale):
-            the candidate-id array is a zero-copy plasma fetch per task."""
-            ids = _ray.get(ids_ref)
-            did = b["doc_id"].to_numpy(np.int64)
-            pos = np.searchsorted(ids, did)
-            pos[pos >= len(ids)] = 0
-            mask = ids[pos] == did
-            kept = b.loc[mask]
-            return pd.DataFrame(
-                {
-                    "doc_id": kept["doc_id"].to_numpy(np.int64),
-                    "sh": [_shingle_hashes(t) for t in kept["text"]],
-                }
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(
+                _os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
             )
+            did = t.column("doc_id").to_numpy().astype(np.int64)
+            pos = np.searchsorted(cand_ids, did)
+            pos[pos >= len(cand_ids)] = 0
+            mask = cand_ids[pos] == did
+            idx = np.flatnonzero(mask)
+            texts = t.column("text").take(pa.array(idx)).to_pylist()
+            sh = {
+                int(d): _shingle_hashes(tx or "")
+                for d, tx in zip(did[idx], texts)
+            }
+        else:
+            ids_ref = _ray.put(cand_ids)  # sorted — filter via searchsorted
 
-        sh_rows = docs.map_batches(
-            shingle_candidates, batch_format="pandas"
-        ).take_all()
-        sh = {int(r["doc_id"]): r["sh"] for r in sh_rows}
+            def shingle_candidates(b: pd.DataFrame) -> pd.DataFrame:
+                """Stateless task stage (no actor-pool warmup — the pool
+                startup was measurably the dominant cost of this phase at
+                small scale): the candidate-id array is a zero-copy plasma
+                fetch per task."""
+                ids = _ray.get(ids_ref)
+                did = b["doc_id"].to_numpy(np.int64)
+                pos = np.searchsorted(ids, did)
+                pos[pos >= len(ids)] = 0
+                mask = ids[pos] == did
+                kept = b.loc[mask]
+                return pd.DataFrame(
+                    {
+                        "doc_id": kept["doc_id"].to_numpy(np.int64),
+                        "sh": [_shingle_hashes(t) for t in kept["text"]],
+                    }
+                )
+
+            sh_rows = docs.map_batches(
+                shingle_candidates, batch_format="pandas"
+            ).take_all()
+            sh = {int(r["doc_id"]): r["sh"] for r in sh_rows}
         e = np.empty(0, dtype=np.uint64)
 
         if len(pairs) <= _DRIVER_VERIFY_CAP:

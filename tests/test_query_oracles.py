@@ -442,3 +442,37 @@ def test_lsh_near_dup_pairs_hot_bucket_chunked(ray_session, tmp_path):
     assert (bucket == bucket[0]).sum() >= n  # the hot bucket really is hot
     assert got == want
     assert len(got) >= n * (n - 1) // 2  # the hot bucket's pairs all survive
+
+
+def test_minhash_regime_parity(ray_session):
+    """Every minhash_lsh_pairs regime must produce the SAME pair set: the
+    full-driver fast path (default at test scale), the distributed band
+    groupby + broadcast verify (forced by zeroing the driver caps), and
+    the shuffle-join verify (forced by also zeroing the broadcast cap).
+    This is what licenses the regime switches as pure optimizations."""
+    import sql_graph_visualizer_ray.pipelines.dedup as dd
+
+    def run():
+        return (
+            dd.minhash_lsh_pairs(SF)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    base = run()
+    saved = (dd._DRIVER_BAND_CAP, dd._DRIVER_TEXT_CAP, dd._DRIVER_VERIFY_CAP,
+             dd._BROADCAST_PAIR_CAP)
+    try:
+        # distributed candidates + broadcast-exec shingles + Ray verify exec
+        dd._DRIVER_BAND_CAP = 0
+        dd._DRIVER_TEXT_CAP = 0
+        dd._DRIVER_VERIFY_CAP = 0
+        assert run().equals(base), "groupby/broadcast regime diverged"
+        # shuffle-join verify (the 100 TB path)
+        dd._BROADCAST_PAIR_CAP = 0
+        assert run().equals(base), "shuffle-join regime diverged"
+    finally:
+        (dd._DRIVER_BAND_CAP, dd._DRIVER_TEXT_CAP, dd._DRIVER_VERIFY_CAP,
+         dd._BROADCAST_PAIR_CAP) = saved
+    assert len(base) > 0
