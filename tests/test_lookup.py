@@ -176,6 +176,26 @@ def test_reader_snapshot_isolation(clog, tmp_path):
     assert not lake.final_table().to_pandas().reset_index(drop=True).equals(want)
 
 
+def test_lookup_survives_split_and_compaction(clog, tmp_path):
+    """Key routing must follow the manifest: after split_buckets the hash
+    modulus changes, after compact the file layout changes — lookup (and
+    its bucket pruning) must stay exact through both."""
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=4, epochs_per_commit=1)
+    full = lake.final_table().to_pandas()
+    convs = full.conv_id.unique()[:3].tolist()
+    exp = _expected(lake, convs)
+    lake.compact(min_files=2)
+    assert lake.lookup(convs).to_pandas().reset_index(drop=True).equals(exp)
+    lake.split_buckets(16)
+    assert lake.manifest.num_buckets == 16
+    assert lake.lookup(convs).to_pandas().reset_index(drop=True).equals(exp)
+    # pruning still holds post-split: a one-key lookup touches one bucket
+    conv = convs[0]
+    by_bucket = lake.manifest.bucket_files(lake.path)
+    need = lake._buckets_for_keys([conv], None, by_bucket)
+    assert len(need) == 1
+
+
 def test_lookup_sees_deletes_and_updates(tmp_path):
     """A deleted key returns no rows; an updated key returns the winner."""
     spec = ChangelogSpec(n_events=6_000, n_convs=80, n_epochs=5, seed=11)
