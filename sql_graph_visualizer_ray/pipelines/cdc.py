@@ -1416,18 +1416,25 @@ class LakeTable:
             list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
         )
         key_type = m.payload_schema.field("conv_id").type
-        tabs = []
-        for bk, bucket_keys in sorted(need_buckets.items()):
-            paths = by_bucket.get(bk)
-            if not paths:
-                continue
+
+        def _one_bucket(item) -> pa.Table:
+            bk, bucket_keys = item
             expr = _prunable_isin("conv_id", pa.array(bucket_keys, type=key_type))
             if turns is not None:
                 expr = expr & _prunable_isin(
                     "turn_idx", pa.array(sorted(set(turns)), type=pa.int64())
                 )
-            t = _read_files_merged(paths, target, row_filter=expr)
-            tabs.append(t.filter(pc.not_equal(t.column("op"), pa.scalar("D"))))
+            t = _read_files_merged(by_bucket[bk], target, row_filter=expr)
+            return t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
+
+        # sequential bucket walk: measured ~30 ms/bucket of parquet SCANNER
+        # setup dominates and does not overlap under a thread pool (Arrow
+        # serializes internally) — a many-bucket batch is read_final(keys=)'s
+        # job, which distributes it; lookup is the few-bucket serving path
+        todo = sorted(
+            (bk, ks) for bk, ks in need_buckets.items() if by_bucket.get(bk)
+        )
+        tabs = [_one_bucket(it) for it in todo]
         t = pa.concat_tables(tabs) if tabs else target.empty_table()
         if turns is not None and t.num_rows:
             # the pushdown keeps the (keys × turns) cross product; narrow to
