@@ -58,7 +58,6 @@ import ray.data as rd
 
 from ..schema import (
     CHANGE_EVENT_SCHEMA,
-    TRANSCRIPT_COLUMNS,
     lake_schema,
     normalize_table,
     unify,

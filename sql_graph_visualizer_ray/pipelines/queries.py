@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..stages.actors import taskify
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..config import Computed, NodeRule, Predicate, RelationshipRule
 from ..sources.changelog import fixture_for
