@@ -138,6 +138,24 @@ def test_two_writers_race_to_completion(clog, tmp_path, shuffles):
     assert canonical(final.final_table()).equals(canonical(replay_oracle(clog)))
 
 
+def test_open_preserves_fresh_peer_staging(clog, tmp_path):
+    """Opening a lake must NOT collect a FRESH staging dir (it may belong
+    to a live peer writer mid-commit); a stale one is garbage and goes."""
+    import time
+
+    path = str(tmp_path / "lake")
+    lake = LakeTable.open(path, num_buckets=8)
+    lake.apply(clog, max_epochs=1)
+    fresh = os.path.join(path, "_staging", "v9-feedf00d")
+    os.makedirs(os.path.join(fresh, "bucket=00000"))
+    LakeTable.open(path, num_buckets=8)
+    assert os.path.isdir(fresh), "fresh peer staging was collected at open"
+    old = time.time() - 3600
+    os.utime(fresh, (old, old))
+    LakeTable.open(path, num_buckets=8)
+    assert not os.path.exists(fresh), "stale staging survived the grace"
+
+
 def test_loser_manifest_not_corrupted(clog, tmp_path):
     """After a conflict the on-disk manifest is exactly the winner's —
     byte-identical before and after the loser's failed attempt."""

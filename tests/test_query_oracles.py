@@ -464,9 +464,12 @@ def test_minhash_regime_parity(ray_session):
     saved = (dd._DRIVER_BAND_CAP, dd._DRIVER_TEXT_CAP, dd._DRIVER_VERIFY_CAP,
              dd._BROADCAST_PAIR_CAP)
     try:
+        # middle regime: driver band mining kept, distributed shingle exec
+        # + driver verify forced
+        dd._DRIVER_TEXT_CAP = 0
+        assert run().equals(base), "driver-band/dist-shingle regime diverged"
         # distributed candidates + broadcast-exec shingles + Ray verify exec
         dd._DRIVER_BAND_CAP = 0
-        dd._DRIVER_TEXT_CAP = 0
         dd._DRIVER_VERIFY_CAP = 0
         assert run().equals(base), "groupby/broadcast regime diverged"
         # shuffle-join verify (the 100 TB path)
