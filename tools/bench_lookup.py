@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument(
+        "--delta-files",
+        type=int,
+        default=1,
+        dest="delta_files",
+        help="commits per lake build (files per bucket before compaction) "
+        "- measures merge-on-read amplification on the serving path",
+    )
     a = ap.parse_args()
 
     import ray
@@ -58,10 +66,19 @@ def main() -> None:
             n_events=a.events, n_convs=n_convs, n_epochs=4, seed=7
         ),
     )
-    lake_dir = f"/tmp/bench_lookup/lake-{a.events}-{a.buckets}"
+    lake_dir = f"/tmp/bench_lookup/lake-{a.events}-{a.buckets}-d{a.delta_files}"
     if not os.path.exists(os.path.join(lake_dir, "MANIFEST.json")):
         t0 = time.time()
-        replay(clog, lake_dir, num_buckets=a.buckets, shuffle="spill")
+        replay(
+            clog,
+            lake_dir,
+            num_buckets=a.buckets,
+            shuffle="spill",
+            # one commit -> one file per bucket; N commits -> N delta files
+            epochs_per_commit=(
+                None if a.delta_files <= 1 else max(1, 4 // a.delta_files)
+            ),
+        )
         print(f"# built lake in {time.time() - t0:.1f}s", file=sys.stderr)
     lake = LakeTable.open(lake_dir, num_buckets=a.buckets)
     rows = sum(b["rows"] for b in lake.manifest.data["buckets"].values())
