@@ -55,7 +55,13 @@ def main():
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    sqls = entrymod.oracle_sql()
+    # oracle_sql() is the DRIVER's contract and bakes sf0.01 fixture paths
+    # into the cdc-family SQL (the driver always runs at sf0.01). For a
+    # local sweep at another sf, rebuild the SQL against THAT sf so the
+    # changelog-fixture paths match the Ray side.
+    from sql_graph_visualizer_ray.pipelines.queries import build_oracle_sql
+
+    sqls = build_oracle_sql(sf_dir)
 
     con = duckdb.connect()
     for t in [
