@@ -134,6 +134,38 @@ def test_history_rolls_to_segments(clog, tmp_path, monkeypatch):
     assert versions == list(range(1, SPEC.n_epochs + 1))
 
 
+def test_feed_on_native_key_edge_lake(tmp_path):
+    """The consumer works unchanged on a lake with native key columns: an
+    edge lake's feed speaks (source_id, target_id), not the canonical
+    transcript names."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    elake = EdgeLake(str(tmp_path / "edges"), num_buckets=4)
+    rows = [
+        {"source_id": s, "target_id": t, "relation_type": "KNOWS",
+         "direction": "outgoing", "op": "I"}
+        for s, t in [(1, 2), (2, 3)]
+    ]
+    elake.ingest(rd.from_arrow(pa.Table.from_pylist(rows)), epoch=0)
+    elake.ingest(
+        rd.from_arrow(pa.Table.from_pylist([dict(rows[0], op="D")])), epoch=1
+    )
+    cur = ChangeFeedCursor(str(tmp_path / "cursor.json"))
+    v1, ds1 = cur.poll(elake.lake)
+    df1 = ds1.to_pandas()
+    assert {"source_id", "target_id", "op", "lsn"} <= set(df1.columns)
+    assert len(df1) == 2
+    cur.ack(v1)
+    v2, ds2 = cur.poll(elake.lake)
+    df2 = ds2.to_pandas()
+    assert df2.op.tolist() == ["D"] and df2.source_id.tolist() == [1]
+    cur.ack(v2)
+    assert cur.poll(elake.lake) is None
+
+
 def test_start_after_head_sees_only_new_commits(lake, clog, tmp_path):
     cur = ChangeFeedCursor(
         str(tmp_path / "cursor.json"), start_after=lake.manifest.version
