@@ -42,23 +42,36 @@ def _md5_64(s: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _coarse_parts(est_row_bytes: int, *, floor: int = 256) -> int:
+    """Coarse-partition modulus sized to the DATA: one group holds at most
+    ~64 MB of shuffled rows, with a floor so tiny inputs keep enough groups
+    for parallelism. Unlike join fan-in (``relational.sized_partitions``)
+    there is NO cpu clamp: extra groups just queue, while too-few groups put
+    an unbounded slice of the corpus in ONE map_groups task — at 10^11 docs a
+    fixed ``% 256`` means ~0.4B rows (~15 GB) per task."""
+    return int(max(floor, est_row_bytes // (64 << 20)))
+
+
 def exact_dedup_groups(sf_dir: str) -> rd.Dataset:
     """One row per distinct text: (doc_id = min id, n_copies). Grouping is by
     128-bit content hash so the shuffle moves 16-byte keys, not documents."""
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # ~56 B per shuffled row (doc_id + hex hash + part key); count() is
+    # Parquet metadata, no data read. Per-group bound: ~64 MB of hash rows.
+    n_parts = _coarse_parts(ds.count() * 56)
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
         hashes = b["text"].fillna("").map(
             lambda s: hashlib.md5(s.encode()).hexdigest()
         )
         out = pd.DataFrame({"doc_id": b["doc_id"], "text_hash": hashes})
-        # coarse partition: the exchange moves 256 groups; the per-hash
+        # coarse partition: the exchange moves n_parts groups; the per-hash
         # fine groupby happens in cython INSIDE each group (one Python
         # dispatch per distinct text would dominate on a dedup-heavy corpus)
         h = pd.util.hash_array(hashes.to_numpy(dtype=object))
-        out["_part"] = (h % 256).astype(np.int32)
+        out["_part"] = (h % n_parts).astype(np.int64)
         return out
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("text_hash", sort=False, as_index=False).agg(
@@ -177,6 +190,13 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 # above this many (deduped) candidate pairs the shingle dict stops being a
 # broadcastable small side and verification falls back to the shuffle join
 _BROADCAST_PAIR_CAP = 2_000_000
+
+# ...and the pair count alone does not bound driver memory: the broadcast
+# path materializes every candidate doc's shingle-hash array on the driver,
+# so it is ALSO gated on an estimated byte budget (candidate-doc count x
+# avg doc bytes x 1.6 — a shingle-hash array is ~8 B per token, ~1.6x the
+# text bytes). Past this, verification falls back to the shuffle join.
+_BROADCAST_BYTES_CAP = 1 << 30
 
 # below this many pairs the verify kernel runs on the driver over the
 # already-fetched shingle dict (one vectorized pass) instead of spinning a
@@ -307,12 +327,172 @@ class MinHasher:
         return out
 
 
+def _bucket_pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
+    """Pair-mine every (band, band_hash) bucket of a coarse group. ONLY safe
+    when no bucket exceeds the skew cap — callers check first and route hot
+    buckets through ``_mine_candidates_skew_safe`` chunk-pair fan-out."""
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for _, sub in g.groupby(["band", "band_hash"], sort=False):
+        if len(sub) < 2:
+            continue
+        ids = np.unique(sub["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        outs_a.append(ids[ia])
+        outs_b.append(ids[ib])
+    if not outs_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
+    )
+
+
+def _max_bucket_size(band_pd: pd.DataFrame) -> int:
+    """Largest (band, band_hash) bucket in a driver-side band-row frame."""
+    if not len(band_pd):
+        return 0
+    return int(
+        band_pd.groupby(["band", "band_hash"], sort=False)["doc_id"].size().max()
+    )
+
+
+def _mine_candidates_skew_safe(
+    bands_ds: rd.Dataset, *, bucket_cap: int
+) -> rd.Dataset:
+    """Candidate pairs from band rows with a HARD per-task pair bound.
+
+    One coarse groupby mines every bucket with <= ``bucket_cap`` members
+    in place; a hot bucket (b > cap members — a dup-heavy corpus, exactly
+    when you run MinHash) is NOT mined in its own task (that is O(b^2)
+    pairs in one task: 10^5 shared-band docs -> 10^10 pairs). Instead its
+    members are re-emitted as ROUTING rows replicated to chunk-PAIR tasks,
+    triangle-join style (same decomposition as
+    ``similarity.lsh_near_dup_pairs``): members hash to C = ceil(b/cap)
+    chunks via doc_id % C and every chunk pair (lo <= hi) becomes one task
+    of <= 2*cap members and <= cap^2 pairs. Every unordered in-bucket pair
+    (x, y) lands in EXACTLY the task (min(cx,cy), max(cx,cy)) — the emitted
+    pair set is provably identical to the unchunked form, so the regime
+    split is a pure scheduling change (pinned by the parity tests).
+
+    Routing rows ride the SAME output schema as pairs (doc_b = -1 marks a
+    routing row; ``bh`` carries the band_hash and ``meta`` packs
+    (band, lo, hi, C) into 16-bit fields), so the whole mine is one
+    map_groups plus one small groupby over hot-bucket rows only — cold
+    buckets (the overwhelming majority) pay nothing.
+    """
+    empty4 = {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "bh": pd.Series([], dtype="int64"),
+        "meta": pd.Series([], dtype="int64"),
+    }
+
+    def mine_or_route(g: pd.DataFrame) -> pd.DataFrame:
+        pa_out: list[np.ndarray] = []
+        pb_out: list[np.ndarray] = []
+        route_frames: list[pd.DataFrame] = []
+        for (band, band_hash), sub in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) <= bucket_cap:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                pa_out.append(ids[ia])
+                pb_out.append(ids[ib])
+                continue
+            # hot bucket: fan into C(C+1)/2 chunk-pair tasks. C is capped
+            # at 2^16-1 so (band, lo, hi, C) packs into one int64; for a
+            # monster bucket the effective chunk grows past bucket_cap
+            # rather than overflowing the key (documented tradeoff).
+            C = min(-(-len(ids) // bucket_cap), (1 << 16) - 1)
+            c = ids % C
+            idx = np.repeat(np.arange(len(ids)), C)
+            i_seq = np.tile(np.arange(C, dtype=np.int64), len(ids))
+            c_rep = np.repeat(c, C)
+            lo = np.minimum(i_seq, c_rep)
+            hi = np.maximum(i_seq, c_rep)
+            meta = (int(band) << 48) | (lo << 32) | (hi << 16) | C
+            route_frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[idx],
+                        "doc_b": np.int64(-1),
+                        "bh": np.int64(band_hash),
+                        "meta": meta.astype(np.int64),
+                    }
+                )
+            )
+        frames = []
+        if pa_out:
+            a = np.concatenate(pa_out)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": a,
+                        "doc_b": np.concatenate(pb_out),
+                        "bh": np.zeros(len(a), dtype=np.int64),
+                        "meta": np.zeros(len(a), dtype=np.int64),
+                    }
+                )
+            )
+        frames.extend(route_frames)
+        if not frames:
+            return pd.DataFrame(empty4)
+        return pd.concat(frames, ignore_index=True).astype("int64")
+
+    def chunk_mine(g: pd.DataFrame) -> pd.DataFrame:
+        meta = int(g["meta"].iloc[0])
+        C = meta & 0xFFFF
+        hi = (meta >> 16) & 0xFFFF
+        lo = (meta >> 32) & 0xFFFF
+        ids = np.unique(g["doc_a"].to_numpy())
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
+        side = ids % C
+        if lo == hi:  # within-chunk: upper triangle
+            sub = ids[side == lo]
+            if len(sub) < 2:
+                return empty
+            ia, ib = np.triu_indices(len(sub), k=1)
+            return pd.DataFrame({"doc_a": sub[ia], "doc_b": sub[ib]})
+        am, bm = ids[side == lo], ids[side == hi]
+        if not len(am) or not len(bm):
+            return empty
+        a2 = np.repeat(am, len(bm))
+        b2 = np.tile(bm, len(am))
+        return pd.DataFrame(
+            {"doc_a": np.minimum(a2, b2), "doc_b": np.maximum(a2, b2)}
+        )
+
+    mined = (
+        bands_ds.groupby("_part")
+        .map_groups(mine_or_route, batch_format="pandas")
+        .materialize()
+    )
+    cold = mined.filter(expr="doc_b >= 0").select_columns(["doc_a", "doc_b"])
+    hot = mined.filter(expr="doc_b < 0").materialize()
+    if hot.count() == 0:
+        return cold
+    hot_pairs = (
+        hot.groupby(["bh", "meta"])
+        .map_groups(chunk_mine, batch_format="pandas")
+        .select_columns(["doc_a", "doc_b"])
+    )
+    return cold.union(hot_pairs)
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     *,
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    bucket_cap: int = 2048,
 ) -> rd.Dataset:
     """Near-dup candidate pairs via LSH banding, verified with exact shingle
     Jaccard. Output: (doc_a, doc_b) verified pairs.
@@ -320,9 +500,15 @@ def minhash_lsh_pairs(
     Dataflow: map_batches(signatures) -> explode to (band, band_hash, doc_id)
     -> groupby band bucket -> per-bucket pairs -> dedup pairs -> verify.
     Only signatures and ids shuffle; texts are re-joined only for candidates.
+    Buckets past ``bucket_cap`` members fan out chunk-pair style
+    (``_mine_candidates_skew_safe``) so no task ever holds O(b^2) pairs.
     """
     rows = num_perm // bands
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # Parquet metadata, no data read
+    # band rows are ~24 B (doc_id, band, band_hash) triples; size the coarse
+    # modulus so one map_groups task holds <= ~64 MB of them
+    n_parts = _coarse_parts(n_docs * bands * 24)
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         """Stateless task stage (the per-process ``_minhasher_cached`` gives
@@ -347,32 +533,16 @@ def minhash_lsh_pairs(
                 "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
                 "band": np.tile(np.arange(bands, dtype=np.int32), n),
                 "band_hash": flat,
-                # coarse partition key: the Ray exchange moves 256 groups,
-                # the exact (band, band_hash) split happens vectorized in
-                # pandas INSIDE each group — per-group Python dispatch on
-                # ~1 group per doc-band would dominate otherwise
-                "_part": (flat % 256).astype(np.int32),
+                # coarse partition key: the Ray exchange moves n_parts
+                # data-sized groups, the exact (band, band_hash) split
+                # happens vectorized in pandas INSIDE each group —
+                # per-group Python dispatch on ~1 group per doc-band
+                # would dominate otherwise
+                "_part": (flat % n_parts).astype(np.int64),
             }
         )
 
-    def bucket_pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
-        outs_a: list[np.ndarray] = []
-        outs_b: list[np.ndarray] = []
-        for _, sub in g.groupby(["band", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            ids = np.unique(sub["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            outs_a.append(ids[ia])
-            outs_b.append(ids[ib])
-        if not outs_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
-        )
+    bucket_pairs_coarse = _bucket_pairs_coarse
 
     # Candidate generation has two regimes, switched on the band-row count
     # (bands x docs, known from Parquet metadata before any read):
@@ -382,9 +552,14 @@ def minhash_lsh_pairs(
     #   them on the driver with the SAME kernel the distributed path runs
     #   per partition. The alternative is a Ray sort-shuffle whose fixed
     #   barrier cost (~2 s) exceeds the entire phase at this scale.
+    #   Driver mining still respects the skew cap: if any bucket exceeds
+    #   bucket_cap members (O(b^2) pairs would blow the driver exactly
+    #   like a worker), the band rows fall through to the distributed
+    #   chunk-pair path.
     # * groupby (above the cap): coarse-partition hash shuffle, pair mining
-    #   inside each partition — nothing driver-side grows with the corpus.
-    n_docs = docs.count()  # Parquet metadata, no data read
+    #   inside each partition with hot buckets fanned into chunk-pair tasks
+    #   — nothing driver-side grows with the corpus.
+    candidates = None
 
     if n_docs * bands <= _DRIVER_BAND_CAP and (
         docs.size_bytes() or 0
@@ -409,55 +584,68 @@ def minhash_lsh_pairs(
         did = t.column("doc_id").to_numpy().astype(np.int64)
         texts = [x or "" for x in t.column("text").to_pylist()]
         band_pd = band_rows(pd.DataFrame({"doc_id": did, "text": texts}))
-        pairs = (
-            bucket_pairs_coarse(band_pd)
-            .drop_duplicates(["doc_a", "doc_b"])
-            .reset_index(drop=True)
-        )
-        if not len(pairs):
+        if _max_bucket_size(band_pd) <= bucket_cap:
+            pairs = (
+                bucket_pairs_coarse(band_pd)
+                .drop_duplicates(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+            )
+            if not len(pairs):
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                        }
+                    )
+                )
+            text_by_id = dict(zip(did.tolist(), texts))
+            a = pairs["doc_a"].to_numpy(np.int64)
+            b = pairs["doc_b"].to_numpy(np.int64)
+            sh = {
+                int(x): _shingle_hashes(text_by_id.get(int(x), ""))
+                for x in np.unique(np.concatenate([a, b]))
+            }
+            keep = _pair_jaccard_keep(
+                [sh[int(x)] for x in a],
+                [sh[int(x)] for x in b],
+                jaccard_threshold,
+            )
             return rd.from_arrow(
                 pa.table(
                     {
-                        "doc_a": pa.array([], pa.int64()),
-                        "doc_b": pa.array([], pa.int64()),
+                        "doc_a": pa.array(a[keep], pa.int64()),
+                        "doc_b": pa.array(b[keep], pa.int64()),
                     }
                 )
             )
-        text_by_id = dict(zip(did.tolist(), texts))
-        a = pairs["doc_a"].to_numpy(np.int64)
-        b = pairs["doc_b"].to_numpy(np.int64)
-        sh = {
-            int(x): _shingle_hashes(text_by_id.get(int(x), ""))
-            for x in np.unique(np.concatenate([a, b]))
-        }
-        keep = _pair_jaccard_keep(
-            [sh[int(x)] for x in a],
-            [sh[int(x)] for x in b],
-            jaccard_threshold,
-        )
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array(a[keep], pa.int64()),
-                    "doc_b": pa.array(b[keep], pa.int64()),
-                }
-            )
+        # skew detected: hand the already-computed band rows to the
+        # chunk-pair path; verification regimes below proceed as usual
+        candidates = _mine_candidates_skew_safe(
+            rd.from_arrow(pa.Table.from_pandas(band_pd, preserve_index=False)),
+            bucket_cap=bucket_cap,
         )
 
-    if n_docs * bands <= _DRIVER_BAND_CAP:
+    if candidates is None and n_docs * bands <= _DRIVER_BAND_CAP:
         band_pd = docs.map_batches(band_rows, batch_format="pandas").to_pandas()
-        candidates = rd.from_arrow(
-            pa.Table.from_pandas(
-                bucket_pairs_coarse(band_pd)[["doc_a", "doc_b"]],
-                preserve_index=False,
+        if _max_bucket_size(band_pd) <= bucket_cap:
+            candidates = rd.from_arrow(
+                pa.Table.from_pandas(
+                    bucket_pairs_coarse(band_pd)[["doc_a", "doc_b"]],
+                    preserve_index=False,
+                )
             )
-        )
-    else:
-        candidates = (
-            docs.map_batches(band_rows, batch_format="pandas")
-            .groupby("_part")
-            .map_groups(bucket_pairs_coarse, batch_format="pandas")
-            .select_columns(["doc_a", "doc_b"])
+        else:
+            candidates = _mine_candidates_skew_safe(
+                rd.from_arrow(
+                    pa.Table.from_pandas(band_pd, preserve_index=False)
+                ),
+                bucket_cap=bucket_cap,
+            )
+    elif candidates is None:
+        candidates = _mine_candidates_skew_safe(
+            docs.map_batches(band_rows, batch_format="pandas"),
+            bucket_cap=bucket_cap,
         )
 
     # Verification has two regimes, switched on the DEDUPED candidate count
@@ -492,7 +680,15 @@ def minhash_lsh_pairs(
     if n_pairs == 0:
         return rd.from_arrow(empty_pairs)
 
-    if n_pairs <= _BROADCAST_PAIR_CAP:
+    corpus_bytes = docs.size_bytes() or 0
+    # byte gate for the broadcast path (see _BROADCAST_BYTES_CAP): bound
+    # candidate docs by min(2 pairs-worth, corpus) and estimate the shingle
+    # dict at avg-doc-bytes x 1.6 per candidate
+    est_dict_bytes = (
+        min(2 * n_pairs, n_docs) * (corpus_bytes / max(n_docs, 1)) * 1.6
+    )
+
+    if n_pairs <= _BROADCAST_PAIR_CAP and est_dict_bytes <= _BROADCAST_BYTES_CAP:
         pairs = (
             candidates.to_pandas()
             .drop_duplicates(["doc_a", "doc_b"])
@@ -503,7 +699,6 @@ def minhash_lsh_pairs(
                 [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
             )
         )
-        corpus_bytes = docs.size_bytes() or 0
         if corpus_bytes <= _DRIVER_TEXT_CAP:
             # small corpus: ONE driver-side column-pruned parquet read for
             # the candidate texts — a second full Ray execution's fixed
@@ -595,7 +790,6 @@ def minhash_lsh_pairs(
         return pairs_ds.map_batches(verify_broadcast, batch_format="pyarrow")
 
     # --- shuffle-join path: candidate set too large to broadcast ---
-    corpus_bytes = docs.size_bytes() or 0
     num_partitions = int(np.clip(corpus_bytes // (64 << 20), 2, 4 * cpus))
 
     halves = candidates.map_batches(
@@ -796,7 +990,7 @@ def connected_components(
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iters: int = 25,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ) -> rd.Dataset:
     """Distributed connected components over a pair Dataset by min-label
     propagation: every node starts labeled with itself; each round pushes the
@@ -829,6 +1023,11 @@ def connected_components(
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if num_parts is None:
+        # one propagate task holds <= ~64 MB of (edge + label) messages;
+        # materialized edge bytes are exact, labels add at most one row per
+        # node (bounded by edge endpoints), hence the 2x
+        num_parts = _coarse_parts(2 * (edges.size_bytes() or 0), floor=64)
 
     def to_nodes(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("key"), "cand": t.column("key")})

@@ -479,3 +479,46 @@ def test_minhash_regime_parity(ray_session):
         (dd._DRIVER_BAND_CAP, dd._DRIVER_TEXT_CAP, dd._DRIVER_VERIFY_CAP,
          dd._BROADCAST_PAIR_CAP) = saved
     assert len(base) > 0
+
+
+def test_minhash_hot_bucket_chunked(ray_session, tmp_path):
+    """Adversarial skew for MinHash banding: one text shared by hundreds of
+    docs puts them ALL in one (band, band_hash) bucket per band. With a small
+    bucket_cap the bucket must fan into bounded chunk-pair tasks, and the
+    emitted (verified) pair set must EQUAL the unchunked mining — in the
+    driver-detected regime AND the fully distributed regime."""
+    import pyarrow as pa
+
+    import sql_graph_visualizer_ray.pipelines.dedup as dd
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(400)]
+    n_hot, n_cold = 200, 60
+    texts = ["the quick brown fox jumps over the lazy dog again and again"] * n_hot
+    texts += [
+        " ".join(rng.choice(words, size=12).tolist()) for _ in range(n_cold)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_hot + n_cold), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    def run(**kw):
+        out = dd.minhash_lsh_pairs(str(tmp_path), **kw).to_pandas()
+        return set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+
+    base = run(bucket_cap=10**9)  # unchunked driver mining
+    assert len(base) >= n_hot * (n_hot - 1) // 2  # the clique survives verify
+
+    # driver regime detects the hot bucket and falls to the chunk-pair path
+    assert run(bucket_cap=32) == base
+
+    saved = dd._DRIVER_BAND_CAP
+    try:
+        dd._DRIVER_BAND_CAP = 0  # force fully distributed mining
+        assert run(bucket_cap=32) == base
+    finally:
+        dd._DRIVER_BAND_CAP = saved
