@@ -147,13 +147,31 @@ def cmd_lookup(a) -> int:
     session needed (the latency-sensitive serving verb)."""
     from .pipelines.cdc import LakeTable
 
+    import pyarrow as pa
+
     lake = LakeTable.open(a.lake_dir)
     turns = a.turn if a.turn else None
     if turns is not None and len(turns) not in (0, len(a.key)):
         print("--turn must be given once per --key", file=sys.stderr)
         return 1
+    # --key arrives as strings; coerce to the manifest's key type (an
+    # int-keyed lake, e.g. an edge lake, needs int64 keys or pa.array
+    # raises). payload_schema stores the PHYSICAL (canonical) key names.
+    from .pipelines.cdc import CANONICAL_KEYS
+
+    key_field = lake.manifest.payload_schema.field(CANONICAL_KEYS[0])
+    keys = list(a.key)
+    if pa.types.is_integer(key_field.type):
+        try:
+            keys = [int(k) for k in keys]
+        except ValueError as e:
+            print(
+                f"--key must be {key_field.type} for this lake: {e}",
+                file=sys.stderr,
+            )
+            return 1
     t = lake.lookup(
-        a.key,
+        keys,
         turns=turns,
         columns=a.columns.split(",") if a.columns else None,
         version=a.version,

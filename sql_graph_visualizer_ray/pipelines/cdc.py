@@ -185,7 +185,7 @@ class LakeTable:
         import shutil
         import time
 
-        from ..state.manifest import publish_grace_s
+        from ..state.manifest import newest_mtime, publish_grace_s
 
         final_dir = os.path.join(self.path, f"v{new_version}")
 
@@ -202,7 +202,9 @@ class LakeTable:
                         f"(lake is at v{on_disk.version}); reload() and retry"
                     )
                 try:
-                    age = time.time() - os.path.getmtime(final_dir)
+                    # whole-tree mtime: the dir's own mtime goes stale while
+                    # a peer writes into existing bucket subdirs
+                    age = time.time() - newest_mtime(final_dir)
                 except OSError:
                     continue  # vanished — a peer just cleaned or claimed it
                 if age <= publish_grace_s():
@@ -291,12 +293,14 @@ class LakeTable:
         """GC crashed attempts' spill runs under $GRAFT_SPILL_DIR (the
         default spill base lives in ``_staging`` and is covered by
         ``clean_uncommitted``; an external NVMe/scratch base is not).
-        Age-gated by the same publish grace so a live peer's in-flight
-        spill is never collected."""
+        Age-gated by the same publish grace, on the NEWEST mtime in each
+        spill tree (the root dir's mtime goes stale while a live peer keeps
+        writing into existing subdirs), so an in-flight spill is never
+        collected."""
         import shutil
         import time
 
-        from ..state.manifest import publish_grace_s
+        from ..state.manifest import newest_mtime, publish_grace_s
 
         base = os.environ.get("GRAFT_SPILL_DIR")
         if not base or not os.path.isdir(base):
@@ -307,7 +311,7 @@ class LakeTable:
                 continue
             p = os.path.join(base, n)
             try:
-                if now - os.path.getmtime(p) > publish_grace_s():
+                if now - newest_mtime(p) > publish_grace_s():
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass

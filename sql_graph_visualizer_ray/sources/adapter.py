@@ -135,6 +135,101 @@ def _fetchall(conn, query: str) -> list[tuple]:
     return list(cur.fetchall())
 
 
+def _current_schema(conn) -> str | None:
+    """The connection's active schema, dialect-tolerantly (DuckDB/PostgreSQL
+    ``current_schema()``, MySQL ``DATABASE()``). All introspection below is
+    scoped to it — same-named tables in OTHER schemas must not merge into
+    one table's metadata (the reference scopes its information_schema walk
+    the same way, ``schema_analyzer_service.go:116-161``)."""
+    for probe in ("SELECT current_schema()", "SELECT DATABASE()"):
+        try:
+            rows = _fetchall(conn, probe)
+            if rows and rows[0][0]:
+                return str(rows[0][0])
+        except Exception:
+            continue
+    return None
+
+
+def _schema_filter(conn, column: str) -> str:
+    s = _current_schema(conn)
+    if s is None:
+        return ""
+    return f" AND {column} = '{s.replace(chr(39), chr(39) * 2)}'"
+
+
+class SourceValidationError(RuntimeError):
+    """A source connection failed pre-use validation (bad DSN, unusable
+    connection, missing tables) — raised with the concrete reason instead
+    of an obscure failure later in the pull."""
+
+
+def open_source(dsn: str):
+    """DSN front door: validate and open a source connection.
+
+    Accepts ``duckdb:///path/to.db``, ``duckdb://:memory:``, ``:memory:``
+    or a plain filesystem path to a DuckDB database. Mirrors the
+    reference's pre-connect validation pass
+    (``universal_database_service.go:76-112``: type check, parameter
+    sanity, then connect) — unsupported schemes and missing files fail
+    HERE with a clear message, not deep inside the first query.
+    """
+    if "://" in dsn:
+        scheme, _, rest = dsn.partition("://")
+        if scheme.lower() != "duckdb":
+            raise SourceValidationError(
+                f"unsupported source scheme {scheme!r} (this build speaks "
+                "duckdb DSNs and DBAPI connections passed directly)"
+            )
+        path = rest.lstrip("/") if rest != ":memory:" else rest
+        if rest.startswith("/") and rest != ":memory:":
+            path = "/" + path
+    else:
+        path = dsn
+    if path != ":memory:" and not os.path.exists(path):
+        raise SourceValidationError(
+            f"source database does not exist: {path!r}"
+        )
+    try:
+        import duckdb
+
+        return duckdb.connect(path)
+    except SourceValidationError:
+        raise
+    except Exception as e:  # bad file magic, permissions, ...
+        raise SourceValidationError(f"could not open {path!r}: {e}") from e
+
+
+def validate_source(conn, *, required_tables: Iterable[str] = ()) -> dict:
+    """Sanity-validate an open connection before pulling from it.
+
+    Checks, in order: the connection answers a trivial query, its
+    ``information_schema`` is readable, and every ``required_tables`` entry
+    exists in the current schema (case-insensitive). Raises
+    ``SourceValidationError`` with the failing check; returns a summary
+    dict (schema, table count) on success."""
+    try:
+        _fetchall(conn, "SELECT 1")
+    except Exception as e:
+        raise SourceValidationError(f"connection is not usable: {e}") from e
+    try:
+        tables = introspect_columns(conn)
+    except Exception as e:
+        raise SourceValidationError(
+            f"information_schema is not readable on this source: {e}"
+        ) from e
+    have = {t.lower() for t in tables}
+    missing = sorted(
+        t for t in required_tables if t.lower() not in have
+    )
+    if missing:
+        raise SourceValidationError(
+            f"required tables missing from source: {missing} "
+            f"(found {sorted(have)})"
+        )
+    return {"schema": _current_schema(conn), "n_tables": len(tables)}
+
+
 def introspect_foreign_keys(conn) -> list[dict]:
     """True FK metadata from a live connection (S7 full).
 
@@ -150,7 +245,7 @@ def introspect_foreign_keys(conn) -> list[dict]:
     """
     rows = _fetchall(
         conn,
-        """
+        f"""
         SELECT fk.table_name, fk.column_name,
                pk.table_name, pk.column_name, fk.constraint_name
         FROM information_schema.key_column_usage fk
@@ -162,6 +257,7 @@ def introspect_foreign_keys(conn) -> list[dict]:
          AND pk.constraint_schema = rc.unique_constraint_schema
          AND pk.ordinal_position =
                COALESCE(fk.position_in_unique_constraint, fk.ordinal_position)
+        WHERE 1=1{_schema_filter(conn, "fk.table_schema")}
         ORDER BY 1, 5, 2
         """,
     )
@@ -182,13 +278,14 @@ def introspect_primary_keys(conn) -> dict[str, list[str]]:
     key_column_usage."""
     rows = _fetchall(
         conn,
-        """
+        f"""
         SELECT k.table_name, k.column_name
         FROM information_schema.table_constraints tc
         JOIN information_schema.key_column_usage k
           ON k.constraint_name = tc.constraint_name
          AND k.constraint_schema = tc.constraint_schema
         WHERE tc.constraint_type = 'PRIMARY KEY'
+          {_schema_filter(conn, "k.table_schema")}
         ORDER BY k.table_name, k.ordinal_position
         """,
     )
@@ -204,12 +301,13 @@ def introspect_columns(conn) -> dict[str, list[str]]:
     ``getTableList``/``analyzeTable`` pass."""
     rows = _fetchall(
         conn,
-        """
+        f"""
         SELECT c.table_name, c.column_name
         FROM information_schema.columns c
         JOIN information_schema.tables t
           ON t.table_name = c.table_name AND t.table_schema = c.table_schema
         WHERE t.table_type = 'BASE TABLE'
+          {_schema_filter(conn, "c.table_schema")}
         ORDER BY c.table_name, c.ordinal_position
         """,
     )

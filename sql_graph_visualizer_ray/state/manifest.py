@@ -179,9 +179,10 @@ class Manifest:
         return out
 
     def history_entry(self, lake_dir: str, version: int) -> dict | None:
-        """The history entry for a commit version, wherever it lives. Note
-        compaction entries reuse their data version number — returns the
-        first match the way the old linear scan did."""
+        """The history entry for a commit version, wherever it lives. Every
+        entry's version is unique (compaction commits bump the manifest
+        version like any data commit), so the first match IS the entry;
+        returning on first match is just the cheap scan order."""
         for h in self.data["history"]:
             if h.get("version") == version:
                 return h
@@ -279,16 +280,37 @@ def publish_grace_s() -> float:
     return float(v) if v is not None else PUBLISH_GRACE_S
 
 
+def newest_mtime(path: str) -> float:
+    """Newest mtime anywhere in the tree under ``path`` (root included).
+
+    Staleness decisions MUST look at the whole tree, not the root dir:
+    writing a parquet file into an EXISTING bucket subdir never touches the
+    root's mtime, so a commit whose write phase outlasts the publish grace
+    would look abandoned to a peer's GC while still in flight. Cost is one
+    stat per entry — bounded by the files of one commit attempt."""
+    newest = os.path.getmtime(path)  # propagate OSError: caller decides
+    for dirpath, dirnames, filenames in os.walk(path):
+        for n in dirnames + filenames:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, n))
+                )
+            except OSError:
+                continue  # entry vanished mid-walk — a peer is active
+    return newest
+
+
 def clean_uncommitted(lake_dir: str, committed_version: int) -> None:
     """Delete staging entries and any version dir newer than the manifest —
     leftovers of a crash between data rename and manifest publish.
 
-    Age-gated for multi-writer safety: only entries untouched for longer
-    than the publish grace window are collected, so opening a lake never
-    destroys a LIVE peer writer's in-flight staging or just-renamed
-    version dir (writers refresh their staging dir's mtime as they add
-    bucket subdirs). A genuinely crashed attempt is collected by whoever
-    opens or commits after the grace expires."""
+    Age-gated for multi-writer safety: only trees whose NEWEST file is
+    older than the publish grace window are collected (``newest_mtime`` —
+    the root dir's own mtime goes stale during long writes into existing
+    subdirs), so opening a lake never destroys a LIVE peer writer's
+    in-flight staging or just-renamed version dir. A genuinely crashed
+    attempt is collected by whoever opens or commits after the grace
+    expires."""
     import time
 
     if not os.path.isdir(lake_dir):
@@ -298,7 +320,7 @@ def clean_uncommitted(lake_dir: str, committed_version: int) -> None:
 
     def _stale(path: str) -> bool:
         try:
-            return now - os.path.getmtime(path) > grace
+            return now - newest_mtime(path) > grace
         except OSError:
             return False  # vanished underneath us — someone else cleaned it
 

@@ -152,3 +152,28 @@ def test_cli_snapshot(ray_session, clog, tmp_path, capsys):
     assert out["rows"] > 0 and out["version"] == 1
     assert main(["snapshot", lake, "99"]) == 1
     capsys.readouterr()
+
+
+def test_cli_lookup_int_keyed_edge_lake(ray_session, tmp_path, capsys):
+    """`cli lookup` on a native int-keyed lake must coerce --key strings to
+    the manifest key type instead of crashing in pa.array (library lookup
+    with real ints is covered by test_lookup)."""
+    import json
+
+    from sql_graph_visualizer_ray.cli import main
+    from test_edge_lake import edges_ds, e
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    path = str(tmp_path / "edges")
+    lake = EdgeLake(path, num_buckets=4)
+    lake.ingest(edges_ds([e(1, 2), e(1, 3), e(2, 3)]), epoch=0)
+
+    rc = main(["lookup", path, "--key", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+
+    rc = main(["lookup", path, "--key", "not-an-int"])
+    assert rc == 1
+    assert "must be int64" in capsys.readouterr().err

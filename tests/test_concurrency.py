@@ -147,10 +147,23 @@ def test_open_preserves_fresh_peer_staging(clog, tmp_path):
     lake = LakeTable.open(path, num_buckets=8)
     lake.apply(clog, max_epochs=1)
     fresh = os.path.join(path, "_staging", "v9-feedf00d")
-    os.makedirs(os.path.join(fresh, "bucket=00000"))
+    sub = os.path.join(fresh, "bucket=00000")
+    os.makedirs(sub)
     LakeTable.open(path, num_buckets=8)
     assert os.path.isdir(fresh), "fresh peer staging was collected at open"
     old = time.time() - 3600
+    # age the ROOT but keep a fresh file deep in the tree: a long write
+    # phase into an existing bucket subdir never touches the root mtime,
+    # so staleness must be judged on the newest mtime anywhere in the tree
+    with open(os.path.join(sub, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(fresh, (old, old))
+    LakeTable.open(path, num_buckets=8)
+    assert os.path.isdir(fresh), "live peer's long write was collected"
+    # age the WHOLE tree -> genuinely abandoned -> collected
+    for dirpath, dirnames, filenames in os.walk(fresh):
+        for n in dirnames + filenames:
+            os.utime(os.path.join(dirpath, n), (old, old))
     os.utime(fresh, (old, old))
     LakeTable.open(path, num_buckets=8)
     assert not os.path.exists(fresh), "stale staging survived the grace"

@@ -195,3 +195,56 @@ def test_ruleset_from_connection_executes(ray_session, tmp_path):
     assert sorted(edges["target_id"].unique()) == [0, 1, 2, 3, 4]
     nodes = out["customer_to_node"].to_pandas()
     assert len(nodes) == 40 and "c_name" in nodes.columns
+
+
+def test_introspection_scoped_to_current_schema():
+    """Same-named tables in OTHER schemas must not merge into one table's
+    metadata (columns concatenated, PKs mixed -> wrong auto rules)."""
+    from sql_graph_visualizer_ray.sources.adapter import (
+        introspect_columns,
+        introspect_primary_keys,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE users(id INT PRIMARY KEY, name TEXT)")
+    con.execute("CREATE SCHEMA other")
+    con.execute(
+        "CREATE TABLE other.users(uid BIGINT PRIMARY KEY, email TEXT, x INT)"
+    )
+    cols = introspect_columns(con)
+    assert cols["users"] == ["id", "name"], cols
+    pks = introspect_primary_keys(con)
+    assert pks["users"] == ["id"], pks
+
+
+def test_validate_source_and_dsn_errors(tmp_path):
+    import pytest as _pytest
+
+    from sql_graph_visualizer_ray.sources.adapter import (
+        SourceValidationError,
+        open_source,
+        validate_source,
+    )
+
+    # happy path: in-memory DSN, tables present
+    con = open_source("duckdb://:memory:")
+    con.execute("CREATE TABLE t1(a INT)")
+    info = validate_source(con, required_tables=["t1"])
+    assert info["n_tables"] == 1
+
+    # missing required table -> clear error naming it
+    with _pytest.raises(SourceValidationError, match="t_missing"):
+        validate_source(con, required_tables=["t1", "t_missing"])
+
+    # unsupported scheme
+    with _pytest.raises(SourceValidationError, match="scheme"):
+        open_source("mysql://root@localhost/db")
+
+    # nonexistent file
+    with _pytest.raises(SourceValidationError, match="does not exist"):
+        open_source(str(tmp_path / "nope.duckdb"))
+
+    # dead connection
+    con.close()
+    with _pytest.raises(SourceValidationError, match="not usable"):
+        validate_source(con)
