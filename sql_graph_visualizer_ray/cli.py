@@ -186,6 +186,57 @@ def cmd_lookup(a) -> int:
     return 0
 
 
+def cmd_search(a) -> int:
+    """Predicate fetch on the serving path (the reference's searchNodes) —
+    no Ray session; value strings are coerced to the column's type."""
+    import pyarrow as pa
+
+    from .pipelines.cdc import CANONICAL_KEYS, LakeTable
+
+    lake = LakeTable.open(a.lake_dir)
+    ren_in = dict(zip(lake.key_columns, CANONICAL_KEYS))
+    phys = ren_in.get(a.column, a.column)
+    try:
+        f = lake.manifest.payload_schema.field(phys)
+    except KeyError:
+        print(f"unknown column {a.column!r}", file=sys.stderr)
+        return 1
+    value = a.value
+    if a.op != "contains":
+        try:
+            if pa.types.is_integer(f.type):
+                value = int(value)
+            elif pa.types.is_floating(f.type):
+                value = float(value)
+            elif pa.types.is_timestamp(f.type):
+                import pandas as pd
+
+                value = pd.Timestamp(value)
+        except ValueError as e:
+            print(f"--value must be {f.type}: {e}", file=sys.stderr)
+            return 1
+    try:
+        t = lake.search(
+            a.column,
+            a.op,
+            value,
+            columns=a.columns.split(",") if a.columns else None,
+            version=a.version,
+            max_result_keys=a.max_result_keys,
+        )
+    except (ValueError, KeyError) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if a.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, a.out)
+        print(json.dumps({"rows": t.num_rows, "out": a.out}))
+    else:
+        print(json.dumps({"rows": t.num_rows, "data": t.to_pylist()}, default=str))
+    return 0
+
+
 def cmd_snapshot(a) -> int:
     """Time-travel read: export (or count) the lake state as of a commit."""
     from .pipelines.cdc import LakeTable
@@ -450,6 +501,23 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--version", type=int, help="time-travel to a commit")
     lk.add_argument("--out", help="write parquet instead of printing rows")
     lk.set_defaults(fn=cmd_lookup)
+
+    se = sub.add_parser(
+        "search", help="predicate fetch by column (no Ray session)"
+    )
+    se.add_argument("lake_dir")
+    se.add_argument("column")
+    se.add_argument(
+        "op", help="one of = == != < <= > >= contains"
+    )
+    se.add_argument("value")
+    se.add_argument("--columns", help="comma-separated projection")
+    se.add_argument("--version", type=int, help="time-travel to a commit")
+    se.add_argument(
+        "--max-result-keys", type=int, default=100_000, dest="max_result_keys"
+    )
+    se.add_argument("--out", help="write parquet instead of printing rows")
+    se.set_defaults(fn=cmd_search)
 
     sn = sub.add_parser("snapshot", help="time-travel read of a commit's state")
     sn.add_argument("lake_dir")

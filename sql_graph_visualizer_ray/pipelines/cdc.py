@@ -232,6 +232,29 @@ class LakeTable:
         self.manifest = m
         return self
 
+    def commit_with_retry(
+        self, fn, *, max_attempts: int = 8, on_conflict=None
+    ):
+        """Run ``fn(lake)`` — any commit call (``apply``, ``compact``,
+        ``split_buckets``, ...) — under the optimistic-concurrency protocol:
+        on ``CommitConflictError`` the manifest is ``reload()``-ed and the
+        call retried, up to ``max_attempts``. Returns ``fn``'s result; the
+        last conflict re-raises when attempts run out. ``on_conflict`` (if
+        given) is called with the exception before each retry — hook for
+        metrics/backoff. This is the one-liner a second concurrent writer
+        calls instead of hand-rolling the reload/retry loop."""
+        last: CommitConflictError | None = None
+        for _ in range(max_attempts):
+            try:
+                return fn(self)
+            except CommitConflictError as e:
+                last = e
+                if on_conflict is not None:
+                    on_conflict(e)
+                self.reload()
+        assert last is not None
+        raise last
+
     def _check_writable(self) -> None:
         if self.readonly:
             raise RuntimeError(
@@ -1455,12 +1478,132 @@ class LakeTable:
         sort_keys = [(k, "ascending") for k in m.key_columns if k in out_names]
         return t.take(pc.sort_indices(t, sort_keys=sort_keys)) if sort_keys else t
 
+    _SEARCH_OPS = {
+        "=": pc.equal,
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+
+    def search(
+        self,
+        column: str,
+        op: str,
+        value,
+        *,
+        columns: list[str] | None = None,
+        version: int | None = None,
+        max_result_keys: int = 100_000,
+    ) -> pa.Table:
+        """Predicate fetch on the NO-RAY serving path — the reference's
+        ``searchNodes`` analogue
+        (``/root/reference/internal/interfaces/graphql/schema.resolvers.go``,
+        ``neo4j/repository.go:239-299``), re-expressed against the lake.
+
+        Two key-exact phases keep LWW merge-on-read correct under a NON-key
+        predicate (filtering inside the merged read would resurrect a
+        superseded old version whenever the latest version stops matching):
+
+        1. candidate discovery — every bucket file is scanned with ONLY the
+           key columns read; comparison ops push into the parquet scan so
+           row-group statistics prune (key/sorted/low-cardinality columns
+           skip most groups); files lacking the column after schema
+           evolution are skipped outright (their rows are null there, and
+           any live match physically exists in a newer file).
+        2. the candidate (key, turn) pairs go through ``lookup`` (merged,
+           key-pruned) and the predicate re-applies POST-merge, which also
+           drops candidates whose matching version was superseded.
+
+        Serving contract: bounded result sets — past ``max_result_keys``
+        candidates this raises and points at ``read_final().filter`` (the
+        distributed batch path). ``op`` is one of ``= == != < <= > >=
+        contains`` (comparisons push to stats; ``contains`` evaluates on
+        the one predicate column in memory)."""
+        if version is not None and version != self.manifest.version:
+            return self.snapshot(version).search(
+                column, op, value, columns=columns,
+                max_result_keys=max_result_keys,
+            )
+        if op != "contains" and op not in self._SEARCH_OPS:
+            raise ValueError(
+                f"unsupported op {op!r}; use one of "
+                f"{sorted(self._SEARCH_OPS)} or 'contains'"
+            )
+        m = self.manifest
+        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
+        phys_col = ren_in.get(column, column)
+        if phys_col not in m.payload_schema.names:
+            raise KeyError(f"unknown column {column!r}")
+
+        # phase 1: candidate (conv_id, turn_idx) pairs, key columns only
+        by_bucket = m.bucket_files(self.path)
+        key_cols = ["conv_id", "turn_idx"]
+        read_cols = key_cols if phys_col in key_cols else key_cols + [phys_col]
+        cand: list[pa.Table] = []
+        n_cand = 0
+        for bk in sorted(by_bucket):
+            for p in by_bucket[bk]:
+                if phys_col not in pq.read_schema(p).names:
+                    continue  # pre-evolution file: column is all-null there
+                if op == "contains":
+                    t = pq.read_table(p, columns=read_cols)
+                    mask = pc.match_substring(
+                        t.column(phys_col).cast(pa.string()), value
+                    )
+                    t = t.filter(pc.fill_null(mask, False))
+                else:
+                    expr = self._SEARCH_OPS[op](pc.field(phys_col), value)
+                    t = pq.read_table(p, columns=read_cols, filters=expr)
+                cand.append(t.select(key_cols))
+                n_cand += t.num_rows
+                if n_cand > max_result_keys:
+                    raise ValueError(
+                        f"search({column} {op} {value!r}) matched more than "
+                        f"{max_result_keys} candidate rows — that is a batch "
+                        "scan, not a serving fetch; use "
+                        "read_final().filter(...) instead"
+                    )
+        if not cand:
+            out = self.lookup([], columns=columns)
+            return out
+        pairs = pa.concat_tables(cand)
+        import pandas as pd
+
+        pairs_pd = (
+            pairs.to_pandas().drop_duplicates(ignore_index=True)
+        )
+
+        # phase 2: merged key-exact lookup, predicate re-applied post-merge
+        want_cols = None
+        if columns is not None:
+            want_cols = list(columns)
+            if column not in want_cols:
+                want_cols = want_cols + [column]
+        t = self.lookup(
+            pairs_pd["conv_id"].tolist(),
+            turns=pairs_pd["turn_idx"].tolist(),
+            columns=want_cols,
+        )
+        col = t.column(column)  # lookup returns native (logical) names
+        if op == "contains":
+            mask = pc.match_substring(col.cast(pa.string()), value)
+        else:
+            mask = self._SEARCH_OPS[op](col, value)
+        t = t.filter(pc.fill_null(mask, False))
+        if columns is not None and column not in columns:
+            t = t.select([c for c in t.column_names if c != column])
+        return t
+
     def read_final(
         self,
         columns: list[str] | None = None,
         *,
         keys=None,
         version: int | None = None,
+        keep_tombstones: bool = False,
     ) -> rd.Dataset:
         """Streaming read view of live rows: each bucket's base + delta files
         are normalized to the current payload schema (null-fill/cast — keeps
@@ -1483,9 +1626,16 @@ class LakeTable:
         every bucket but still push the key predicate.)
 
         ``version`` time-travels: reads the table as of that commit (see
-        ``snapshot``)."""
+        ``snapshot``).
+
+        ``keep_tombstones`` keeps delete rows and the ``op``/``lsn`` meta
+        columns in the output — for consumers that REPLAY the state forward
+        (e.g. a change-feed ``resync``): without the tombstones' timestamps
+        a later out-of-order delta event would resurrect deleted rows."""
         if version is not None and version != self.manifest.version:
-            return self.snapshot(version).read_final(columns, keys=keys)
+            return self.snapshot(version).read_final(
+                columns, keys=keys, keep_tombstones=keep_tombstones
+            )
         m = self.manifest
         payload, payload_cols, ren_out = self._projection(columns)
         by_bucket = m.bucket_files(self.path)
@@ -1503,15 +1653,17 @@ class LakeTable:
         else:
             key_arrays = None
         if not by_bucket:
-            return rd.from_arrow(
-                pa.schema(
-                    [
-                        pa.field(ren_out.get(f.name, f.name), f.type)
-                        for f in payload
-                        if f.name in payload_cols
-                    ]
-                ).empty_table()
-            )
+            fields = [
+                pa.field(ren_out.get(f.name, f.name), f.type)
+                for f in payload
+                if f.name in payload_cols
+            ]
+            if keep_tombstones:
+                fields += [
+                    pa.field("lsn", pa.int64()),
+                    pa.field("op", pa.string()),
+                ]
+            return rd.from_arrow(pa.schema(fields).empty_table())
         target = pa.schema(
             list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
         )
@@ -1525,8 +1677,11 @@ class LakeTable:
                     else None
                 )
                 t = _read_files_merged(by_bucket[int(bk)], target, row_filter=expr)
-                t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
-                t = t.select(payload_cols)
+                if keep_tombstones:
+                    t = t.select(payload_cols + ["lsn", "op"])
+                else:
+                    t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
+                    t = t.select(payload_cols)
                 outs.append(
                     t.rename_columns([ren_out.get(c, c) for c in t.column_names])
                 )
@@ -1573,15 +1728,18 @@ def replay(
     shuffle: str = "sort",
     merge_actors: bool = False,
     commit_mode: str = "delta",
-    auto_compact_files: int | None = None,
-    auto_split_bytes: int | None = None,
+    auto_compact_files: int | None = 8,
+    auto_split_bytes: int | None = 1 << 30,
 ) -> LakeTable:
     """Replay a full changelog into a (possibly pre-existing) lake table,
     committing every ``epochs_per_commit`` epochs (None = single commit).
     ``auto_compact_files`` triggers a size-tiered ``compact()`` after any
     commit that leaves a bucket with at least that many files;
     ``auto_split_bytes`` splits the bucket count when any bucket outgrows
-    that physical size (see ``LakeTable.maybe_auto_split``)."""
+    that physical size (see ``LakeTable.maybe_auto_split``). Both are ON
+    by default (compact at 8 files, split at 1 GiB) so an out-of-the-box
+    ingest loop keeps per-bucket file counts and bytes bounded; pass
+    ``None``/0 to disable."""
     lake = LakeTable.open(
         lake_dir, num_buckets=num_buckets, turn_shard_size=turn_shard_size
     )

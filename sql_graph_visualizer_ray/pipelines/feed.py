@@ -83,6 +83,51 @@ class ChangeFeedCursor:
         contract, not a footgun: ``poll`` refuses to hide the gap."""
         self.ack(version)
 
+    def resync(
+        self, lake: LakeTable, out_dir: str, *, version: int | None = None
+    ) -> int:
+        """Recover from an unservable gap in ONE call: export the lake's
+        FULL state as of ``version`` (default: the current head) to
+        ``out_dir/v{N}`` and ack past it.
+
+        This is the documented recovery for the two situations ``poll``
+        refuses to paper over — the consumer fell behind a compaction
+        (its pending delta feeds were folded away) or hit a
+        ``commit_mode="rewrite"`` commit. Instead of hand-coding
+        skip + snapshot export, the consumer calls ``resync`` and resumes
+        ``poll``-ing deltas from there.
+
+        The delivery is atomic like ``drain``'s (staging dir + rename) and
+        carries a ``_FULL_STATE`` marker file so downstream knows to
+        REPLACE its derived state rather than apply a delta; superseded
+        older ``v*`` deliveries in ``out_dir`` are removed (their content
+        is contained in the snapshot). The export KEEPS tombstones and the
+        ``op``/``lsn`` meta columns: without the deletes' timestamps, a
+        late (out-of-order) event in a subsequent delta would resurrect a
+        deleted row in the consumer's LWW replay. Returns the synced
+        version."""
+        import shutil
+
+        v = int(version if version is not None else lake.manifest.version)
+        if v <= self.acked:
+            raise ValueError(
+                f"resync to v{v} does not advance the cursor (at {self.acked})"
+            )
+        ds = lake.read_final(version=v, keep_tombstones=True)
+        tmp = os.path.join(out_dir, f"_v{v}.writing")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        with open(os.path.join(tmp, "_FULL_STATE"), "w") as f:
+            f.write(json.dumps({"version": v}))
+        final = os.path.join(out_dir, f"v{v}")
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        for n in os.listdir(out_dir):  # superseded delta deliveries
+            if n.startswith("v") and n[1:].isdigit() and int(n[1:]) < v:
+                shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
+        self.ack(v)
+        return v
+
     def ack(self, version: int) -> None:
         """Durably advance past ``version`` (write-tmp + atomic replace)."""
         if version <= self.acked:

@@ -31,12 +31,17 @@ def tail(
     idle_timeout: float = 10.0,
     stop_after_epoch: int | None = None,
     max_commits: int | None = None,
-    auto_compact_files: int | None = None,
-    auto_split_bytes: int | None = None,
+    auto_compact_files: int | None = 8,
+    auto_split_bytes: int | None = 1 << 30,
     **apply_kw,
 ) -> LakeTable:
     """Apply new epochs as they appear until ``stop_after_epoch`` is reached
     (or the directory stays idle for ``idle_timeout`` seconds).
+
+    ``auto_compact_files`` / ``auto_split_bytes`` are ON by default
+    (compact at 8 files per bucket, split buckets past 1 GiB) so a naive
+    long-running tail keeps per-bucket file counts and bytes bounded with
+    no tuning; pass ``None``/0 to disable either.
 
     Each poll that finds >=1 new epoch produces ONE epoch-fenced commit
     (micro-batching: a burst of epochs lands in a single commit). Safe to

@@ -281,3 +281,27 @@ def test_tail_with_auto_compaction(tmp_path):
     from sql_graph_visualizer_ray.pipelines.oracle import replay_oracle
 
     assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_naive_tail_stays_bounded(tmp_path):
+    """Out-of-the-box management: a tail loop with NO tuning (defaults:
+    compact at 8 files per bucket) keeps per-bucket file counts bounded
+    while committing once per epoch, and the result still equals the
+    oracle. (The 1 GiB default split threshold is exercised by the
+    maybe_auto_split unit tests; these fixtures never reach it.)"""
+    from sql_graph_visualizer_ray.pipelines.streaming import tail
+
+    spec = ChangelogSpec(n_events=12_000, n_convs=200, n_epochs=12, seed=77)
+    clog = materialize("unit-naive-tail", spec)
+    lake = tail(
+        clog,
+        str(tmp_path / "lake"),
+        num_buckets=4,
+        idle_timeout=1.0,
+        poll_interval=0.05,
+        max_epochs=1,  # one commit per epoch: 12 commits
+    )
+    by_bucket = lake.manifest.bucket_files(lake.path)
+    worst = max(len(f) for f in by_bucket.values())
+    assert worst <= 8, f"unbounded delta files: {worst}"
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))

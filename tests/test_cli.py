@@ -177,3 +177,31 @@ def test_cli_lookup_int_keyed_edge_lake(ray_session, tmp_path, capsys):
     rc = main(["lookup", path, "--key", "not-an-int"])
     assert rc == 1
     assert "must be int64" in capsys.readouterr().err
+
+
+def test_cli_search(ray_session, clog, tmp_path, capsys):
+    import json
+
+    from sql_graph_visualizer_ray.cli import main
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+
+    lake_dir = str(tmp_path / "lake")
+    lake = replay(clog, lake_dir, num_buckets=4)
+    want = lake.final_table().to_pandas()
+    n_assist = int((want.role == "assistant").sum())
+
+    rc = main(["search", lake_dir, "role", "==", "assistant", "--columns", "role"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == n_assist
+
+    # int coercion on turn_idx + clear error paths
+    rc = main(["search", lake_dir, "turn_idx", "<", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == int((want.turn_idx < 1).sum())
+
+    assert main(["search", lake_dir, "nope", "==", "x"]) == 1
+    assert "unknown column" in capsys.readouterr().err
+    assert main(["search", lake_dir, "turn_idx", "==", "NaNope"]) == 1
+    assert "must be int" in capsys.readouterr().err  # turn_idx is int32

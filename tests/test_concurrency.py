@@ -84,6 +84,10 @@ def test_crashed_attempt_garbage_is_reclaimed(clog, tmp_path):
     with pytest.raises(CommitConflictError, match="publishing right now"):
         lake.apply(clog)  # fresh orphan: could be a live peer — hands off
     old = time.time() - 3600
+    # staleness is judged on the NEWEST mtime in the tree — age all of it
+    for dirpath, dirnames, filenames in os.walk(orphan):
+        for n in dirnames + filenames:
+            os.utime(os.path.join(dirpath, n), (old, old))
     os.utime(orphan, (old, old))
     lake.apply(clog)  # stale orphan: reclaimed, version claimed
     assert not os.path.exists(os.path.join(orphan, "bucket=00000", "junk"))
@@ -184,3 +188,36 @@ def test_loser_manifest_not_corrupted(clog, tmp_path):
     with open(os.path.join(path, "MANIFEST.json")) as f:
         after = json.load(f)
     assert before == after
+
+
+def test_commit_with_retry_one_liner(clog, tmp_path):
+    """The convenience wrapper for the reload/retry protocol: a stale
+    writer's commit goes through ``commit_with_retry`` with no hand-rolled
+    loop, the conflict is surfaced to the hook, and the final lake equals
+    the sequential oracle."""
+    path = str(tmp_path / "lake")
+    a = LakeTable.open(path, num_buckets=8)
+    a.apply(clog, max_epochs=2)
+    b = LakeTable.open(path, num_buckets=8)
+    b.apply(clog, max_epochs=1)  # B wins v3; A is now stale
+
+    conflicts = []
+    c = a.commit_with_retry(
+        lambda lk: lk.apply(clog), on_conflict=conflicts.append
+    )
+    assert len(conflicts) == 1 and isinstance(conflicts[0], CommitConflictError)
+    assert c.get("epochs", 0) >= 1
+    assert canonical(a.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_commit_with_retry_exhausts(clog, tmp_path):
+    """When every attempt conflicts the last error re-raises."""
+    path = str(tmp_path / "lake")
+    a = LakeTable.open(path, num_buckets=8)
+    a.apply(clog, max_epochs=1)
+
+    def always_conflicts(lk):
+        raise CommitConflictError("synthetic")
+
+    with pytest.raises(CommitConflictError, match="synthetic"):
+        a.commit_with_retry(always_conflicts, max_attempts=3)

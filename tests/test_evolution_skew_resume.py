@@ -91,8 +91,14 @@ def test_crash_between_data_rename_and_manifest(tmp_path):
     orphan_stg = os.path.join(lake_dir, "_staging", "v999-deadbeef")
     os.makedirs(os.path.join(orphan_stg, "bucket=00000"))
     old = time.time() - 3600
-    os.utime(orphan_v, (old, old))
-    os.utime(orphan_stg, (old, old))
+    # staleness is judged on the NEWEST mtime anywhere in the tree (a live
+    # peer's long write into existing subdirs must not look abandoned), so
+    # a genuinely-dead orphan means the WHOLE tree is old
+    for root in (orphan_v, orphan_stg):
+        for dirpath, dirnames, filenames in os.walk(root):
+            for n in dirnames + filenames:
+                os.utime(os.path.join(dirpath, n), (old, old))
+        os.utime(root, (old, old))
     reopened = LakeTable.open(lake_dir, num_buckets=4)
     assert not os.path.exists(orphan_v)
     assert not os.path.exists(orphan_stg)

@@ -216,3 +216,72 @@ def test_lookup_sees_deletes_and_updates(tmp_path):
     assert len(dead) > 0, "fixture produced no deletes"
     got = lake.lookup(dead.conv_id.tolist(), turns=dead.turn_idx.tolist())
     assert got.num_rows == 0
+
+
+def _duckdb_lww(clog):
+    """Independent LWW oracle over the raw changelog files."""
+    import duckdb
+
+    return duckdb.sql(
+        f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn
+          FROM read_parquet('{clog}/*.parquet'))
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM ranked
+        WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx
+        """
+    ).df()
+
+
+def test_search_equality_matches_duckdb(lake, clog):
+    """searchNodes analogue: no-Ray predicate fetch on a NON-key column,
+    value-checked against an independent DuckDB LWW oracle. Superseded
+    versions that matched the predicate must NOT resurrect (the two-phase
+    candidate+post-merge-filter design)."""
+    want = _duckdb_lww(clog)
+    want = want[want.role == "assistant"].reset_index(drop=True)
+    got = (
+        lake.search("role", "==", "assistant")
+        .to_pandas()[want.columns.tolist()]
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
+
+
+def test_search_contains_and_range(lake, clog):
+    want = _duckdb_lww(clog)
+
+    w1 = want[want.text.str.contains("the", na=False)].reset_index(drop=True)
+    g1 = (
+        lake.search("text", "contains", "the")
+        .to_pandas()[w1.columns.tolist()]
+        .reset_index(drop=True)
+    )
+    assert g1.equals(w1)
+
+    w2 = want[want.turn_idx >= 30].reset_index(drop=True)
+    g2 = (
+        lake.search("turn_idx", ">=", 30)
+        .to_pandas()[w2.columns.tolist()]
+        .reset_index(drop=True)
+    )
+    assert g2.equals(w2)
+
+
+def test_search_projection_cap_and_errors(lake):
+    got = lake.search("role", "==", "assistant", columns=["role"])
+    assert got.column_names == ["conv_id", "turn_idx", "role"] or set(
+        got.column_names
+    ) >= {"role"}
+    # column not requested -> predicate column dropped from output
+    got2 = lake.search("role", "==", "assistant", columns=["text"])
+    assert "role" not in got2.column_names
+
+    with pytest.raises(ValueError, match="read_final"):
+        lake.search("turn_idx", ">=", 0, max_result_keys=5)
+    with pytest.raises(KeyError):
+        lake.search("no_such_col", "==", 1)
+    with pytest.raises(ValueError, match="unsupported op"):
+        lake.search("role", "~~", "x")

@@ -38,6 +38,15 @@ def main() -> None:
         help="commits per lake build (files per bucket before compaction) "
         "- measures merge-on-read amplification on the serving path",
     )
+    ap.add_argument(
+        "--wide-text",
+        type=int,
+        default=0,
+        dest="wide_text",
+        help="max text bytes per row (0 = fixture default 400): the "
+        "wide-payload variant confirms row-group pruning still carries the "
+        "serving path when one row group is ~100 MB",
+    )
     a = ap.parse_args()
 
     import ray
@@ -60,13 +69,19 @@ def main() -> None:
     )
 
     n_convs = max(100, a.events // 40)
+    spec_kw = {}
+    if a.wide_text:
+        spec_kw["max_text_len"] = a.wide_text
     clog = materialize(
-        f"benchlookup-{a.events}",
+        f"benchlookup-{a.events}-w{a.wide_text}",
         ChangelogSpec(
-            n_events=a.events, n_convs=n_convs, n_epochs=4, seed=7
+            n_events=a.events, n_convs=n_convs, n_epochs=4, seed=7, **spec_kw
         ),
     )
-    lake_dir = f"/tmp/bench_lookup/lake-{a.events}-{a.buckets}-d{a.delta_files}"
+    lake_dir = (
+        f"/tmp/bench_lookup/lake-{a.events}-{a.buckets}"
+        f"-d{a.delta_files}-w{a.wide_text}"
+    )
     if not os.path.exists(os.path.join(lake_dir, "MANIFEST.json")):
         t0 = time.time()
         replay(
@@ -95,6 +110,22 @@ def main() -> None:
 
     one_ms = timed(lambda: lake.lookup([some[3]]), a.reps)
     batch_ms = timed(lambda: lake.lookup(some[:100]), max(3, a.reps // 4))
+
+    # predicate fetch (searchNodes analogue): a selective non-key predicate
+    # served driver-side vs the distributed batch-scan alternative
+    spec_turns = 40
+    search_ms = timed(
+        lambda: lake.search(
+            "turn_idx", "==", spec_turns - 1, max_result_keys=1_000_000
+        ),
+        max(3, a.reps // 4),
+    )
+    t0 = time.perf_counter()
+    search_scan_rows = (
+        lake.read_final().filter(expr=f"turn_idx == {spec_turns - 1}").count()
+    )
+    search_scan_ms = (time.perf_counter() - t0) * 1000
+
     t0 = time.perf_counter()
     scan_rows = lake.read_final().count()
     scan_ms = (time.perf_counter() - t0) * 1000
@@ -104,9 +135,14 @@ def main() -> None:
             {
                 "metric": "point lookup vs full scan",
                 "lake_rows": rows,
+                "max_text_len": a.wide_text or 400,
+                "lake_bytes": sum(lake.bucket_bytes().values()),
                 "num_buckets": a.buckets,
                 "lookup_1key_ms_p50": round(one_ms, 2),
                 "lookup_100key_ms_p50": round(batch_ms, 2),
+                "search_pred_ms_p50": round(search_ms, 2),
+                "search_batch_scan_ms": round(search_scan_ms, 1),
+                "search_scan_rows": search_scan_rows,
                 "full_scan_ms": round(scan_ms, 1),
                 "scan_over_lookup": round(scan_ms / one_ms, 1),
                 "scan_rows": scan_rows,

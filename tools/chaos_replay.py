@@ -32,20 +32,20 @@ import ray
 ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
-from sql_graph_visualizer_ray.pipelines.cdc import CommitConflictError, LakeTable
+from sql_graph_visualizer_ray.pipelines.cdc import LakeTable
 clog, lake_dir, shuffle = sys.argv[1], sys.argv[2], sys.argv[3]
 lake = LakeTable.open(lake_dir, num_buckets=8)
-conflicts = 0
+conflicts = []
+# the one-liner multi-writer protocol: commit_with_retry owns reload/retry
 while True:
-    try:
-        c = lake.apply(clog, max_epochs=1, shuffle=shuffle)
-    except CommitConflictError:
-        conflicts += 1
-        lake.reload()
-        continue
+    c = lake.commit_with_retry(
+        lambda lk: lk.apply(clog, max_epochs=1, shuffle=shuffle),
+        max_attempts=64,
+        on_conflict=conflicts.append,
+    )
     if not c.get("epochs"):
         break
-print("COMPLETE", lake.manifest.version, "conflicts", conflicts)
+print("COMPLETE", lake.manifest.version, "conflicts", len(conflicts))
 """
 
 
