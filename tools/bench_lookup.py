@@ -111,8 +111,17 @@ def main() -> None:
     one_ms = timed(lambda: lake.lookup([some[3]]), a.reps)
     batch_ms = timed(lambda: lake.lookup(some[:100]), max(3, a.reps // 4))
 
-    # predicate fetch (searchNodes analogue): a selective non-key predicate
-    # served driver-side vs the distributed batch-scan alternative
+    # predicate fetch (searchNodes analogue). Two selectivity regimes:
+    # - selective (~1 matching row, the serving design point): ts equality
+    #   on a live row's timestamp;
+    # - broad (~2.5% of rows): turn_idx equality — past this the distributed
+    #   batch scan wins and max_result_keys is the guard rail.
+    probe = lake.lookup([some[3]])
+    probe_ts = probe.column("ts")[0].as_py()
+    sel_search_ms = timed(
+        lambda: lake.search("ts", "==", probe_ts), max(3, a.reps // 4)
+    )
+    sel_rows = lake.search("ts", "==", probe_ts).num_rows
     spec_turns = 40
     search_ms = timed(
         lambda: lake.search(
@@ -140,7 +149,9 @@ def main() -> None:
                 "num_buckets": a.buckets,
                 "lookup_1key_ms_p50": round(one_ms, 2),
                 "lookup_100key_ms_p50": round(batch_ms, 2),
-                "search_pred_ms_p50": round(search_ms, 2),
+                "search_selective_ms_p50": round(sel_search_ms, 2),
+                "search_selective_rows": sel_rows,
+                "search_broad_ms_p50": round(search_ms, 2),
                 "search_batch_scan_ms": round(search_scan_ms, 1),
                 "search_scan_rows": search_scan_rows,
                 "full_scan_ms": round(scan_ms, 1),
