@@ -285,3 +285,88 @@ def test_search_projection_cap_and_errors(lake):
         lake.search("no_such_col", "==", 1)
     with pytest.raises(ValueError, match="unsupported op"):
         lake.search("role", "~~", "x")
+
+
+@pytest.fixture(scope="module")
+def delta_lake(clog, tmp_path_factory):
+    """Multi-commit delta lake: superseded row versions stay PHYSICALLY
+    present in earlier delta files — the regime where a naive single-phase
+    predicate read would resurrect them."""
+    lake = replay(
+        clog,
+        str(tmp_path_factory.mktemp("dlk") / "lake"),
+        num_buckets=8,
+        epochs_per_commit=1,
+        auto_compact_files=None,
+        auto_split_bytes=None,
+    )
+    # the test is vacuous unless buckets really hold multiple delta files
+    assert any(
+        len(fs) > 1 for fs in lake.manifest.bucket_files(lake.path).values()
+    )
+    return lake
+
+
+def test_search_on_delta_lake_matches_duckdb(delta_lake, clog):
+    want = _duckdb_lww(clog)
+    want = want[want.role == "assistant"].reset_index(drop=True)
+    got = (
+        delta_lake.search("role", "==", "assistant")
+        .to_pandas()[want.columns.tolist()]
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
+
+
+def test_search_superseded_version_does_not_resurrect(delta_lake, clog):
+    """Fixture texts embed their version ('v=<lsn>'), so a superseded
+    version's exact text exists ONLY in an old delta file. Searching for it
+    must return nothing, even though phase 1 finds the candidate row."""
+    import duckdb
+
+    stale = duckdb.sql(
+        f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn
+          FROM read_parquet('{clog}/*.parquet'))
+        SELECT text FROM ranked
+        WHERE rn > 1 AND text IS NOT NULL LIMIT 3
+        """
+    ).df()
+    assert len(stale) > 0
+    for old_text in stale.text:
+        got = delta_lake.search("text", "==", old_text)
+        assert got.num_rows == 0, old_text
+
+
+def test_search_ops_property_vs_final_table(delta_lake):
+    """Every comparison op over a numeric and a string column agrees with an
+    in-memory filter of final_table() (SQL null semantics: null never
+    matches)."""
+    import operator
+
+    full = delta_lake.final_table().to_pandas()
+    ops = {
+        "==": operator.eq,
+        "!=": operator.ne,
+        "<": operator.lt,
+        "<=": operator.le,
+        ">": operator.gt,
+        ">=": operator.ge,
+    }
+    cases = [("turn_idx", 17), ("turn_idx", 0), ("role", "tool")]
+    for col, val in cases:
+        for op, py in ops.items():
+            want = (
+                full[full[col].notna() & py(full[col], val)]
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True)
+            )
+            got = (
+                delta_lake.search(col, op, val, max_result_keys=10**6)
+                .to_pandas()[full.columns.tolist()]
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True)
+            )
+            assert got.equals(want), (col, op, val, len(got), len(want))
