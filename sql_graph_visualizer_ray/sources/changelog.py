@@ -127,30 +127,43 @@ def generate(spec: ChangelogSpec) -> list[pa.Table]:
     text = np.where(is_del, None, text)
     tool = np.where(is_del, None, tool)
 
+    # One stable sort by epoch, then contiguous slices per epoch. Byte-
+    # identical to masking each epoch (`x[epoch == e]`) — stable sort keeps
+    # the original relative order within an epoch — but O(n log n) instead
+    # of O(n_epochs * n): the mask loop made sf1 generation (20M events,
+    # 320 epochs) take tens of minutes.
+    order = np.argsort(epoch, kind="stable")
+    lsn, op, conv_id = lsn[order], op[order], conv_id[order]
+    turn_idx, role, text = turn_idx[order], role[order], text[order]
+    tool, ts_us, is_del = tool[order], ts_us[order], is_del[order]
+    epoch = epoch[order]
+    n_out = int(epoch.max()) + 1
+    bounds = np.searchsorted(epoch, np.arange(n_out + 1))
+
     tables: list[pa.Table] = []
     evolve_from = spec.n_epochs // 2
-    for e in range(int(epoch.max()) + 1):
-        m = epoch == e
+    for e in range(n_out):
+        s = slice(int(bounds[e]), int(bounds[e + 1]))
         evolved = spec.evolution != "none" and e >= evolve_from
         turn_col: pa.Array
         if spec.evolution == "widen" and evolved:
-            turn_col = pa.array(turn_idx[m].astype(np.int64), type=pa.int64())
+            turn_col = pa.array(turn_idx[s].astype(np.int64), type=pa.int64())
         else:
-            turn_col = pa.array(turn_idx[m], type=pa.int32())
+            turn_col = pa.array(turn_idx[s], type=pa.int32())
         cols = {
-            "lsn": pa.array(lsn[m], type=pa.int64()),
-            "epoch": pa.array(epoch[m], type=pa.int32()),
-            "op": pa.array(op[m], type=pa.string()),
-            "conv_id": pa.array(conv_id[m], type=pa.string()),
+            "lsn": pa.array(lsn[s], type=pa.int64()),
+            "epoch": pa.array(epoch[s], type=pa.int32()),
+            "op": pa.array(op[s], type=pa.string()),
+            "conv_id": pa.array(conv_id[s], type=pa.string()),
             "turn_idx": turn_col,
-            "role": pa.array(role[m], type=pa.string()),
-            "text": pa.array(text[m], type=pa.string()),
-            "tool": pa.array(tool[m], type=pa.string()),
-            "ts": pa.array(ts_us[m], type=pa.timestamp("us")),
+            "role": pa.array(role[s], type=pa.string()),
+            "text": pa.array(text[s], type=pa.string()),
+            "tool": pa.array(tool[s], type=pa.string()),
+            "ts": pa.array(ts_us[s], type=pa.timestamp("us")),
         }
         if spec.evolution == "addcol" and evolved:
             tv = np.where(
-                is_del[m], None, np.char.add("v1.", epoch[m].astype(str)).astype(object)
+                is_del[s], None, np.char.add("v1.", epoch[s].astype(str)).astype(object)
             )
             cols["tool_version"] = pa.array(tv, type=pa.string())
         tables.append(pa.table(cols))
