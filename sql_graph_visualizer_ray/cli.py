@@ -41,7 +41,8 @@ def cmd_run(a) -> int:
         epochs_per_commit=a.epochs_per_commit,
         shuffle=a.shuffle,
         commit_mode=a.commit_mode,
-        auto_compact_files=a.auto_compact_files,
+        auto_compact_files=a.auto_compact_files or None,
+        auto_split_bytes=a.auto_split_bytes or None,
     )
     m = lake.manifest
     print(
@@ -67,6 +68,8 @@ def cmd_tail(a) -> int:
         idle_timeout=a.idle_timeout,
         stop_after_epoch=a.stop_after_epoch,
         shuffle=a.shuffle,
+        auto_compact_files=a.auto_compact_files or None,
+        auto_split_bytes=a.auto_split_bytes or None,
     )
     print(json.dumps({"applied_epoch": lake.manifest.applied_epoch}))
     return 0
@@ -224,7 +227,10 @@ def cmd_search(a) -> int:
             version=a.version,
             max_result_keys=a.max_result_keys,
         )
-    except (ValueError, KeyError) as e:
+    except (ValueError, KeyError, pa.lib.ArrowException) as e:
+        # ArrowException covers type mismatches the coercion above cannot
+        # anticipate (bool/date/decimal/binary columns vs a string --value):
+        # pc.equal raises ArrowNotImplementedError, which is NOT a ValueError
         print(str(e), file=sys.stderr)
         return 1
     if a.out:
@@ -452,7 +458,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--epochs-per-commit", type=int, default=None)
     r.add_argument("--shuffle", default="sort", choices=["sort", "hash", "spill"])
     r.add_argument("--commit-mode", default="delta", choices=["delta", "rewrite"])
-    r.add_argument("--auto-compact-files", type=int, default=None)
+    # mirror the library defaults (replay: compact at 8 files, split at
+    # 1 GiB); 0 disables — passing None through would silently turn the
+    # library's on-by-default auto-management off
+    r.add_argument("--auto-compact-files", type=int, default=8)
+    r.add_argument("--auto-split-bytes", type=int, default=1 << 30)
     r.set_defaults(fn=cmd_run)
 
     t = sub.add_parser("tail", help="follow a growing changelog")
@@ -462,6 +472,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--idle-timeout", type=float, default=10.0)
     t.add_argument("--stop-after-epoch", type=int, default=None)
     t.add_argument("--shuffle", default="sort", choices=["sort", "hash", "spill"])
+    t.add_argument("--auto-compact-files", type=int, default=8)
+    t.add_argument("--auto-split-bytes", type=int, default=1 << 30)
     t.set_defaults(fn=cmd_tail)
 
     c = sub.add_parser("compact", help="fold delta files / expire tombstones")

@@ -47,6 +47,7 @@ Scale notes (designed for 256 nodes / 100 TB, tested on one node):
 from __future__ import annotations
 
 import base64
+import functools
 import os
 from collections import defaultdict
 
@@ -97,13 +98,28 @@ def _prunable_isin(field: str, values: pa.Array):
     to ``isin`` for large sets, where most groups match anyway and a deep
     OR tree would cost more to evaluate than it saves."""
     if len(values) <= 32:
-        import functools
         import operator
 
         return functools.reduce(
             operator.or_, [pc.field(field) == v.as_py() for v in values]
         )
     return pc.field(field).isin(values)
+
+
+def _file_columns(path: str) -> frozenset[str]:
+    """Column names in a lake parquet file, cached by (path, mtime, size).
+
+    Lake files are write-once (every commit publishes NEW files under a new
+    version dir), so a stat-validated cache never goes stale even if a test
+    recreates a lake at the same path; the stat is far cheaper than the
+    footer parse it replaces on the latency-sensitive serving path."""
+    st = os.stat(path)
+    return _file_columns_cached(path, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=65_536)
+def _file_columns_cached(path: str, mtime_ns: int, size: int) -> frozenset[str]:
+    return frozenset(pq.read_schema(path).names)
 
 
 class CommitConflictError(RuntimeError):
@@ -243,17 +259,17 @@ class LakeTable:
         given) is called with the exception before each retry — hook for
         metrics/backoff. This is the one-liner a second concurrent writer
         calls instead of hand-rolling the reload/retry loop."""
-        last: CommitConflictError | None = None
-        for _ in range(max_attempts):
+        if max_attempts < 1:
+            raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
+        for attempt in range(max_attempts):
             try:
                 return fn(self)
             except CommitConflictError as e:
-                last = e
+                if attempt + 1 >= max_attempts:
+                    raise  # out of attempts: no hook, no wasted reload
                 if on_conflict is not None:
                     on_conflict(e)
                 self.reload()
-        assert last is not None
-        raise last
 
     def _check_writable(self) -> None:
         if self.readonly:
@@ -1518,10 +1534,12 @@ class LakeTable:
            drops candidates whose matching version was superseded.
 
         Serving contract: bounded result sets — past ``max_result_keys``
-        candidates this raises and points at ``read_final().filter`` (the
-        distributed batch path). ``op`` is one of ``= == != < <= > >=
-        contains`` (comparisons push to stats; ``contains`` evaluates on
-        the one predicate column in memory)."""
+        DISTINCT candidate keys this raises and points at
+        ``read_final().filter`` (the distributed batch path); the bound is
+        compaction-independent (physical rewrites of the same key count
+        once). ``op`` is one of ``= == != < <= > >= contains`` (comparisons
+        push to stats; ``contains`` evaluates on the one predicate column
+        in memory)."""
         if version is not None and version != self.manifest.version:
             return self.snapshot(version).search(
                 column, op, value, columns=columns,
@@ -1538,15 +1556,19 @@ class LakeTable:
         if phys_col not in m.payload_schema.names:
             raise KeyError(f"unknown column {column!r}")
 
-        # phase 1: candidate (conv_id, turn_idx) pairs, key columns only
+        # phase 1: candidate (conv_id, turn_idx) pairs, key columns only.
+        # Files written before a "widen" evolution carry narrower key types
+        # than the current schema — cast every candidate table to the
+        # manifest's CURRENT key types (the unifier only ever widens, so the
+        # current type is the widest on disk) before pooling them.
         by_bucket = m.bucket_files(self.path)
         key_cols = ["conv_id", "turn_idx"]
+        key_schema = pa.schema([m.payload_schema.field(k) for k in key_cols])
         read_cols = key_cols if phys_col in key_cols else key_cols + [phys_col]
-        cand: list[pa.Table] = []
-        n_cand = 0
+        seen: set[tuple] = set()
         for bk in sorted(by_bucket):
             for p in by_bucket[bk]:
-                if phys_col not in pq.read_schema(p).names:
+                if phys_col not in _file_columns(p):
                     continue  # pre-evolution file: column is all-null there
                 if op == "contains":
                     t = pq.read_table(p, columns=read_cols)
@@ -1557,24 +1579,29 @@ class LakeTable:
                 else:
                     expr = self._SEARCH_OPS[op](pc.field(phys_col), value)
                     t = pq.read_table(p, columns=read_cols, filters=expr)
-                cand.append(t.select(key_cols))
-                n_cand += t.num_rows
-                if n_cand > max_result_keys:
+                if t.num_rows == 0:
+                    continue
+                dfp = (
+                    t.select(key_cols).cast(key_schema)
+                    .to_pandas().drop_duplicates()
+                )
+                seen.update(zip(dfp["conv_id"], dfp["turn_idx"]))
+                # the cap bounds DISTINCT candidate keys, not physical rows:
+                # merge-on-read dedups per-commit rewrites, so a physical-row
+                # cap would spuriously reject the same logical result on an
+                # un-compacted delta lake
+                if len(seen) > max_result_keys:
                     raise ValueError(
                         f"search({column} {op} {value!r}) matched more than "
-                        f"{max_result_keys} candidate rows — that is a batch "
+                        f"{max_result_keys} candidate keys — that is a batch "
                         "scan, not a serving fetch; use "
                         "read_final().filter(...) instead"
                     )
-        if not cand:
-            out = self.lookup([], columns=columns)
-            return out
-        pairs = pa.concat_tables(cand)
+        if not seen:
+            return self.lookup([], columns=columns)
         import pandas as pd
 
-        pairs_pd = (
-            pairs.to_pandas().drop_duplicates(ignore_index=True)
-        )
+        pairs_pd = pd.DataFrame(list(seen), columns=key_cols)
 
         # phase 2: merged key-exact lookup, predicate re-applied post-merge
         want_cols = None

@@ -135,12 +135,40 @@ def _fetchall(conn, query: str) -> list[tuple]:
     return list(cur.fetchall())
 
 
+_SCHEMA_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
 def _current_schema(conn) -> str | None:
     """The connection's active schema, dialect-tolerantly (DuckDB/PostgreSQL
     ``current_schema()``, MySQL ``DATABASE()``). All introspection below is
     scoped to it — same-named tables in OTHER schemas must not merge into
     one table's metadata (the reference scopes its information_schema walk
-    the same way, ``schema_analyzer_service.go:116-161``)."""
+    the same way, ``schema_analyzer_service.go:116-161``).
+
+    Memoized per connection (weakly, so the cache never outlives it): a
+    rule build calls three ``introspect_*`` functions, and re-probing each
+    time costs round-trips — and on abort-on-error DBAPI transaction
+    semantics a failing first probe could poison the transaction for the
+    introspection query that follows."""
+    global _SCHEMA_CACHE
+    if _SCHEMA_CACHE is None:
+        import weakref
+
+        _SCHEMA_CACHE = weakref.WeakKeyDictionary()
+    try:
+        if conn in _SCHEMA_CACHE:
+            return _SCHEMA_CACHE[conn]
+    except TypeError:  # connection type not weakref-able/hashable: no cache
+        return _probe_schema(conn)
+    s = _probe_schema(conn)
+    try:
+        _SCHEMA_CACHE[conn] = s
+    except TypeError:
+        pass
+    return s
+
+
+def _probe_schema(conn) -> str | None:
     for probe in ("SELECT current_schema()", "SELECT DATABASE()"):
         try:
             rows = _fetchall(conn, probe)

@@ -221,3 +221,23 @@ def test_commit_with_retry_exhausts(clog, tmp_path):
 
     with pytest.raises(CommitConflictError, match="synthetic"):
         a.commit_with_retry(always_conflicts, max_attempts=3)
+
+
+def test_commit_with_retry_hook_and_validation(clog, tmp_path):
+    """The on_conflict hook fires once per actual retry (not after the
+    final failed attempt), and a non-positive max_attempts is a clear
+    ValueError, not a stray AssertionError."""
+    path = str(tmp_path / "lake")
+    a = LakeTable.open(path, num_buckets=8)
+    a.apply(clog, max_epochs=1)
+
+    def always_conflicts(lk):
+        raise CommitConflictError("synthetic")
+
+    hook = []
+    with pytest.raises(CommitConflictError):
+        a.commit_with_retry(always_conflicts, max_attempts=3, on_conflict=hook.append)
+    assert len(hook) == 2  # 3 attempts -> 2 retries
+
+    with pytest.raises(ValueError, match="max_attempts"):
+        a.commit_with_retry(always_conflicts, max_attempts=0)

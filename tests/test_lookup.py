@@ -370,3 +370,60 @@ def test_search_ops_property_vs_final_table(delta_lake):
                 .reset_index(drop=True)
             )
             assert got.equals(want), (col, op, val, len(got), len(want))
+
+
+def test_search_on_widen_evolved_lake(tmp_path):
+    """Regression: pre-widen files carry int32 turn_idx, post-widen int64.
+    Phase-1 candidate tables must cast to the current (widest) key schema
+    before pooling — concat of raw per-file schemas used to raise
+    ArrowInvalid whenever candidates spanned the evolution boundary."""
+    spec = ChangelogSpec(
+        n_events=6_000, n_convs=150, n_epochs=4, seed=48, evolution="widen"
+    )
+    clog = materialize("unit-search-widen", spec)
+    lake = replay(
+        str(clog), str(tmp_path / "lake"), num_buckets=8, epochs_per_commit=1
+    )
+    full = lake.final_table().to_pandas()
+    want = (
+        full[full.role == "assistant"]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = (
+        lake.search("role", "==", "assistant", max_result_keys=10**6)
+        .to_pandas()[full.columns.tolist()]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0 and got.equals(want)
+
+
+def test_search_cap_counts_distinct_keys(delta_lake, clog):
+    """The max_result_keys bound is compaction-independent: superseded
+    physical rewrites of the same key count once. On this multi-delta lake
+    the physical candidate rows for `role == assistant` exceed the distinct
+    (conv, turn) pairs, and search at cap == distinct must succeed."""
+    import duckdb
+
+    # each delta file holds its commit's (= epoch's, epochs_per_commit=1)
+    # LWW winners, so the physical candidates are per-epoch winners — a pair
+    # rewritten across N epochs appears N times physically, once distinct
+    cand = duckdb.sql(
+        f"""
+        WITH per_epoch AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx, epoch
+            ORDER BY ts DESC, lsn DESC) rn
+          FROM read_parquet('{clog}/*.parquet'))
+        SELECT count(*) AS phys,
+               count(DISTINCT (conv_id, turn_idx)) AS pairs
+        FROM per_epoch WHERE rn = 1 AND role = 'assistant'
+        """
+    ).df()
+    phys, pairs = int(cand.phys[0]), int(cand.pairs[0])
+    assert phys > pairs, "fixture must contain superseded rewrites"
+    got = delta_lake.search("role", "==", "assistant", max_result_keys=pairs)
+    assert got.num_rows > 0
+    with pytest.raises(ValueError, match="read_final"):
+        delta_lake.search("role", "==", "assistant", max_result_keys=pairs - 1)

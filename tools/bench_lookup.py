@@ -93,6 +93,11 @@ def main() -> None:
             epochs_per_commit=(
                 None if a.delta_files <= 1 else max(1, 4 // a.delta_files)
             ),
+            # pin the measured layout: auto-management would silently
+            # compact/split away the exact num_buckets/delta-files
+            # configuration this benchmark reports
+            auto_compact_files=None,
+            auto_split_bytes=None,
         )
         print(f"# built lake in {time.time() - t0:.1f}s", file=sys.stderr)
     lake = LakeTable.open(lake_dir, num_buckets=a.buckets)
