@@ -51,16 +51,20 @@ class ChangeFeedCursor:
             self.acked = int(start_after)
 
     # -- consuming -----------------------------------------------------
-    def _data_commits(self, lake: LakeTable) -> list[int]:
-        return sorted(
-            int(h["version"])
-            for h in lake.manifest.history_after(lake.path, self.acked)
-            if not h.get("compaction") and "split_buckets" not in h
-        )
+    def _data_commits(self, lake: LakeTable):
+        # history_after yields oldest-first (segments in version-range order,
+        # then the in-manifest tail in append order) and versions strictly
+        # increase per commit, so the stream is already ascending — poll can
+        # stop at the FIRST qualifying entry without materializing the rest.
+        # That keeps drain() of an N-commit backlog O(N) history entries
+        # total, not O(N^2).
+        for h in lake.manifest.history_after(lake.path, self.acked):
+            if not h.get("compaction") and "split_buckets" not in h:
+                yield int(h["version"])
 
     def lag(self, lake: LakeTable) -> int:
         """Unconsumed data commits between the cursor and the lake head."""
-        return len(self._data_commits(lake))
+        return sum(1 for _ in self._data_commits(lake))
 
     def poll(self, lake: LakeTable) -> tuple[int, rd.Dataset] | None:
         """Next unconsumed commit as ``(version, delta Dataset)``; ``None``
@@ -124,6 +128,15 @@ class ChangeFeedCursor:
         os.replace(tmp, final)
         for n in os.listdir(out_dir):  # superseded delta deliveries
             if n.startswith("v") and n[1:].isdigit() and int(n[1:]) < v:
+                shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
+            # crashed-drain staging dirs for versions the cursor is now past:
+            # poll never re-delivers <= acked, so nothing else cleans them
+            if (
+                n.startswith("_v")
+                and n.endswith(".writing")
+                and n[2 : -len(".writing")].isdigit()
+                and int(n[2 : -len(".writing")]) <= v
+            ):
                 shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
         self.ack(v)
         return v

@@ -46,6 +46,9 @@ def tail(
     Each poll that finds >=1 new epoch produces ONE epoch-fenced commit
     (micro-batching: a burst of epochs lands in a single commit). Safe to
     kill at any point and restart — the manifest watermark resumes the tail.
+    Commits run under ``commit_with_retry``: a concurrent writer winning the
+    version CAS (an operator's CLI compact/split against the live lake)
+    costs this loop a reload-and-retry, not its life.
 
     Writer contract (standard WAL semantics): epoch files must be published
     atomically (write tmp + rename) and IN EPOCH ORDER — the watermark is a
@@ -58,19 +61,25 @@ def tail(
     idle = 0.0
     commits = 0
     while True:
-        counters = lake.apply(changelog_dir, **apply_kw)
+        counters = lake.commit_with_retry(
+            lambda lk: lk.apply(changelog_dir, **apply_kw)
+        )
         if counters.get("epochs", 0):
             idle = 0.0
             commits += 1
             if auto_compact_files:
                 # size-tiered background compaction folded into the ingest
                 # loop: delta file counts stay bounded while the tail runs
-                lake.compact(min_files=auto_compact_files)
+                lake.commit_with_retry(
+                    lambda lk: lk.compact(min_files=auto_compact_files)
+                )
             if auto_split_bytes:
                 # bucket-size management folded into the ingest loop: a
                 # bucket outgrowing the per-task memory bound splits before
                 # the next commit (see LakeTable.maybe_auto_split)
-                lake.maybe_auto_split(auto_split_bytes)
+                lake.commit_with_retry(
+                    lambda lk: lk.maybe_auto_split(auto_split_bytes)
+                )
             if max_commits is not None and commits >= max_commits:
                 break
         if (

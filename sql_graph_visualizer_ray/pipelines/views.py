@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from collections.abc import Callable
 
 import pyarrow as pa
@@ -71,12 +72,22 @@ class BucketAggView:
         target = self.lake._event_read_schema()
         payload_cols = [f.name for f in m.payload_schema]
         by_bucket = self.lake.manifest.bucket_files(self.lake.path)
+        # The payload schema is part of the fingerprint: a widening/add-column
+        # commit touches only the event-bearing buckets' FILES, but agg_fn
+        # sees the unified schema — reusing untouched buckets' partitions
+        # would mix old- and new-schema view outputs (schema mismatch or
+        # silently inconsistent aggregates on read). Schema change => full
+        # recompute.
+        schema_fp = m.payload_schema.to_string()
+        schema_changed = self.state.get("schema") != schema_fp
         todo: dict[int, list[str]] = {}
+        rels: dict[int, list[str]] = {}
         reused = 0
         for bk, files in by_bucket.items():
             rel = [os.path.relpath(f, self.lake.path) for f in files]
+            rels[bk] = rel
             prev = self.state["buckets"].get(str(bk))
-            if prev is not None and prev["files"] == rel:
+            if not schema_changed and prev is not None and prev["files"] == rel:
                 reused += 1
             else:
                 todo[bk] = files
@@ -113,9 +124,9 @@ class BucketAggView:
                 [{"bucket": b} for b in sorted(todo)],
                 override_num_blocks=len(todo),
             ).map_batches(_task, batch_format="pyarrow", batch_size=1).take_all()
-        for bk, files in todo.items():
+        for bk in todo:
             self.state["buckets"][str(bk)] = {
-                "files": [os.path.relpath(f, self.lake.path) for f in files],
+                "files": rels[bk],
                 "out": f"bucket={bk:05d}.g{gen}.parquet",
             }
         # drop view partitions for buckets that vanished (split rewrites)
@@ -124,17 +135,27 @@ class BucketAggView:
             if bk not in live:
                 del self.state["buckets"][bk]
         self.state["gen"] = gen
+        self.state["schema"] = schema_fp
         tmp = os.path.join(self.dir, VIEW_MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(self.state, f)
         os.replace(tmp, os.path.join(self.dir, VIEW_MANIFEST))
-        # GC: every partition file not referenced by the committed manifest
-        # (previous generations, vanished buckets, crashed-refresh orphans)
+        # GC: partition files not referenced by the committed manifest
+        # (previous generations, vanished buckets, crashed-refresh orphans).
+        # Age-gated like the lake's own GC: a file younger than the publish
+        # grace may still back an in-flight read() Dataset or a concurrent
+        # peer's refresh — leave it for a later refresh to collect.
+        from ..state.manifest import publish_grace_s
+
+        now = time.time()
+        grace = publish_grace_s()
         referenced = {b["out"] for b in self.state["buckets"].values()}
         for fn in os.listdir(self.dir):
             if fn.endswith(".parquet") and fn not in referenced:
+                p = os.path.join(self.dir, fn)
                 try:
-                    os.remove(os.path.join(self.dir, fn))
+                    if now - os.path.getmtime(p) > grace:
+                        os.remove(p)
                 except FileNotFoundError:
                     pass
         return {"recomputed": len(todo), "reused": reused}
@@ -145,5 +166,8 @@ class BucketAggView:
             os.path.join(self.dir, b["out"]) for b in self.state["buckets"].values()
         ]
         if not paths:
+            if "gen" in self.state:
+                # refreshed over an empty lake: a legitimate empty view
+                return rd.from_arrow(pa.Table.from_pylist([]))
             raise RuntimeError("view has never been refreshed")
         return rd.read_parquet(paths)

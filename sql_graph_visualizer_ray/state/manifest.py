@@ -137,9 +137,10 @@ class Manifest:
     #
     # One entry per commit would make the manifest grow without bound and
     # be REWRITTEN on every commit (1M commits ~ 150 MB json per save).
-    # The manifest keeps only the newest GRAFT_HISTORY_KEEP entries; older
-    # ones roll into write-once `_history/seg-<first>-<last>.jsonl` files,
-    # named by version range so point lookups open exactly one segment.
+    # The manifest keeps the newest <= 2*GRAFT_HISTORY_KEEP entries; once a
+    # full extra batch accumulates, the oldest batch rolls into a write-once
+    # `_history/seg-<first>-<last>.jsonl` file, named by version range so
+    # point lookups open exactly one segment.
     # Readers go through history_entry / history_after, never the raw list.
 
     def append_history(self, entry: dict) -> None:
@@ -152,7 +153,12 @@ class Manifest:
     def _roll_history(self, lake_dir: str) -> None:
         keep = int(os.environ.get("GRAFT_HISTORY_KEEP", "256"))
         hist = self.data["history"]
-        if len(hist) <= keep:
+        # Roll only once the tail has a full extra batch (2*keep): rolling at
+        # keep+1 would emit ONE single-entry segment file per commit in steady
+        # state — a million-commit lake would hold a million tiny files and
+        # every history_after() listdir would parse them all. Batched rolls
+        # write one ~keep-entry segment per `keep` commits instead.
+        if len(hist) < 2 * keep:
             return
         roll, self.data["history"] = hist[:-keep], hist[-keep:]
         d = os.path.join(lake_dir, "_history")

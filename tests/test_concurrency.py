@@ -241,3 +241,31 @@ def test_commit_with_retry_hook_and_validation(clog, tmp_path):
 
     with pytest.raises(ValueError, match="max_attempts"):
         a.commit_with_retry(always_conflicts, max_attempts=0)
+
+
+def test_tail_survives_commit_conflict(clog, tmp_path, monkeypatch):
+    """The long-running ingest loop must not die when a concurrent writer
+    (an operator's CLI compact/split) wins the version CAS mid-tail —
+    tail commits through commit_with_retry, so a conflict costs one
+    reload-and-retry and the loop finishes to oracle equality."""
+    from sql_graph_visualizer_ray.pipelines.streaming import tail
+
+    real_apply = LakeTable.apply
+    fired = []
+
+    def flaky_apply(self, *a, **kw):
+        if not fired:
+            fired.append(1)
+            raise CommitConflictError("synthetic: concurrent writer won the CAS")
+        return real_apply(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "apply", flaky_apply)
+    lake = tail(
+        clog,
+        str(tmp_path / "lake"),
+        num_buckets=8,
+        idle_timeout=0.1,
+        stop_after_epoch=SPEC.n_epochs,
+    )
+    assert fired  # the conflict actually fired inside the loop
+    assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))

@@ -119,10 +119,14 @@ def test_history_rolls_to_segments(clog, tmp_path, monkeypatch):
     lk = LakeTable.open(str(tmp_path / "lake"), num_buckets=8)
     for _ in range(SPEC.n_epochs):
         lk.apply(clog, max_epochs=1)
-    assert len(lk.manifest.data["history"]) <= 2
+    # rolls are BATCHED (trigger at 2*keep, roll len-keep entries): steady
+    # state holds keep..2*keep-1 in-manifest entries and writes one multi-
+    # entry segment per ~keep commits, not one tiny file per commit
+    assert len(lk.manifest.data["history"]) < 2 * 2
     assert lk.manifest.history_total() == SPEC.n_epochs
     segs = os.listdir(os.path.join(str(tmp_path / "lake"), "_history"))
     assert segs and all(s.startswith("seg-") for s in segs)
+    assert len(segs) <= SPEC.n_epochs // 2  # batched: >= keep entries/segment
     # a rolled commit's feed still resolves
     assert lk.changes(1).count() > 0
     # a cursor walks the full history across the roll boundary
@@ -194,6 +198,9 @@ def test_resync_after_compaction_matches_oracle(clog, tmp_path):
     out = str(tmp_path / "derived")
     cur = ChangeFeedCursor(str(tmp_path / "cursor.json"))
     drain(lk, cur, out, max_polls=1)  # consumed v1 only
+    # a drain of v2 that crashed between write and rename left staging
+    # garbage; v2 then gets compacted away, so only resync can clean it
+    os.makedirs(os.path.join(out, "_v2.writing"), exist_ok=True)
 
     lk.compact(min_files=2)  # folds v2's delta feed away
     with pytest.raises(KeyError, match="compacted away"):
@@ -203,6 +210,8 @@ def test_resync_after_compaction_matches_oracle(clog, tmp_path):
     assert v == lk.manifest.version
     # superseded v1 delta delivery was removed; the snapshot is marked
     assert not os.path.exists(os.path.join(out, "v1"))
+    # the crashed-drain staging dir for the never-redeliverable v2 too
+    assert not os.path.exists(os.path.join(out, "_v2.writing"))
     marker = os.path.join(out, f"v{v}", "_FULL_STATE")
     assert _json.load(open(marker))["version"] == v
 

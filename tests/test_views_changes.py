@@ -77,9 +77,11 @@ def test_view_rejects_turn_sharded_lake(ray_session, clog, tmp_path):
         BucketAggView(lake, "v", _make_turns_per_conv())
 
 
-def test_view_refresh_crash_atomic(ray_session, clog, tmp_path):
+def test_view_refresh_crash_atomic(ray_session, clog, tmp_path, monkeypatch):
     """Partitions are generation-stamped and only become visible via the
-    manifest commit; orphans from a killed refresh are GC'd next refresh."""
+    manifest commit; orphans from a killed refresh are GC'd next refresh.
+    GC is age-gated like the lake's (grace=0 here to make it immediate)."""
+    monkeypatch.setenv("GRAFT_PUBLISH_GRACE_S", "0")
     import os
 
     lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=4)
@@ -99,6 +101,75 @@ def test_view_refresh_crash_atomic(ray_session, clog, tmp_path):
     pd.testing.assert_frame_equal(after, before)  # orphan invisible
     reopened.refresh()
     assert not os.path.exists(orphan)  # GC'd by the next committed refresh
+
+
+def test_view_schema_evolution_forces_full_recompute(ray_session, clog, tmp_path):
+    """A column-add commit touches only the event-bearing buckets' FILES,
+    but every bucket's agg_fn output must reflect the unified schema —
+    the view fingerprints the payload schema and recomputes ALL buckets
+    on evolution instead of mixing old- and new-schema partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    priv = str(tmp_path / "clog")
+    import shutil
+
+    shutil.copytree(clog, priv)
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=8)
+    lake.apply(priv)
+
+    def _make_agg():
+        def agg(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().groupby("conv_id", as_index=False).agg(
+                n_turns=("turn_idx", "size")
+            )
+            df["n_cols"] = t.num_columns
+            return pa.Table.from_pandas(
+                df.astype({"n_turns": "int64", "n_cols": "int64"}),
+                preserve_index=False,
+            )
+
+        return agg
+
+    view = BucketAggView(lake, "v", _make_agg())
+    view.refresh()
+    width0 = view.read().to_pandas()["n_cols"].unique().tolist()
+    assert len(width0) == 1
+
+    # craft a 5-row epoch that ADDS a column — it touches <= 5 buckets
+    last = pq.read_table(os.path.join(priv, sorted(os.listdir(priv))[-2])).slice(0, 5)
+    e = lake.manifest.applied_epoch + 1
+    small = last.set_column(
+        last.schema.get_field_index("epoch"), "epoch",
+        pa.array([e] * 5, pa.int32()),
+    ).set_column(
+        last.schema.get_field_index("lsn"), "lsn",
+        pa.array(range(10**9, 10**9 + 5), pa.int64()),
+    ).append_column("extra", pa.array(["x"] * 5, pa.string()))
+    pq.write_table(small, os.path.join(priv, f"epoch_{e:05d}.parquet"))
+    lake.apply(priv)
+
+    r = view.refresh()
+    assert r["reused"] == 0  # schema changed: no bucket may be reused
+    assert r["recomputed"] == len(lake.manifest.data["buckets"])
+    got = view.read().to_pandas()
+    widths = got["n_cols"].unique().tolist()
+    assert widths == [width0[0] + 1]  # every bucket sees the new column
+    # and a follow-up refresh with no changes reuses everything again
+    r2 = view.refresh()
+    assert r2 == {"recomputed": 0, "reused": len(lake.manifest.data["buckets"])}
+
+
+def test_view_over_empty_lake_reads_empty(ray_session, tmp_path):
+    """refresh() over a lake with no buckets is legitimate; read() returns
+    an empty dataset, not the 'never refreshed' error."""
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=4)
+    view = BucketAggView(lake, "v", _make_turns_per_conv())
+    with pytest.raises(RuntimeError, match="never been refreshed"):
+        view.read()
+    view.refresh()
+    assert view.read().count() == 0
 
 
 def test_view_incremental_refresh(ray_session, clog, tmp_path):
