@@ -77,6 +77,26 @@ _META_COLS = ("lsn", "epoch", "op")
 #: way Iceberg resolves columns through field ids rather than names.
 CANONICAL_KEYS = ("conv_id", "turn_idx")
 
+#: schema of the one-row-per-bucket lineage-counter tables the merge stages
+#: return. Pinned so a zero-row batch (Ray can hand one to a merge task)
+#: yields an empty table of the SAME schema instead of crashing
+#: ``pa.concat_tables([])`` or emitting a schema-less block.
+_COUNTER_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("wrote", pa.bool_()),
+        ("rows", pa.int64()),
+        ("tombstones", pa.int64()),
+        ("events_in", pa.int64()),
+        ("state_in", pa.int64()),
+        ("upserts", pa.int64()),
+        ("deletes", pa.int64()),
+        ("superseded", pa.int64()),
+        ("late", pa.int64()),
+        ("max_lsn", pa.int64()),
+    ]
+)
+
 
 def _row_group_rows() -> int:
     """Parquet row-group size for lake data files. Files are key-sorted, so
@@ -720,7 +740,8 @@ class LakeTable:
                     "superseded": [events_in + state_in - merged.num_rows],
                     "late": [late],
                     "max_lsn": [max_lsn],
-                }
+                },
+                schema=_COUNTER_SCHEMA,
             )
 
         if shuffle == "spill":
@@ -824,7 +845,13 @@ class LakeTable:
                     cpus = int(_ray.cluster_resources().get("CPU", 8))
                     counters_ds = items.map_batches(
                         SpillMergeActor,
-                        fn_constructor_args=(_read_and_merge,),
+                        fn_constructor_args=(
+                            _read_and_merge,
+                            _COUNTER_SCHEMA.empty_table().append_column(
+                                "actor_merged_total",
+                                pa.array([], pa.int64()),
+                            ),
+                        ),
                         batch_format="pyarrow",
                         batch_size=1,
                         concurrency=(1, max(1, min(len(present), cpus))),
@@ -832,6 +859,8 @@ class LakeTable:
                 else:
 
                     def _merge_items(t: pa.Table) -> pa.Table:
+                        if t.num_rows == 0:  # zero-row batch: same schema out
+                            return _COUNTER_SCHEMA.empty_table()
                         return pa.concat_tables(
                             [
                                 _read_and_merge(int(bk))
@@ -852,6 +881,8 @@ class LakeTable:
         else:
 
             def _merge_and_write(group: pa.Table) -> pa.Table:
+                if group.num_rows == 0:  # empty hash partition: schema out
+                    return _COUNTER_SCHEMA.empty_table()
                 bucket = int(group.column("_bucket")[0].as_py())
                 return _merge_core(group, bucket)
 

@@ -19,28 +19,9 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .relational import read_table
-
-#: coarse partition count for keyed windows — sized so the shuffle has
-#: enough parallelism while per-partition Python dispatch stays negligible
-NUM_PARTS = 64
-
-
-def with_hash_part(
-    ds: rd.Dataset, col: str, num_parts: int = NUM_PARTS
-) -> rd.Dataset:
-    """Append ``_part = stable_hash(col) % num_parts`` — the coarse exchange
-    key for keyed windows (same pattern as ``relational.cooccurrence_pairs``)."""
-
-    def add(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            np.asarray(t.column(col).to_numpy(zero_copy_only=False))
-        )
-        return t.append_column(
-            "_part", pa.array((h % num_parts).astype(np.int32))
-        )
-
-    return ds.map_batches(add, batch_format="pyarrow")
+# NUM_PARTS / with_hash_part live in relational (shared with
+# cooccurrence_pairs); re-exported here for the window operators' callers
+from .relational import NUM_PARTS, read_table, with_hash_part  # noqa: F401
 
 
 def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
@@ -99,7 +80,9 @@ def tumbling_window_counts(sf_dir: str) -> rd.Dataset:
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(hour=b["ts"].dt.floor("h"))
         out = (
-            b.groupby(["hour", "event_type"], sort=False, observed=True)
+            # dropna=False: SQL GROUP BY keeps a NULL group; pandas' default
+            # would silently drop null-keyed rows and diverge from the oracle
+            b.groupby(["hour", "event_type"], sort=False, observed=True, dropna=False)
             .size()
             .rename("partial_n")
             .reset_index()
@@ -274,7 +257,14 @@ def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Datas
         users = np.unique(np.concatenate([cu, eu]))
         ts_min = min(cts.min(), ets.min())
         span = np.int64(max(cts.max(), ets.max()) - ts_min) + win_us + 2
-        assert len(users) * int(span) < 2**62, "composite key would overflow"
+        if len(users) * int(span) >= 2**62:
+            # explicit raise, not assert: stripped asserts under python -O
+            # would turn int64 overflow into silently wrong join output
+            raise OverflowError(
+                "range-join composite key would overflow int64: "
+                f"{len(users)} users x {int(span)}us span in one partition; "
+                "raise NUM_PARTS or narrow the ts range"
+            )
         comp_e = np.searchsorted(users, eu) * span + (ets - ts_min)
         order = np.argsort(comp_e, kind="stable")
         comp_e = comp_e[order]

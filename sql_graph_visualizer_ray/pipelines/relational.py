@@ -143,16 +143,20 @@ class _BroadcastJoiner:
     reference's O(N*M) nested loop (``transform_service.go:392-440``)."""
 
     def __init__(self, small_ref, left_key: str, how: str, suffix: str = "_r"):
-        import pandas as pd  # noqa: F401
-
         self.small = ray.get(small_ref)  # pandas DataFrame indexed by join key
         self.left_key = left_key
         self.how = how
         self.suffix = suffix
+        # Arrow types of the small side's (non-index) columns, pinned once:
+        # a left join batch with unmatched keys would otherwise upcast the
+        # small side's int columns to float64 (pandas NaN fill), giving
+        # per-block schema drift across batches
+        self.right_types = {
+            f.name: f.type
+            for f in pa.Schema.from_pandas(self.small, preserve_index=False)
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         left = batch.to_pandas()
         joined = left.merge(
             self.small,
@@ -165,7 +169,24 @@ class _BroadcastJoiner:
         if self.how == "anti":
             joined = joined[joined["_merge"] == "left_only"].drop(columns=["_merge"])
             joined = joined[list(left.columns)]
-        return pa.Table.from_pandas(joined, preserve_index=False)
+            return pa.Table.from_pandas(joined, preserve_index=False).cast(
+                batch.schema
+            )
+        # pin every output column's type: left columns keep the batch's
+        # types, small-side columns their broadcast types (NaN -> null)
+        left_types = {f.name: f.type for f in batch.schema}
+        fields = []
+        for name in joined.columns:
+            if name in left_types:
+                fields.append(pa.field(name, left_types[name]))
+            else:
+                base = name
+                if name.endswith(self.suffix) and name[: -len(self.suffix)] in self.right_types:
+                    base = name[: -len(self.suffix)]
+                fields.append(pa.field(name, self.right_types[base]))
+        return pa.Table.from_pandas(
+            joined, schema=pa.schema(fields), preserve_index=False
+        )
 
 
 def broadcast_join(
@@ -199,6 +220,41 @@ def broadcast_join(
     return big.map_batches(join_batch, batch_format="pyarrow", **kw)
 
 
+def _plan_size_estimate(ds: rd.Dataset) -> int | None:
+    """Byte-size estimate from PLAN METADATA ONLY — never executes.
+
+    ``Dataset.size_bytes()`` silently falls back to ``plan.execute()`` when
+    the final operator's metadata can't size it (any ``map_batches`` does
+    this), which would MATERIALIZE both join sides in the sizing step right
+    before a streaming join. Instead, walk the logical plan: an operator
+    with known metadata contributes its size; an unsized transform falls
+    back to the sum of its inputs' sizes — an upper bound under projection,
+    which is the safe direction for partition sizing."""
+
+    def walk(op) -> int | None:
+        try:
+            sz = op.infer_metadata().size_bytes
+        except Exception:
+            sz = None
+        if sz is not None:
+            return int(sz)
+        deps = getattr(op, "input_dependencies", None)
+        if not deps:
+            return None
+        total = 0
+        for dep in deps:
+            s = walk(dep)
+            if s is None:
+                return None
+            total += s
+        return total
+
+    try:
+        return walk(ds._logical_plan.dag)
+    except Exception:
+        return None
+
+
 def sized_partitions(
     *datasets: rd.Dataset, per_partition_bytes: int = 64 << 20
 ) -> int:
@@ -206,18 +262,19 @@ def sized_partitions(
     CLUSTER: bytes/64MB partitions, at least 2, at most 4x cluster CPUs.
     A fixed constant is wrong at both ends — 4 partitions starve a 256-node
     cluster, while hundreds of partitions on a laptop pay Ray's
-    per-partition aggregator startup (~seconds) for nothing. Uses Dataset
-    metadata size estimates; falls back to CPU count when unknown
-    (same sizing rule as the cdc hash exchange and the dedup text join)."""
+    per-partition aggregator startup (~seconds) for nothing. Sizes come
+    from plan metadata only (``_plan_size_estimate`` — never executes the
+    inputs); falls back to CPU count when unknown (same sizing rule as the
+    cdc hash exchange and the dedup text join)."""
     import numpy as np
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    try:
-        size = sum(d.size_bytes() or 0 for d in datasets)
-    except Exception:
-        size = 0
-    if not size:
+    sizes = [_plan_size_estimate(d) for d in datasets]
+    if any(s is None for s in sizes):
         return max(2, cpus)
+    size = sum(sizes)
+    if not size:
+        return 2
     return int(np.clip(size // per_partition_bytes, 2, 4 * cpus))
 
 
@@ -231,13 +288,36 @@ def hash_join(
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Both-sides-large join via Ray's hash-partitioned ``Dataset.join``.
-    ``num_partitions=None`` sizes the exchange to the inputs/cluster."""
+    ``num_partitions=None`` sizes the exchange to the inputs/cluster.
+
+    Inner joins probe each side for one row first (streaming early-stop,
+    ~one block when non-empty): Ray 2.49's hash join crashes when a side is
+    entirely empty (the empty shuffle partitions lose their schema and the
+    Acero kernel can't resolve the key field), so an empty side
+    short-circuits to an empty result with the joined schema — e.g. a
+    relationship rule whose node-set filter matched nothing returns zero
+    edges instead of erroring. Outer joins can't short-circuit this way;
+    callers with legitimately-empty outer sides must guard themselves."""
+    rkey = right_on or on
+    if join_type == "inner" and (
+        not left.limit(1).take(1) or not right.limit(1).take(1)
+    ):
+        lsch = left.schema().base_schema
+        rsch = right.schema().base_schema
+        lnames = set(lsch.names)
+        fields = list(lsch)
+        for f in rsch:
+            if f.name == rkey:
+                continue  # right key folds into the left key column
+            name = f.name + "_r" if f.name in lnames else f.name
+            fields.append(pa.field(name, f.type))
+        return rd.from_arrow(pa.schema(fields).empty_table())
     return left.join(
         right,
         join_type=join_type,
         num_partitions=num_partitions or sized_partitions(left, right),
         on=(on,),
-        right_on=(right_on or on,),
+        right_on=(rkey,),
         right_suffix="_r",
     )
 
@@ -303,8 +383,34 @@ def lookup_by_keys(
 
 
 # ---------------------------------------------------------------------------
-# Self-join similarity pairs (J5 — config.yml:393 user-skill pair rule)
+# Coarse hash partitioning + self-join similarity pairs (J5)
 # ---------------------------------------------------------------------------
+
+#: coarse partition count for keyed windows / per-group work — sized so the
+#: shuffle has enough parallelism while per-partition Python dispatch stays
+#: negligible (the exact per-key split happens in C-level pandas groupby
+#: INSIDE each partition)
+NUM_PARTS = 64
+
+
+def with_hash_part(
+    ds: rd.Dataset, col: str, num_parts: int = NUM_PARTS
+) -> rd.Dataset:
+    """Append ``_part = stable_hash(col) % num_parts`` — the coarse exchange
+    key for keyed windows and per-group pair mining (shared by the events
+    windows and ``cooccurrence_pairs``)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(t.column(col).to_numpy(zero_copy_only=False))
+        )
+        return t.append_column(
+            "_part", pa.array((h % num_parts).astype(np.int32))
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def cooccurrence_pairs(
@@ -318,17 +424,6 @@ def cooccurrence_pairs(
     group can be huge."""
 
     import pandas as pd
-
-    def add_part(t: pa.Table) -> pa.Table:
-        # coarse partition: the exchange moves 128 partitions; the exact
-        # per-group split happens in C-level pandas groupby inside each
-        # partition — one Python dispatch per fine group would dominate
-        h = pd.util.hash_array(
-            np.asarray(t.column(group_col).to_numpy(zero_copy_only=False))
-        )
-        return t.append_column(
-            "_part", pa.array((h % 128).astype(np.int32))
-        )
 
     def emit_pairs_coarse(g: pd.DataFrame) -> pa.Table:
         outs_a: list[np.ndarray] = []
@@ -352,8 +447,7 @@ def cooccurrence_pairs(
         )
 
     pairs = (
-        ds.select_columns([group_col, item_col])
-        .map_batches(add_part, batch_format="pyarrow")
+        with_hash_part(ds.select_columns([group_col, item_col]), group_col)
         .groupby("_part")
         .map_groups(emit_pairs_coarse, batch_format="pandas")
     )

@@ -6,12 +6,12 @@ its ``AddNode`` upsert is a linear-scan overwrite
 (``graph_aggregate.go:46-59``). The scale-correct recast is a pool of
 stateful workers, each owning the merge of whole key partitions:
 
-- ``BucketMergeActor`` is a callable CLASS passed to
+- ``SpillMergeActor`` is a callable CLASS passed to
   ``map_batches(Cls, concurrency=(lo, hi))`` — construction cost (config,
   schemas, state-path index) is paid once per actor in ``__init__``; each
   ``__call__`` merges one or more complete buckets (LWW + tombstones) and
-  writes their partition files. Per-actor ``merged_buckets`` /
-  ``rows_written`` counters ride back on the counter rows for lineage.
+  writes their partition files. The per-actor ``merged_buckets`` counter
+  rides back on the counter rows for lineage.
 
 Design note (LSM memtable): a cross-batch in-actor memtable (absorb many
 batches, spill compacted runs on overflow) needs an end-of-stream flush
@@ -27,56 +27,22 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-class BucketMergeActor:
-    """Actor-pool merge worker: one whole bucket (or several) per call.
-
-    ``merge_fn`` is the serialized per-bucket merge closure built by the
-    pipeline (it captures the state-path index, target schemas and staging
-    dir). The actor adds what a task pool cannot: per-actor reusable
-    resources and cumulative counters, initialized once.
-    """
-
-    def __init__(self, merge_fn, bucket_column: str = "_bucket"):
-        self.merge_fn = merge_fn
-        self.bucket_column = bucket_column
-        self.merged_buckets = 0
-        self.rows_in = 0
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        col = group.column(self.bucket_column)
-        buckets = pc.unique(col).to_pylist()
-        outs = []
-        for bk in buckets:
-            sub = (
-                group
-                if len(buckets) == 1
-                else group.filter(pc.equal(col, bk))
-            )
-            outs.append(self.merge_fn(sub, int(bk)))
-            self.merged_buckets += 1
-            self.rows_in += sub.num_rows
-        out = pa.concat_tables(outs)
-        n = out.num_rows
-        return out.append_column(
-            "actor_merged_total", pa.array([self.merged_buckets] * n, pa.int64())
-        )
-
-
 class SpillMergeActor:
     """Actor-pool worker for the spill exchange's merge phase: each call
     receives bucket IDs, reads that bucket's spill runs + persisted state
     inside the task, k-way merges them, writes the partition file.
 
     ``read_and_merge`` is the pipeline-built closure (spill root, state
-    index, staging dir). The pool form lets a 256-node cluster pin
-    ``concurrency=(nodes, 4*nodes)`` workers that amortize filesystem client
-    setup across thousands of buckets.
+    index, staging dir). ``empty_result`` is a zero-row table with the
+    counter schema, returned when Ray hands the actor a zero-row batch
+    (``pa.concat_tables([])`` would raise). The pool form lets a 256-node
+    cluster pin ``concurrency=(nodes, 4*nodes)`` workers that amortize
+    filesystem client setup across thousands of buckets.
     """
 
-    def __init__(self, read_and_merge):
+    def __init__(self, read_and_merge, empty_result: pa.Table | None = None):
         self.read_and_merge = read_and_merge
+        self.empty_result = empty_result
         self.merged_buckets = 0
 
     def __call__(self, items: pa.Table) -> pa.Table:
@@ -84,6 +50,10 @@ class SpillMergeActor:
         for bk in items.column("bucket").to_pylist():
             outs.append(self.read_and_merge(int(bk)))
             self.merged_buckets += 1
+        if not outs:
+            if self.empty_result is not None:
+                return self.empty_result
+            raise ValueError("empty batch and no empty_result schema given")
         out = pa.concat_tables(outs)
         n = out.num_rows
         return out.append_column(

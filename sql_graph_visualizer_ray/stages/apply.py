@@ -144,20 +144,40 @@ def count_late(table: pa.Table) -> int:
     return _count_late_arrays(*_int_key_arrays(table))
 
 
-def compact_with_lineage(table: pa.Table, *, keep_tombstones: bool) -> pa.Table:
-    """``lww_compact`` + late-event accounting that survives multi-stage
-    compaction.
+def compact_with_lineage(table: pa.Table, *, keep_tombstones: bool = True) -> pa.Table:
+    """``lww_compact`` + late-event accounting across multi-stage compaction.
 
     Late = an event that sorts before already-seen data for its key (arrival
-    order ``lsn`` disagrees with event time ``ts`` — SURVEY.md §2.9). Each
-    same-key (earlier, later) pair co-occurs in exactly one compaction stage
-    (the loser is dropped afterwards), so summing per-stage counts never
-    double-counts. Counts ride in ``LATE_COL`` on the first output row.
+    order ``lsn`` disagrees with event time ``ts`` — SURVEY.md §2.9). Partial
+    counts ride in ``LATE_COL`` on the first output row and sum across
+    stages.
+
+    Counter contract — telemetry, LOWER BOUND, never an overcount: a
+    same-key (earlier, later) pair is counted in the stage where both rows
+    co-occur, and at most once (the loser is dropped afterwards, so no later
+    stage re-pairs them). Pairs whose late member was ALREADY dropped by an
+    earlier stage before meeting its earlier-lsn partner (the partner lived
+    in a different batch) are unobservable and NOT counted — exact cross-
+    stage counting would require carrying every dropped row's (lsn, ts),
+    defeating compaction. The count is exact whenever each key's events of a
+    commit arrive within one combiner batch (the common case: epoch files
+    are written in key order). Final-state correctness never depends on this
+    counter.
+
+    ``keep_tombstones`` must remain True: winning "D" rows both carry the
+    partial counts and are required by every later merge stage (the lineage
+    variant only runs mid-pipeline; final read views use ``lww_compact``).
 
     Key arrays are extracted once and shared by the late counter and the
     winner selection — one string rank-encode, two int lexsorts, one gather
     of survivors.
     """
+    if not keep_tombstones:
+        raise ValueError(
+            "compact_with_lineage requires keep_tombstones=True (dropping "
+            "winning tombstones can drop the row carrying the late count); "
+            "use lww_compact for the final read view"
+        )
     prior = 0
     if LATE_COL in table.column_names:
         prior = int(pc.sum(table.column(LATE_COL)).as_py() or 0)
@@ -168,8 +188,6 @@ def compact_with_lineage(table: pa.Table, *, keep_tombstones: bool) -> pa.Table:
     new = _count_late_arrays(codes, turn, ts, lsn)
     winners = _winner_indices(codes, turn, ts, lsn)
     out = table.take(pa.array(winners))
-    if not keep_tombstones:
-        out = out.filter(pc.not_equal(out.column("op"), pa.scalar("D")))
     late = np.zeros(out.num_rows, dtype=np.int64)
     if out.num_rows:
         late[0] = prior + new

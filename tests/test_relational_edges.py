@@ -1,0 +1,79 @@
+"""Edge cases of the join/sizing layer: empty join sides, broadcast-join
+schema stability, metadata-only partition sizing, lineage-kernel contract."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from sql_graph_visualizer_ray.pipelines.relational import (
+    _plan_size_estimate,
+    broadcast_join,
+    hash_join,
+    sized_partitions,
+)
+from sql_graph_visualizer_ray.stages.apply import compact_with_lineage
+
+
+def test_hash_join_empty_side_short_circuits(ray_session):
+    """Ray 2.49's hash join crashes when a side is entirely empty (empty
+    shuffle partitions lose their schema); an inner join must instead
+    return an empty result with the joined schema."""
+    r = rd.from_arrow(pa.table({"k": [1] * 3, "w": [7, 8, 9], "v": [1, 2, 3]}))
+    le = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    out = hash_join(le, r, on="k")
+    # column naming mirrors Ray's join: right key folds away, collisions
+    # get the _r suffix
+    assert out.schema().names == ["k", "v", "w", "v_r"]
+    assert out.count() == 0
+    # and the other side too
+    assert hash_join(r, le, on="k").count() == 0
+
+
+def test_broadcast_left_join_schema_stable(ray_session):
+    """A left-join batch with unmatched keys must not upcast the small
+    side's int columns to float64 (pandas NaN fill) — nulls, same type."""
+    big = rd.from_arrow(pa.table({"k": [1, 2, 99, 100], "x": [0.1, 0.2, 0.3, 0.4]}))
+    small = rd.from_arrow(pa.table({"k": [1, 2], "iv": pa.array([10, 20], pa.int64())}))
+    j = broadcast_join(big, small, left_key="k", right_key="k", how="left")
+    sch = j.schema().base_schema
+    assert sch.field("iv").type == pa.int64()
+    rows = sorted(j.take_all(), key=lambda r: r["k"])
+    assert [r["iv"] for r in rows] == [10, 20, None, None]
+
+
+def test_sized_partitions_never_executes_lazy_input(ray_session, tmp_path):
+    """Partition sizing must come from plan metadata only — Dataset.
+    size_bytes() on a lazy map_batches pipeline would materialize BOTH
+    join sides before the join starts."""
+    marker = str(tmp_path / "executed")
+
+    def probe(t: pa.Table) -> pa.Table:
+        open(marker, "w").write("x")
+        return t
+
+    base = rd.from_arrow(pa.table({"k": list(range(100))}))
+    lazy = base.map_batches(probe, batch_format="pyarrow")
+    assert _plan_size_estimate(lazy) is not None  # sized from the input op
+    assert sized_partitions(lazy, lazy) >= 2
+    assert not os.path.exists(marker), "sizing executed the lazy pipeline"
+
+
+def test_compact_with_lineage_rejects_tombstone_drop():
+    """Dropping winning tombstones can drop the row carrying the late
+    count; the lineage variant forbids it (use lww_compact instead)."""
+    t = pa.table(
+        {
+            "conv_id": ["a"],
+            "turn_idx": [0],
+            "ts": pa.array([1], pa.timestamp("us")),
+            "lsn": [1],
+            "op": ["D"],
+        }
+    )
+    with pytest.raises(ValueError, match="keep_tombstones"):
+        compact_with_lineage(t, keep_tombstones=False)
