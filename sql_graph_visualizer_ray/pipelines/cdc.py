@@ -94,8 +94,135 @@ _COUNTER_SCHEMA = pa.schema(
         ("superseded", pa.int64()),
         ("late", pa.int64()),
         ("max_lsn", pa.int64()),
+        ("stats_json", pa.string()),
     ]
 )
+
+# ---------------------------------------------------------------------------
+# Per-file column statistics (manifest-level data skipping)
+#
+# Every write task records min/max per stat-eligible column of the file it
+# writes; the JSON rides the counter row back to the driver and lands in the
+# manifest bucket entry ({"stats": {relpath: {col: [min, max]}}}). Readers on
+# the NO-RAY serving path (lookup / search) and the keyed batch path
+# (read_final(keys=)) consult these to skip whole files WITHOUT opening their
+# footers — the Iceberg/Delta data-skipping pattern. Parquet row-group stats
+# still prune within the files that survive. A file with no stats entry
+# (pre-stats lake, non-eligible column, oversized string bound) is always
+# scanned — pruning is only ever an optimization, never a correctness input.
+# ---------------------------------------------------------------------------
+
+#: string min/max longer than this are NOT recorded (a wide text column's
+#: bounds would bloat the manifest for near-zero pruning power). Iceberg
+#: truncates-and-rounds instead; omission is simpler and equally safe.
+_STAT_STRING_CAP = 64
+
+#: hidden/meta columns never get stats
+_STAT_SKIP = {"_lsn", "_op", "_bucket"}
+
+
+def _stat_max_columns() -> int:
+    """Manifest-size guard: stats are recorded for at most this many columns
+    per file (key/ts columns first, then payload order)."""
+    return int(os.environ.get("GRAFT_STAT_COLUMNS_MAX", "16"))
+
+
+def _stat_encode(v, typ: pa.DataType):
+    """A column value as a JSON-safe, correctly-ordered scalar: timestamps
+    become int64 micros (their physical order), non-finite floats raise (the
+    caller drops that column's stats). String order is safe as-is: UTF-8
+    byte order == code-point order, so Python str comparison agrees with
+    Arrow's."""
+    if v is None:
+        return None
+    if pa.types.is_timestamp(typ):
+        return pa.scalar(v, typ).cast(pa.int64()).as_py()
+    if isinstance(v, float) and not (v == v and abs(v) != float("inf")):
+        raise ValueError("non-finite float bound")
+    if isinstance(v, str) and len(v) > _STAT_STRING_CAP:
+        raise ValueError("string bound over cap")
+    if not isinstance(v, (int, float, str, bool)):
+        raise ValueError(f"non-JSON-scalar bound {type(v).__name__}")
+    return v
+
+
+def _stat_eligible(typ: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(typ)
+        or pa.types.is_floating(typ)
+        or pa.types.is_boolean(typ)
+        or pa.types.is_timestamp(typ)
+        or pa.types.is_string(typ)
+        or pa.types.is_large_string(typ)
+    )
+
+
+def _column_stats(t: pa.Table) -> dict[str, list]:
+    """{column: [min, max]} for the stat-eligible columns of a written lake
+    file; ``[None, None]`` marks an all-null column (provably matches no
+    comparison predicate). Key/ts columns are prioritized under the column
+    cap since they are what lookup/search prune on."""
+    if t.num_rows == 0:
+        return {}
+    names = [n for n in t.column_names if n not in _STAT_SKIP]
+    prio = [n for n in ("conv_id", "turn_idx", "ts") if n in names]
+    names = prio + [n for n in names if n not in prio]
+    out: dict[str, list] = {}
+    for name in names[: _stat_max_columns()]:
+        typ = t.schema.field(name).type
+        if not _stat_eligible(typ):
+            continue
+        try:
+            mm = pc.min_max(t.column(name)).as_py()
+            out[name] = [
+                _stat_encode(mm["min"], typ),
+                _stat_encode(mm["max"], typ),
+            ]
+        except (ValueError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            continue  # unencodable bound: omit — file is simply not skippable
+    return out
+
+
+def _stats_reject(colstats, op: str, value_enc) -> bool:
+    """True iff a file's [min, max] for a column PROVES no row satisfies
+    ``col op value``. Nulls never satisfy any of the supported predicates
+    (readers apply fill_null(False)), so null counts are irrelevant and an
+    all-null column ([None, None]) rejects every op."""
+    if colstats is None or value_enc is None:
+        return False
+    mn, mx = colstats
+    if mn is None and mx is None:
+        return True  # all-null column: nothing to match
+    try:
+        if op in ("=", "=="):
+            return value_enc < mn or value_enc > mx
+        if op == "!=":
+            return mn == mx == value_enc
+        if op == "<":
+            return mn >= value_enc
+        if op == "<=":
+            return mn > value_enc
+        if op == ">":
+            return mx <= value_enc
+        if op == ">=":
+            return mx < value_enc
+    except TypeError:
+        return False  # cross-type comparison: cannot prove anything
+    return False  # contains / unknown op: stats cannot prune
+
+
+def _stats_range_hits(colstats, values_enc) -> bool:
+    """True unless the file's [min, max] proves NONE of ``values_enc`` occur
+    (the lookup-side membership prune)."""
+    if colstats is None:
+        return True
+    mn, mx = colstats
+    if mn is None and mx is None:
+        return False
+    try:
+        return any(mn <= v <= mx for v in values_enc)
+    except TypeError:
+        return True
 
 
 def _row_group_rows() -> int:
@@ -727,6 +854,8 @@ class LakeTable:
             pq.write_table(out, tmp, row_group_size=_row_group_rows())
             os.replace(tmp, os.path.join(part_dir, fname))
             tomb = int(pc.sum(pc.cast(is_tomb, pa.int64())).as_py() or 0)
+            import json as _json
+
             return pa.table(
                 {
                     "bucket": [bucket],
@@ -740,6 +869,7 @@ class LakeTable:
                     "superseded": [events_in + state_in - merged.num_rows],
                     "late": [late],
                     "max_lsn": [max_lsn],
+                    "stats_json": [_json.dumps(_column_stats(out))],
                 },
                 schema=_COUNTER_SCHEMA,
             )
@@ -930,9 +1060,12 @@ class LakeTable:
             "precompact_dropped": raw_events - events_in,
             "epochs": n_epochs,
         }
+        import json as _json
+
         for r in counters:
             if r["wrote"]:
                 key = str(int(r["bucket"]))
+                st = _json.loads(r["stats_json"]) if r["stats_json"] else {}
                 if delta_mode:
                     relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/delta.parquet"
                     entry = m.data["buckets"].setdefault(
@@ -943,13 +1076,15 @@ class LakeTable:
                     # the same key); exact live counts exist after compact()
                     entry["rows"] += int(r["rows"])
                     entry["tombstones"] += int(r["tombstones"])
+                    if st:
+                        entry.setdefault("stats", {})[relpath] = st
                 else:
+                    relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"
                     m.data["buckets"][key] = {
-                        "files": [
-                            f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"
-                        ],
+                        "files": [relpath],
                         "rows": int(r["rows"]),
                         "tombstones": int(r["tombstones"]),
+                        **({"stats": {relpath: st}} if st else {}),
                     }
         m.data["version"] = new_version
         m.data["applied_epoch"] = applied_epoch
@@ -1046,6 +1181,8 @@ class LakeTable:
                     ).as_py()
                     or 0
                 )
+                import json as _json
+
                 outs.append(
                     pa.table(
                         {
@@ -1054,6 +1191,7 @@ class LakeTable:
                             "tombstones": [tomb],
                             "dropped": [dropped],
                             "files_in": [len(todo[bk])],
+                            "stats_json": [_json.dumps(_column_stats(out))],
                         }
                     )
                 )
@@ -1068,11 +1206,16 @@ class LakeTable:
             .take_all()
         )
         self._publish_version_dir(staging, new_version)
+        import json as _json
+
         for r in counters:
+            relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"
+            st = _json.loads(r["stats_json"]) if r["stats_json"] else {}
             m.data["buckets"][str(int(r["bucket"]))] = {
-                "files": [f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"],
+                "files": [relpath],
                 "rows": int(r["rows"]),
                 "tombstones": int(r["tombstones"]),
+                **({"stats": {relpath: st}} if st else {}),
             }
         m.data["version"] = new_version
         return counters
@@ -1252,12 +1395,15 @@ class LakeTable:
                         ).as_py()
                         or 0
                     )
+                    import json as _json
+
                     outs.append(
                         pa.table(
                             {
                                 "bucket": [int(nb)],
                                 "rows": [out.num_rows],
                                 "tombstones": [tomb],
+                                "stats_json": [_json.dumps(_column_stats(out))],
                             }
                         )
                     )
@@ -1272,14 +1418,18 @@ class LakeTable:
             .take_all()
         )
         self._publish_version_dir(staging, new_version)
-        m.data["buckets"] = {
-            str(int(r["bucket"])): {
-                "files": [f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"],
+        import json as _json
+
+        m.data["buckets"] = {}
+        for r in counters:
+            relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"
+            st = _json.loads(r["stats_json"]) if r["stats_json"] else {}
+            m.data["buckets"][str(int(r["bucket"]))] = {
+                "files": [relpath],
                 "rows": int(r["rows"]),
                 "tombstones": int(r["tombstones"]),
+                **({"stats": {relpath: st}} if st else {}),
             }
-            for r in counters
-        }
         m.data["num_buckets"] = new_num_buckets
         m.data["version"] = new_version
         m.append_history(
@@ -1489,15 +1639,39 @@ class LakeTable:
             list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
         )
         key_type = m.payload_schema.field("conv_id").type
+        # manifest file stats: skip whole delta files whose conv_id (and
+        # turn_idx, when given) range provably misses every requested key —
+        # no footer open, no scanner setup. On a merge-on-read bucket with
+        # k delta files this divides the ~30 ms/file scanner cost by the
+        # fraction of files the keys actually touch.
+        fstats = m.file_stats(self.path)
+        turn_vals = sorted(set(turns)) if turns is not None else None
 
         def _one_bucket(item) -> pa.Table:
             bk, bucket_keys = item
+            paths = by_bucket[bk]
+            if fstats:
+                paths = [
+                    p
+                    for p in paths
+                    if _stats_range_hits(
+                        fstats.get(p, {}).get("conv_id"), bucket_keys
+                    )
+                    and (
+                        turn_vals is None
+                        or _stats_range_hits(
+                            fstats.get(p, {}).get("turn_idx"), turn_vals
+                        )
+                    )
+                ]
+            if not paths:
+                return target.empty_table()
             expr = _prunable_isin("conv_id", pa.array(bucket_keys, type=key_type))
             if turns is not None:
                 expr = expr & _prunable_isin(
-                    "turn_idx", pa.array(sorted(set(turns)), type=pa.int64())
+                    "turn_idx", pa.array(turn_vals, type=pa.int64())
                 )
-            t = _read_files_merged(by_bucket[bk], target, row_filter=expr)
+            t = _read_files_merged(paths, target, row_filter=expr)
             return t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
 
         # sequential bucket walk: measured ~30 ms/bucket of parquet SCANNER
@@ -1596,9 +1770,32 @@ class LakeTable:
         key_cols = ["conv_id", "turn_idx"]
         key_schema = pa.schema([m.payload_schema.field(k) for k in key_cols])
         read_cols = key_cols if phys_col in key_cols else key_cols + [phys_col]
+        # manifest file stats: a comparison predicate skips files whose
+        # [min, max] provably misses, WITHOUT opening their footers — the
+        # candidate walk is O(files whose range matches), not O(lake files)
+        fstats = m.file_stats(self.path)
+        col_type = m.payload_schema.field(phys_col).type
+        # encode the QUERY value into the stats' comparison domain
+        # (timestamps -> int64 micros); the stored-bound string cap does NOT
+        # apply here — a long query string compares fine against exact
+        # stored bounds. Unencodable value => no skipping, correctness intact.
+        try:
+            if pa.types.is_timestamp(col_type):
+                value_enc = pa.scalar(value, col_type).cast(pa.int64()).as_py()
+            elif isinstance(value, (int, float, str, bool)):
+                value_enc = value
+            else:
+                value_enc = None
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            value_enc = None
         seen: set[tuple] = set()
         for bk in sorted(by_bucket):
             for p in by_bucket[bk]:
+                st = fstats.get(p)
+                if st is not None and _stats_reject(
+                    st.get(phys_col), op, value_enc
+                ):
+                    continue  # stats prove no row matches: skip, footer unopened
                 if phys_col not in _file_columns(p):
                     continue  # pre-evolution file: column is all-null there
                 if op == "contains":
@@ -1708,8 +1905,12 @@ class LakeTable:
             key_arrays = {
                 b: pa.array(ks, type=key_type) for b, ks in need.items() if ks
             }
+            key_lists = {b: list(ks) for b, ks in need.items() if ks}
+            fstats = m.file_stats(self.path)
         else:
             key_arrays = None
+            key_lists = None
+            fstats = {}
         if not by_bucket:
             fields = [
                 pa.field(ren_out.get(f.name, f.name), f.type)
@@ -1734,7 +1935,22 @@ class LakeTable:
                     if key_arrays is not None
                     else None
                 )
-                t = _read_files_merged(by_bucket[int(bk)], target, row_filter=expr)
+                paths = by_bucket[int(bk)]
+                if key_lists is not None and fstats:
+                    # manifest file stats: skip delta files whose conv_id
+                    # range provably misses every requested key
+                    paths = [
+                        p
+                        for p in paths
+                        if _stats_range_hits(
+                            fstats.get(p, {}).get("conv_id"), key_lists[int(bk)]
+                        )
+                    ]
+                t = (
+                    _read_files_merged(paths, target, row_filter=expr)
+                    if paths
+                    else target.empty_table()
+                )
                 if keep_tombstones:
                     t = t.select(payload_cols + ["lsn", "op"])
                 else:

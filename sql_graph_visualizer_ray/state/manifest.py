@@ -123,6 +123,17 @@ class Manifest:
             for f in b["files"]
         ]
 
+    def file_stats(self, lake_dir: str) -> dict[str, dict]:
+        """absolute file path -> {column: [min, max]} for every live file
+        that recorded write-time column statistics (see cdc._column_stats).
+        Files without an entry (pre-stats lakes, unencodable bounds) simply
+        cannot be skipped — readers must treat absence as 'scan'."""
+        out: dict[str, dict] = {}
+        for b in self.data["buckets"].values():
+            for rel, st in (b.get("stats") or {}).items():
+                out[os.path.join(lake_dir, rel)] = st
+        return out
+
     def bucket_files(self, lake_dir: str) -> dict[int, list[str]]:
         """bucket id -> absolute file paths, base first then deltas in commit
         order (the order never matters for LWW correctness — merge order is

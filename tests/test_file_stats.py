@@ -1,0 +1,293 @@
+"""Manifest-level per-file column statistics (data skipping).
+
+Every write task records min/max per stat-eligible column of the file it
+writes; the manifest stores them per bucket file and the serving readers
+(``lookup`` / ``search``) plus ``read_final(keys=)`` skip whole files whose
+range provably misses — the Iceberg/Delta data-skipping pattern, applied on
+top of parquet row-group pruning. Reference analogue: the reference has no
+file pruning at all (every fetch is a full SQL/Cypher scan,
+``/root/reference/internal/infrastructure/persistence/neo4j/repository.go:239-299``);
+this is what makes the same fetches O(matching files) on a 100 TB lake.
+"""
+
+import datetime as dt
+from unittest import mock
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from sql_graph_visualizer_ray.pipelines import cdc
+from sql_graph_visualizer_ray.pipelines.cdc import (
+    LakeTable,
+    _column_stats,
+    _stats_range_hits,
+    _stats_reject,
+)
+
+TS0 = dt.datetime(2023, 11, 14, 12, 0, 0)
+
+
+def _events(convs, turn0=0, nturns=3, lsn0=0, text="hello world", extra=None):
+    rows = {
+        "lsn": [], "epoch": [], "op": [], "conv_id": [], "turn_idx": [],
+        "role": [], "text": [], "tool": [], "ts": [],
+    }
+    if extra:
+        rows[extra[0]] = []
+    lsn = lsn0
+    for c in convs:
+        for t in range(turn0, turn0 + nturns):
+            rows["lsn"].append(lsn)
+            rows["epoch"].append(0)
+            rows["op"].append("I")
+            rows["conv_id"].append(c)
+            rows["turn_idx"].append(t)
+            rows["role"].append("user" if t % 2 == 0 else "assistant")
+            rows["text"].append(f"{text} {c} {t}")
+            rows["tool"].append(None)
+            rows["ts"].append(TS0 + dt.timedelta(seconds=lsn))
+            if extra:
+                rows[extra[0]].append(extra[1])
+            lsn += 1
+    t = pa.table(rows)
+    return t.set_column(
+        t.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        t.column("turn_idx").cast(pa.int32()),
+    ).set_column(
+        t.schema.get_field_index("epoch"),
+        "epoch",
+        t.column("epoch").cast(pa.int32()),
+    )
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    """Single-bucket lake with two delta commits over DISJOINT conv ranges
+    (a* then b*) — file skipping inside one bucket is directly observable."""
+    lk = LakeTable.open(str(tmp_path_factory.mktemp("fs") / "lake"), num_buckets=1)
+    lk.apply_dataset(rd.from_arrow(_events([f"a{i:03d}" for i in range(20)])), epoch=0)
+    lk.apply_dataset(
+        rd.from_arrow(_events([f"b{i:03d}" for i in range(20)], lsn0=10_000)),
+        epoch=1,
+    )
+    return lk
+
+
+def _spy_reads(fn):
+    opened = []
+    real = cdc.pq.read_table
+
+    def spy(path, *a, **kw):
+        opened.append(path)
+        return real(path, *a, **kw)
+
+    with mock.patch.object(cdc.pq, "read_table", side_effect=spy):
+        out = fn()
+    return out, opened
+
+
+# ---------------------------------------------------------------------------
+# Kernel unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_stats_reject_ops():
+    st = [10, 20]
+    assert _stats_reject(st, "=", 5) and _stats_reject(st, "=", 25)
+    assert not _stats_reject(st, "=", 10) and not _stats_reject(st, "=", 20)
+    assert _stats_reject(st, "<", 10) and not _stats_reject(st, "<", 11)
+    assert _stats_reject(st, "<=", 9) and not _stats_reject(st, "<=", 10)
+    assert _stats_reject(st, ">", 20) and not _stats_reject(st, ">", 19)
+    assert _stats_reject(st, ">=", 21) and not _stats_reject(st, ">=", 20)
+    assert _stats_reject([7, 7], "!=", 7) and not _stats_reject(st, "!=", 15)
+    # all-null column: nothing satisfies any predicate readers support
+    assert _stats_reject([None, None], "=", 1)
+    assert _stats_reject([None, None], "contains", "x")
+    # unknowable cases never reject
+    assert not _stats_reject(None, "=", 1)
+    assert not _stats_reject(st, "=", None)
+    assert not _stats_reject(st, "contains", 15)
+    assert not _stats_reject(st, "=", "cross-type")  # TypeError -> scan
+
+
+def test_stats_range_hits():
+    assert _stats_range_hits(None, [1])  # no stats: must scan
+    assert not _stats_range_hits([None, None], [1])  # all-null: skip
+    assert _stats_range_hits([5, 9], [1, 7])
+    assert not _stats_range_hits([5, 9], [1, 4, 10])
+    assert _stats_range_hits(["b", "d"], ["c"])
+    assert _stats_range_hits([5, 9], ["cross-type"])  # TypeError -> scan
+
+
+def test_column_stats_shapes():
+    t = pa.table(
+        {
+            "conv_id": ["c2", "c1"],
+            "turn_idx": pa.array([3, 1], pa.int32()),
+            "ts": pa.array([TS0, TS0 + dt.timedelta(seconds=5)], pa.timestamp("us")),
+            "text": ["x" * 200, "y"],  # bound over the string cap -> omitted
+            "allnull": pa.array([None, None], pa.string()),
+            "_lsn": pa.array([1, 2], pa.int64()),  # hidden -> omitted
+            "payload": pa.array([b"a", b"b"], pa.binary()),  # ineligible
+        }
+    )
+    st = _column_stats(t)
+    assert st["conv_id"] == ["c1", "c2"]
+    assert st["turn_idx"] == [1, 3]
+    micros = int(TS0.timestamp() * 1_000_000)
+    assert st["ts"] == [micros, micros + 5_000_000]
+    assert st["allnull"] == [None, None]
+    assert "text" not in st and "_lsn" not in st and "payload" not in st
+    assert _column_stats(t.slice(0, 0)) == {}
+
+
+# ---------------------------------------------------------------------------
+# Lake integration
+# ---------------------------------------------------------------------------
+
+
+def test_stats_recorded_per_delta_file(lake):
+    fs = lake.manifest.file_stats(lake.path)
+    files = lake.manifest.bucket_paths(lake.path)
+    assert len(files) == 2 and set(fs) == set(files)
+    ranges = sorted(st["conv_id"] for st in fs.values())
+    assert ranges[0][0].startswith("a") and ranges[0][1].startswith("a")
+    assert ranges[1][0].startswith("b") and ranges[1][1].startswith("b")
+
+
+def test_lookup_skips_nonmatching_delta(lake):
+    exp = lake.final_table().to_pandas()
+    exp = exp[exp.conv_id == "a005"].reset_index(drop=True)
+    got, opened = _spy_reads(lambda: lake.lookup(["a005"]))
+    assert got.to_pandas().reset_index(drop=True).equals(exp)
+    assert len(opened) == 1, "b-range delta must be skipped by conv_id stats"
+
+
+def test_search_skips_by_range_predicate(lake):
+    # conv_id > 'b' can only live in the second delta
+    got, opened = _spy_reads(lambda: lake.search("conv_id", ">=", "b000"))
+    assert set(got.to_pandas().conv_id) == {f"b{i:03d}" for i in range(20)}
+    # phase 1 opens only the b file; phase 2's lookup re-opens it
+    assert all("v2" in p for p in opened)
+    # a predicate outside every file's range opens nothing at all
+    got, opened = _spy_reads(lambda: lake.search("conv_id", ">", "zzz"))
+    assert got.num_rows == 0 and opened == []
+
+
+def test_search_correct_when_stats_absent(lake):
+    """A pre-stats manifest (stats stripped) must still produce identical
+    results — pruning is an optimization, never a correctness input."""
+    stripped = LakeTable.open(lake.path)
+    for b in stripped.manifest.data["buckets"].values():
+        b.pop("stats", None)
+    want = lake.search("conv_id", ">=", "b000").to_pandas()
+    got = stripped.search("conv_id", ">=", "b000").to_pandas()
+    assert got.equals(want)
+
+
+def test_read_final_keys_skips_files(lake):
+    """The merge tasks run in Ray workers where a driver-side read spy can't
+    see, so prove the skip behaviorally: delete the a-range delta on a copy —
+    a stats-pruned keyed read never opens it and must still succeed."""
+    import os
+    import shutil
+
+    dst = lake.path + "-readfinal"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    fs = lk.manifest.file_stats(lk.path)
+    a_file = next(p for p, st in fs.items() if st["conv_id"][0].startswith("a"))
+    os.remove(a_file)
+    df = lk.read_final(keys=["b003"]).to_pandas()
+    assert set(df.conv_id) == {"b003"} and len(df) == 3
+    with pytest.raises(Exception):  # unpruned key DOES need the deleted file
+        lk.read_final(keys=["a003"]).materialize()
+
+
+def test_compaction_replaces_stats(lake):
+    # compact on a COPY so the module-scoped lake stays two-file
+    import shutil
+
+    dst = lake.path + "-compacted"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    lk.compact()
+    fs = lk.manifest.file_stats(lk.path)
+    files = lk.manifest.bucket_paths(lk.path)
+    assert len(files) == 1 and set(fs) == set(files)
+    st = next(iter(fs.values()))
+    assert st["conv_id"] == ["a000", "b019"]
+    # post-compaction search still exact
+    got = lk.search("conv_id", "=", "a007")
+    assert set(got.to_pandas().turn_idx) == {0, 1, 2}
+
+
+def test_split_carries_stats(lake):
+    import shutil
+
+    dst = lake.path + "-split"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    lk.split_buckets(4)
+    fs = lk.manifest.file_stats(lk.path)
+    assert set(fs) == set(lk.manifest.bucket_paths(lk.path))
+    got, opened = _spy_reads(lambda: lk.lookup(["a005"]))
+    assert got.num_rows == 3 and len(opened) == 1
+
+
+def test_snapshot_time_travel_keeps_stats(lake):
+    got, opened = _spy_reads(
+        lambda: lake.search("conv_id", ">=", "b000", version=1)
+    )
+    assert got.num_rows == 0, "v1 predates the b-range commit"
+    assert opened == [], "v1 snapshot stats must prune the a-range file"
+
+
+def test_search_ts_pushdown(lake):
+    full = lake.final_table().to_pandas()
+    cut = full.ts.quantile(0.5).to_pydatetime()
+    got = lake.search("ts", ">", cut).to_pandas()
+    exp = full[full.ts > cut]
+    assert len(got) == len(exp) > 0
+    # a ts below every file's min opens nothing
+    got, opened = _spy_reads(
+        lambda: lake.search("ts", "<", TS0 - dt.timedelta(days=1))
+    )
+    assert got.num_rows == 0 and opened == []
+
+
+def test_evolution_all_null_column_skips(lake):
+    """After add-column evolution, a rewritten file whose new column is
+    all-null records [None, None] and search skips it outright."""
+    import shutil
+
+    dst = lake.path + "-evolved"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    lk.apply_dataset(
+        rd.from_arrow(
+            _events(["c000"], lsn0=20_000, extra=("score", 0.75))
+        ),
+        epoch=2,
+    )
+    lk.compact()  # one file; a/b rows carry score = null
+    got = lk.search("score", ">", 0.5).to_pandas()
+    assert set(got.conv_id) == {"c000"}
+    # rewrite the c rows away and confirm the all-null file is skipped
+    lk2 = LakeTable.open(lake.path + "-evolved2")
+    shutil.rmtree(lk2.path, ignore_errors=True)
+    shutil.copytree(lake.path, lk2.path)
+    lk2 = LakeTable.open(lk2.path)
+    ev = _events(["d000"], lsn0=30_000)
+    ev = ev.append_column("score", pa.nulls(ev.num_rows, pa.float64()))
+    lk2.apply_dataset(rd.from_arrow(ev), epoch=2)
+    lk2.compact()
+    got, opened = _spy_reads(lambda: lk2.search("score", ">", 0.5))
+    assert got.num_rows == 0 and opened == []
