@@ -1643,13 +1643,15 @@ class LakeTable:
         # turn_idx, when given) range provably misses every requested key —
         # no footer open, no scanner setup. On a merge-on-read bucket with
         # k delta files this divides the ~30 ms/file scanner cost by the
-        # fraction of files the keys actually touch.
-        fstats = m.file_stats(self.path)
+        # fraction of files the keys actually touch. Stats are fetched per
+        # VISITED bucket (``bucket_stats``), so the serving path never pays
+        # an O(lake-files) dict build for a few-bucket lookup.
         turn_vals = sorted(set(turns)) if turns is not None else None
 
         def _one_bucket(item) -> pa.Table:
             bk, bucket_keys = item
             paths = by_bucket[bk]
+            fstats = m.bucket_stats(self.path, bk)
             if fstats:
                 paths = [
                     p
@@ -1906,7 +1908,10 @@ class LakeTable:
                 b: pa.array(ks, type=key_type) for b, ks in need.items() if ks
             }
             key_lists = {b: list(ks) for b, ks in need.items() if ks}
-            fstats = m.file_stats(self.path)
+            # stats only for the buckets the keys route to — never O(lake)
+            fstats = {}
+            for b in need:
+                fstats.update(m.bucket_stats(self.path, b))
         else:
             key_arrays = None
             key_lists = None

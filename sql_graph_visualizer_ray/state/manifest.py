@@ -127,12 +127,24 @@ class Manifest:
         """absolute file path -> {column: [min, max]} for every live file
         that recorded write-time column statistics (see cdc._column_stats).
         Files without an entry (pre-stats lakes, unencodable bounds) simply
-        cannot be skipped — readers must treat absence as 'scan'."""
+        cannot be skipped — readers must treat absence as 'scan'.
+
+        Full-lake view — right for ``search``, which walks every bucket
+        anyway. Point reads should use ``bucket_stats`` (O(one bucket), not
+        O(lake) dict building on the latency-sensitive path)."""
         out: dict[str, dict] = {}
         for b in self.data["buckets"].values():
             for rel, st in (b.get("stats") or {}).items():
                 out[os.path.join(lake_dir, rel)] = st
         return out
+
+    def bucket_stats(self, lake_dir: str, bucket: int) -> dict[str, dict]:
+        """``file_stats`` restricted to one bucket's files."""
+        e = self.data["buckets"].get(str(bucket)) or {}
+        return {
+            os.path.join(lake_dir, rel): st
+            for rel, st in (e.get("stats") or {}).items()
+        }
 
     def bucket_files(self, lake_dir: str) -> dict[int, list[str]]:
         """bucket id -> absolute file paths, base first then deltas in commit
