@@ -243,6 +243,37 @@ def cmd_search(a) -> int:
     return 0
 
 
+def cmd_search_any(a) -> int:
+    """searchNodes(searchTerm): one substring OR-matched across the lake's
+    string payload columns — no Ray session."""
+    import pyarrow as pa
+
+    from .pipelines.cdc import LakeTable
+
+    lake = LakeTable.open(a.lake_dir)
+    try:
+        t = lake.search_any(
+            a.term,
+            search_columns=(
+                a.search_columns.split(",") if a.search_columns else None
+            ),
+            columns=a.columns.split(",") if a.columns else None,
+            version=a.version,
+            max_result_keys=a.max_result_keys,
+        )
+    except (ValueError, KeyError, pa.lib.ArrowException) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if a.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, a.out)
+        print(json.dumps({"rows": t.num_rows, "out": a.out}))
+    else:
+        print(json.dumps({"rows": t.num_rows, "data": t.to_pylist()}, default=str))
+    return 0
+
+
 def cmd_snapshot(a) -> int:
     """Time-travel read: export (or count) the lake state as of a commit."""
     from .pipelines.cdc import LakeTable
@@ -530,6 +561,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     se.add_argument("--out", help="write parquet instead of printing rows")
     se.set_defaults(fn=cmd_search)
+
+    sa = sub.add_parser(
+        "search-any",
+        help="substring search across string columns (searchNodes; no Ray)",
+    )
+    sa.add_argument("lake_dir")
+    sa.add_argument("term")
+    sa.add_argument(
+        "--search-columns",
+        dest="search_columns",
+        help="comma-separated; default: every string payload column",
+    )
+    sa.add_argument("--columns", help="comma-separated projection")
+    sa.add_argument("--version", type=int, help="time-travel to a commit")
+    sa.add_argument(
+        "--max-result-keys", type=int, default=100_000, dest="max_result_keys"
+    )
+    sa.add_argument("--out", help="write parquet instead of printing rows")
+    sa.set_defaults(fn=cmd_search_any)
 
     sn = sub.add_parser("snapshot", help="time-travel read of a commit's state")
     sn.add_argument("lake_dir")

@@ -172,8 +172,18 @@ def _column_stats(t: pa.Table) -> dict[str, list]:
         typ = t.schema.field(name).type
         if not _stat_eligible(typ):
             continue
+        col = t.column(name)
+        if (pa.types.is_string(typ) or pa.types.is_large_string(typ)) and (
+            col.nbytes > _STAT_STRING_CAP * t.num_rows
+        ):
+            # avg width already over the bound cap: the min/max would be
+            # discarded anyway — skip the full memcmp scan of a wide text
+            # column on every commit (its cost, not the bounds, is what
+            # matters here; a rare short-bounded wide column just loses an
+            # optimization, never correctness)
+            continue
         try:
-            mm = pc.min_max(t.column(name)).as_py()
+            mm = pc.min_max(col).as_py()
             out[name] = [
                 _stat_encode(mm["min"], typ),
                 _stat_encode(mm["max"], typ),
@@ -1853,6 +1863,124 @@ class LakeTable:
         if columns is not None and column not in columns:
             t = t.select([c for c in t.column_names if c != column])
         return t
+
+    def search_any(
+        self,
+        term: str,
+        *,
+        search_columns: list[str] | None = None,
+        columns: list[str] | None = None,
+        version: int | None = None,
+        max_result_keys: int = 100_000,
+    ) -> pa.Table:
+        """Substring search across MULTIPLE payload string columns on the
+        no-Ray serving path — the exact ``searchNodes(searchTerm)`` shape of
+        the reference (one term OR-matched over node properties,
+        ``/root/reference/internal/interfaces/graphql/schema.resolvers.go``
+        ``searchNodes`` → ``neo4j/repository.go`` ``SearchNodes``), where
+        ``search`` is the single-column comparison fetch.
+
+        Same two key-exact phases as ``search`` (candidate keys from a
+        key-columns-only scan; merged ``lookup``; predicate re-applied
+        POST-merge so a superseded old version can never resurface), with
+        the row predicate = OR of ``contains(term)`` over
+        ``search_columns`` (default: every string payload column except the
+        key). Files recording every searched column as all-null are skipped
+        via manifest stats; files missing ALL searched columns (pre-
+        evolution) are skipped outright. Bounded by ``max_result_keys``
+        exactly like ``search``."""
+        if version is not None and version != self.manifest.version:
+            return self.snapshot(version).search_any(
+                term,
+                search_columns=search_columns,
+                columns=columns,
+                max_result_keys=max_result_keys,
+            )
+        m = self.manifest
+        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
+        if search_columns is None:
+            phys_search = [
+                f.name
+                for f in m.payload_schema
+                if (
+                    pa.types.is_string(f.type)
+                    or pa.types.is_large_string(f.type)
+                )
+                and f.name != "conv_id"  # the key is an id, not a property
+            ]
+        else:
+            phys_search = [ren_in.get(c, c) for c in search_columns]
+            unknown = set(phys_search) - set(m.payload_schema.names)
+            if unknown:
+                ren_out = dict(zip(CANONICAL_KEYS, m.key_columns))
+                raise KeyError(
+                    f"unknown columns {sorted(ren_out.get(c, c) for c in unknown)}"
+                )
+        if not phys_search:
+            raise ValueError("no string columns to search")
+
+        def _or_contains(t: pa.Table, cols: list[str]):
+            mask = None
+            for c in cols:
+                mc = pc.fill_null(
+                    pc.match_substring(t.column(c).cast(pa.string()), term),
+                    False,
+                )
+                mask = mc if mask is None else pc.or_(mask, mc)
+            return mask
+
+        by_bucket = m.bucket_files(self.path)
+        key_cols = ["conv_id", "turn_idx"]
+        key_schema = pa.schema([m.payload_schema.field(k) for k in key_cols])
+        fstats = m.file_stats(self.path)
+        seen: set[tuple] = set()
+        for bk in sorted(by_bucket):
+            for p in by_bucket[bk]:
+                st = fstats.get(p)
+                if st is not None and all(
+                    st.get(c) == [None, None] for c in phys_search
+                ):
+                    continue  # every searched column recorded all-null
+                present = [c for c in phys_search if c in _file_columns(p)]
+                if not present:
+                    continue  # pre-evolution file: all searched cols null
+                t = pq.read_table(p, columns=key_cols + present)
+                t = t.filter(_or_contains(t, present))
+                if t.num_rows == 0:
+                    continue
+                dfp = (
+                    t.select(key_cols).cast(key_schema)
+                    .to_pandas().drop_duplicates()
+                )
+                seen.update(zip(dfp["conv_id"], dfp["turn_idx"]))
+                if len(seen) > max_result_keys:
+                    raise ValueError(
+                        f"search_any({term!r}) matched more than "
+                        f"{max_result_keys} candidate keys — that is a batch "
+                        "scan, not a serving fetch; use "
+                        "read_final().filter(...) instead"
+                    )
+        native_search = [
+            dict(zip(CANONICAL_KEYS, m.key_columns)).get(c, c)
+            for c in phys_search
+        ]
+        if not seen:
+            return self.lookup([], columns=columns)
+        import pandas as pd
+
+        pairs_pd = pd.DataFrame(list(seen), columns=key_cols)
+        want_cols = None
+        if columns is not None:
+            want_cols = list(dict.fromkeys(list(columns) + native_search))
+        t = self.lookup(
+            pairs_pd["conv_id"].tolist(),
+            turns=pairs_pd["turn_idx"].tolist(),
+            columns=want_cols,
+        )
+        t2 = t.filter(_or_contains(t, native_search))
+        if columns is not None:
+            t2 = t2.select([c for c in t2.column_names if c in set(columns)])
+        return t2
 
     def read_final(
         self,

@@ -442,7 +442,7 @@ def build_queries() -> dict:
     ``orders_custkey_lookup`` (same plan as orders_lookup_with_timeout,
     which also exercises the S2 deadline)."""
     return {
-        # --- oracle-backed (50 entries: the driver gate covers all) -------
+        # --- oracle-backed (51 entries: the driver gate covers all) -------
         # CDC core + change feed + incremental view
         "cdc_lww_merge": cdc_lww_merge,
         "cdc_lww_dup_heavy": cdc_lww_dup_heavy,
@@ -496,9 +496,10 @@ def build_queries() -> dict:
         "auto_rules_from_schema": auto_rules_from_schema,
         "estimate_table_sizes": estimate_table_sizes,
         "schema_patterns": schema_patterns,
-        # YAML rule surface / persisted edge lake
+        # YAML rule surface / persisted edge + node lakes
         "rules_from_yaml": rules_from_yaml,
         "rel_lake_roundtrip": rel_lake_roundtrip,
+        "nodes_search_term": nodes_search_term,
         # direct-id lookup (J3) under a query deadline (S2), quality gate
         "orders_lookup_with_timeout": orders_lookup_with_timeout,
         "docs_quality_filter": docs_quality_filter,
@@ -605,6 +606,12 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "SELECT c_custkey AS source_id, CAST(n_nationkey AS BIGINT) AS target_id, "
             "'BELONGS_TO' AS relation_type, 'outgoing' AS direction "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "nodes_search_term": (
+            "SELECT CAST(c_custkey AS BIGINT) AS node_id, c_name AS name, "
+            "c_mktsegment AS segment FROM customer "
+            f"WHERE c_name LIKE '%{SEARCH_TERM}%' "
+            f"OR c_mktsegment LIKE '%{SEARCH_TERM}%'"
         ),
         "orders_lookup_with_timeout": (
             "SELECT o_orderkey, o_custkey, "
@@ -1474,6 +1481,64 @@ def rel_lake_roundtrip(sf_dir: str) -> rd.Dataset:
     elake = EdgeLake(lake_dir, num_buckets=8)
     elake.ingest(rel_customer_nation(sf_dir), epoch=0)
     return elake.read_edges()
+
+
+SEARCH_TERM = "00012"
+
+
+def nodes_search_term(sf_dir: str) -> pa.Table:
+    """The reference's ``searchNodes(searchTerm)`` end-to-end
+    (``/root/reference/internal/interfaces/graphql/schema.resolvers.go``
+    ``searchNodes`` → ``neo4j/repository.go`` ``SearchNodes``): customer
+    nodes persisted through a keyed node lake (same manifest/commit
+    protocol as the transcripts lake, native ``(node_id, slot)`` key), then
+    one substring term OR-matched across the string properties on the
+    no-Ray serving path (``LakeTable.search_any``)."""
+    from .cdc import LakeTable
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    lake_dir = os.path.join(LAKE_ROOT, label, "node_lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    payload = pa.schema(
+        [
+            ("node_id", pa.int64()),
+            ("slot", pa.int32()),
+            ("name", pa.string()),
+            ("segment", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    lake = LakeTable.open(
+        lake_dir,
+        num_buckets=8,
+        payload_schema=payload,
+        key_columns=("node_id", "slot"),
+    )
+
+    def to_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column("c_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "lsn": ids,  # unique per node: deterministic, replay-safe
+                "op": pa.array(["I"] * n, pa.string()),
+                "node_id": ids,
+                "slot": pa.array(np.zeros(n, dtype=np.int32)),
+                "name": t.column("c_name"),
+                "segment": t.column("c_mktsegment"),
+                "ts": pa.array(
+                    np.zeros(n, dtype=np.int64), pa.timestamp("us")
+                ),
+            }
+        )
+
+    nodes = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(to_events, batch_format="pyarrow")
+    lake.apply_dataset(nodes, epoch=0)
+    return lake.search_any(
+        SEARCH_TERM, columns=["node_id", "name", "segment"]
+    )
 
 
 def docs_partitioned_by_lang(sf_dir: str) -> rd.Dataset:

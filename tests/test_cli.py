@@ -205,3 +205,41 @@ def test_cli_search(ray_session, clog, tmp_path, capsys):
     assert "unknown column" in capsys.readouterr().err
     assert main(["search", lake_dir, "turn_idx", "==", "NaNope"]) == 1
     assert "must be int" in capsys.readouterr().err  # turn_idx is int32
+
+
+def test_cli_search_any(ray_session, clog, tmp_path, capsys):
+    import json
+
+    from sql_graph_visualizer_ray.cli import main
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+
+    lake_dir = str(tmp_path / "lake")
+    lake = replay(clog, lake_dir, num_buckets=4)
+    want = lake.final_table().to_pandas()
+    mask = (
+        want.role.str.contains("an", na=False)
+        | want.text.str.contains("an", na=False)
+        | want.tool.str.contains("an", na=False)
+    )
+
+    rc = main(
+        ["search-any", lake_dir, "an", "--max-result-keys", "1000000"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == int(mask.sum())
+
+    rc = main(
+        [
+            "search-any", lake_dir, "assistant",
+            "--search-columns", "text", "--columns", "conv_id,role",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == int(want.text.str.contains("assistant", na=False).sum())
+    if out["rows"]:
+        assert sorted(out["data"][0]) == ["conv_id", "role"]
+
+    assert main(["search-any", lake_dir, "x", "--search-columns", "nope"]) == 1
+    assert "nope" in capsys.readouterr().err

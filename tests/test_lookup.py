@@ -427,3 +427,68 @@ def test_search_cap_counts_distinct_keys(delta_lake, clog):
     assert got.num_rows > 0
     with pytest.raises(ValueError, match="read_final"):
         delta_lake.search("role", "==", "assistant", max_result_keys=pairs - 1)
+
+
+def test_search_any_or_across_columns(delta_lake, clog):
+    """search_any (the searchNodes(searchTerm) shape): one term OR-matched
+    across string payload columns, checked against the DuckDB LWW oracle —
+    on a delta lake, so superseded matching versions must not resurrect."""
+    want = _duckdb_lww(clog)
+    term = "an"  # hits role ('assistant') AND text tokens: real OR coverage
+    mask = (
+        want.role.str.contains(term, na=False)
+        | want.text.str.contains(term, na=False)
+        | want.tool.str.contains(term, na=False)
+    )
+    assert (
+        want.role.str.contains(term, na=False) & ~want.text.str.contains(term, na=False)
+    ).any() or (
+        ~want.role.str.contains(term, na=False) & want.text.str.contains(term, na=False)
+    ).any(), "term must exercise more than one column"
+    w = want[mask].reset_index(drop=True)
+    got = (
+        delta_lake.search_any(term, max_result_keys=10**6)
+        .to_pandas()[w.columns.tolist()]
+        .reset_index(drop=True)
+    )
+    assert len(w) > 0 and got.equals(w), (len(got), len(w))
+
+
+def test_search_any_superseded_not_resurrected(delta_lake, clog):
+    """A superseded version's exact text exists only in old delta files;
+    search_any for it must return nothing post-merge."""
+    import duckdb
+
+    stale = duckdb.sql(
+        f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn
+          FROM read_parquet('{clog}/*.parquet'))
+        SELECT text FROM ranked WHERE rn > 1 AND text IS NOT NULL LIMIT 2
+        """
+    ).df()
+    assert len(stale) > 0
+    for old_text in stale.text:
+        assert delta_lake.search_any(old_text).num_rows == 0
+
+
+def test_search_any_projection_scope_and_errors(lake, clog):
+    want = _duckdb_lww(clog)
+    # restrict the searched columns: a text-only term must not match roles
+    w = want[want.text.str.contains("assistant", na=False)]
+    got = lake.search_any(
+        "assistant", search_columns=["text"], max_result_keys=10**6
+    )
+    assert got.num_rows == len(w)
+    # projection keeps ONLY the requested columns even though the searched
+    # column had to ride through the lookup
+    got2 = lake.search_any(
+        "assistant", search_columns=["text"], columns=["conv_id", "role"],
+        max_result_keys=10**6,
+    )
+    assert got2.column_names == ["conv_id", "role"]
+    with pytest.raises(KeyError):
+        lake.search_any("x", search_columns=["no_such_col"])
+    with pytest.raises(ValueError, match="read_final"):
+        lake.search_any("a", max_result_keys=1)
