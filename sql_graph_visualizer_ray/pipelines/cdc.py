@@ -1644,57 +1644,56 @@ class LakeTable:
             return empty
 
         need_buckets = self._buckets_for_keys(keys, turns, by_bucket)
-
-        target = pa.schema(
-            list(payload) + [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
-        )
         key_type = m.payload_schema.field("conv_id").type
         # manifest file stats: skip whole delta files whose conv_id (and
         # turn_idx, when given) range provably misses every requested key —
         # no footer open, no scanner setup. On a merge-on-read bucket with
-        # k delta files this divides the ~30 ms/file scanner cost by the
+        # k delta files this divides the per-file scanner cost by the
         # fraction of files the keys actually touch. Stats are fetched per
         # VISITED bucket (``bucket_stats``), so the serving path never pays
         # an O(lake-files) dict build for a few-bucket lookup.
         turn_vals = sorted(set(turns)) if turns is not None else None
-
-        def _one_bucket(item) -> pa.Table:
-            bk, bucket_keys = item
-            paths = by_bucket[bk]
+        paths: list[str] = []
+        for bk, bucket_keys in sorted(need_buckets.items()):
             fstats = m.bucket_stats(self.path, bk)
-            if fstats:
-                paths = [
-                    p
-                    for p in paths
-                    if _stats_range_hits(
-                        fstats.get(p, {}).get("conv_id"), bucket_keys
-                    )
-                    and (
-                        turn_vals is None
-                        or _stats_range_hits(
-                            fstats.get(p, {}).get("turn_idx"), turn_vals
-                        )
-                    )
-                ]
-            if not paths:
-                return target.empty_table()
-            expr = _prunable_isin("conv_id", pa.array(bucket_keys, type=key_type))
-            if turns is not None:
-                expr = expr & _prunable_isin(
-                    "turn_idx", pa.array(turn_vals, type=pa.int64())
-                )
-            t = _read_files_merged(paths, target, row_filter=expr)
-            return t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
+            for p in by_bucket.get(bk, ()):
+                st = fstats.get(p, {})
+                if _stats_range_hits(st.get("conv_id"), bucket_keys) and (
+                    turn_vals is None
+                    or _stats_range_hits(st.get("turn_idx"), turn_vals)
+                ):
+                    paths.append(p)
+        if not paths:
+            return empty
+        # ONE batched dataset read across every surviving file: a single
+        # Arrow scanner amortizes per-file setup (the old per-bucket walk
+        # paid it 64x on a 100-key lookup — measured 1.6x slower), fragments
+        # written under older schemas cast/null-fill against the explicit
+        # schema exactly like normalize_table (int widen + column add
+        # covered by tests on evolved lakes), and row-group statistics still
+        # prune per fragment. LWW winner selection is per (conv_id,
+        # turn_idx) and a key's rows all share a home bucket (or shard —
+        # either way they are all in the pooled read), so one global compact
+        # is row-identical to the per-bucket merges it replaces.
+        from ..stages.apply import lww_compact
 
-        # sequential bucket walk: measured ~30 ms/bucket of parquet SCANNER
-        # setup dominates and does not overlap under a thread pool (Arrow
-        # serializes internally) — a many-bucket batch is read_final(keys=)'s
-        # job, which distributes it; lookup is the few-bucket serving path
-        todo = sorted(
-            (bk, ks) for bk, ks in need_buckets.items() if by_bucket.get(bk)
+        phys_target = pa.schema(
+            list(payload)
+            + [pa.field("_lsn", pa.int64()), pa.field("_op", pa.string())]
         )
-        tabs = [_one_bucket(it) for it in todo]
-        t = pa.concat_tables(tabs) if tabs else target.empty_table()
+        uniq_keys = list(dict.fromkeys(keys))
+        expr = _prunable_isin("conv_id", pa.array(uniq_keys, type=key_type))
+        if turns is not None:
+            expr = expr & _prunable_isin(
+                "turn_idx", pa.array(turn_vals, type=pa.int64())
+            )
+        t = pq.read_table(paths, schema=phys_target, filters=expr)
+        t = t.rename_columns(
+            [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in t.column_names]
+        )
+        if len(paths) > 1:
+            t = lww_compact(t, keep_tombstones=True)
+        t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
         if turns is not None and t.num_rows:
             # the pushdown keeps the (keys × turns) cross product; narrow to
             # the exact requested pairs with one vectorized MultiIndex probe

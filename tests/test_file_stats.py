@@ -77,11 +77,13 @@ def lake(tmp_path_factory):
 
 
 def _spy_reads(fn):
+    """Collect every file path cdc opens via pq.read_table — batched reads
+    pass a LIST of paths (one dataset scanner), so flatten."""
     opened = []
     real = cdc.pq.read_table
 
     def spy(path, *a, **kw):
-        opened.append(path)
+        opened.extend(path if isinstance(path, list) else [path])
         return real(path, *a, **kw)
 
     with mock.patch.object(cdc.pq, "read_table", side_effect=spy):

@@ -60,7 +60,8 @@ def test_lookup_opens_only_home_bucket_files(lake):
     real = pq.read_table
 
     def spy(path, *a, **kw):
-        opened.append(path)
+        # the batched serving read passes a LIST of paths (one scanner)
+        opened.extend(path if isinstance(path, list) else [path])
         return real(path, *a, **kw)
 
     with mock.patch.object(cdc.pq, "read_table", side_effect=spy):
