@@ -263,22 +263,6 @@ def _prunable_isin(field: str, values: pa.Array):
     return pc.field(field).isin(values)
 
 
-def _file_columns(path: str) -> frozenset[str]:
-    """Column names in a lake parquet file, cached by (path, mtime, size).
-
-    Lake files are write-once (every commit publishes NEW files under a new
-    version dir), so a stat-validated cache never goes stale even if a test
-    recreates a lake at the same path; the stat is far cheaper than the
-    footer parse it replaces on the latency-sensitive serving path."""
-    st = os.stat(path)
-    return _file_columns_cached(path, st.st_mtime_ns, st.st_size)
-
-
-@functools.lru_cache(maxsize=65_536)
-def _file_columns_cached(path: str, mtime_ns: int, size: int) -> frozenset[str]:
-    return frozenset(pq.read_schema(path).names)
-
-
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first. The losing writer's
     in-memory manifest is untouched and no published file was harmed —
@@ -1720,6 +1704,49 @@ class LakeTable:
         ">=": pc.greater_equal,
     }
 
+    def _candidate_pairs(
+        self,
+        paths: list[str],
+        pred_cols: list[str],
+        filter_expr,
+        max_result_keys: int,
+        what: str,
+    ) -> set[tuple]:
+        """Phase-1 candidate discovery shared by ``search``/``search_any``:
+        ONE streaming dataset scanner over the surviving files (single
+        scanner setup, parallel fragment IO, row-group statistics pruning
+        per fragment), key columns only in the output. The distinct-key cap
+        applies INCREMENTALLY per batch, so a runaway predicate aborts
+        before materializing the candidate set. The explicit scan schema
+        pins the manifest's CURRENT types: pre-widen fragments cast, files
+        missing a predicate column read as null there (null never matches a
+        filter), so per-file schema probing is unnecessary."""
+        import pyarrow.dataset as pads
+
+        m = self.manifest
+        names = list(dict.fromkeys(["conv_id", "turn_idx"] + pred_cols))
+        scan_schema = pa.schema([m.payload_schema.field(c) for c in names])
+        ds = pads.dataset(paths, format="parquet", schema=scan_schema)
+        seen: set[tuple] = set()
+        for batch in ds.scanner(
+            columns=["conv_id", "turn_idx"], filter=filter_expr
+        ).to_batches():
+            if batch.num_rows == 0:
+                continue
+            dfp = batch.to_pandas().drop_duplicates()
+            seen.update(zip(dfp["conv_id"], dfp["turn_idx"]))
+            # the cap bounds DISTINCT candidate keys, not physical rows:
+            # merge-on-read dedups per-commit rewrites, so a physical-row
+            # cap would spuriously reject the same logical result on an
+            # un-compacted delta lake
+            if len(seen) > max_result_keys:
+                raise ValueError(
+                    f"{what} matched more than {max_result_keys} candidate "
+                    "keys — that is a batch scan, not a serving fetch; use "
+                    "read_final().filter(...) instead"
+                )
+        return seen
+
     def search(
         self,
         column: str,
@@ -1773,17 +1800,15 @@ class LakeTable:
             raise KeyError(f"unknown column {column!r}")
 
         # phase 1: candidate (conv_id, turn_idx) pairs, key columns only.
-        # Files written before a "widen" evolution carry narrower key types
-        # than the current schema — cast every candidate table to the
-        # manifest's CURRENT key types (the unifier only ever widens, so the
-        # current type is the widest on disk) before pooling them.
+        # manifest file stats first: a comparison predicate skips files
+        # whose [min, max] provably misses, WITHOUT opening their footers —
+        # the candidate walk is O(files whose range matches), not O(lake
+        # files); survivors pool into ONE streaming dataset scan
+        # (``_candidate_pairs``: pre-widen fragments cast to the current
+        # key types, files physically missing the column read as null there
+        # and match nothing).
         by_bucket = m.bucket_files(self.path)
         key_cols = ["conv_id", "turn_idx"]
-        key_schema = pa.schema([m.payload_schema.field(k) for k in key_cols])
-        read_cols = key_cols if phys_col in key_cols else key_cols + [phys_col]
-        # manifest file stats: a comparison predicate skips files whose
-        # [min, max] provably misses, WITHOUT opening their footers — the
-        # candidate walk is O(files whose range matches), not O(lake files)
         fstats = m.file_stats(self.path)
         col_type = m.payload_schema.field(phys_col).type
         # encode the QUERY value into the stats' comparison domain
@@ -1799,43 +1824,29 @@ class LakeTable:
                 value_enc = None
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
             value_enc = None
-        seen: set[tuple] = set()
-        for bk in sorted(by_bucket):
-            for p in by_bucket[bk]:
-                st = fstats.get(p)
-                if st is not None and _stats_reject(
-                    st.get(phys_col), op, value_enc
-                ):
-                    continue  # stats prove no row matches: skip, footer unopened
-                if phys_col not in _file_columns(p):
-                    continue  # pre-evolution file: column is all-null there
-                if op == "contains":
-                    t = pq.read_table(p, columns=read_cols)
-                    mask = pc.match_substring(
-                        t.column(phys_col).cast(pa.string()), value
-                    )
-                    t = t.filter(pc.fill_null(mask, False))
-                else:
-                    expr = self._SEARCH_OPS[op](pc.field(phys_col), value)
-                    t = pq.read_table(p, columns=read_cols, filters=expr)
-                if t.num_rows == 0:
-                    continue
-                dfp = (
-                    t.select(key_cols).cast(key_schema)
-                    .to_pandas().drop_duplicates()
-                )
-                seen.update(zip(dfp["conv_id"], dfp["turn_idx"]))
-                # the cap bounds DISTINCT candidate keys, not physical rows:
-                # merge-on-read dedups per-commit rewrites, so a physical-row
-                # cap would spuriously reject the same logical result on an
-                # un-compacted delta lake
-                if len(seen) > max_result_keys:
-                    raise ValueError(
-                        f"search({column} {op} {value!r}) matched more than "
-                        f"{max_result_keys} candidate keys — that is a batch "
-                        "scan, not a serving fetch; use "
-                        "read_final().filter(...) instead"
-                    )
+        paths = [
+            p
+            for bk in sorted(by_bucket)
+            for p in by_bucket[bk]
+            if not _stats_reject(fstats.get(p, {}).get(phys_col), op, value_enc)
+        ]
+        if op == "contains":
+            expr = pc.match_substring(
+                pc.field(phys_col).cast(pa.string()), value
+            )
+        else:
+            expr = self._SEARCH_OPS[op](pc.field(phys_col), value)
+        seen = (
+            self._candidate_pairs(
+                paths,
+                [phys_col],
+                expr,
+                max_result_keys,
+                f"search({column} {op} {value!r})",
+            )
+            if paths
+            else set()
+        )
         if not seen:
             return self.lookup([], columns=columns)
         import pandas as pd
@@ -1930,35 +1941,42 @@ class LakeTable:
 
         by_bucket = m.bucket_files(self.path)
         key_cols = ["conv_id", "turn_idx"]
-        key_schema = pa.schema([m.payload_schema.field(k) for k in key_cols])
         fstats = m.file_stats(self.path)
-        seen: set[tuple] = set()
-        for bk in sorted(by_bucket):
-            for p in by_bucket[bk]:
-                st = fstats.get(p)
-                if st is not None and all(
-                    st.get(c) == [None, None] for c in phys_search
-                ):
-                    continue  # every searched column recorded all-null
-                present = [c for c in phys_search if c in _file_columns(p)]
-                if not present:
-                    continue  # pre-evolution file: all searched cols null
-                t = pq.read_table(p, columns=key_cols + present)
-                t = t.filter(_or_contains(t, present))
-                if t.num_rows == 0:
-                    continue
-                dfp = (
-                    t.select(key_cols).cast(key_schema)
-                    .to_pandas().drop_duplicates()
+        # stats-skip files whose EVERY searched column is recorded all-null;
+        # survivors pool into one streaming scan where a column physically
+        # missing from a fragment reads as null and matches nothing
+        paths = [
+            p
+            for bk in sorted(by_bucket)
+            for p in by_bucket[bk]
+            if not (
+                fstats.get(p) is not None
+                and all(
+                    fstats[p].get(c) == [None, None] for c in phys_search
                 )
-                seen.update(zip(dfp["conv_id"], dfp["turn_idx"]))
-                if len(seen) > max_result_keys:
-                    raise ValueError(
-                        f"search_any({term!r}) matched more than "
-                        f"{max_result_keys} candidate keys — that is a batch "
-                        "scan, not a serving fetch; use "
-                        "read_final().filter(...) instead"
-                    )
+            )
+        ]
+        import functools as _ft
+        import operator as _op
+
+        expr = _ft.reduce(
+            _op.or_,
+            [
+                pc.match_substring(pc.field(c).cast(pa.string()), term)
+                for c in phys_search
+            ],
+        )
+        seen = (
+            self._candidate_pairs(
+                paths,
+                phys_search,
+                expr,
+                max_result_keys,
+                f"search_any({term!r})",
+            )
+            if paths
+            else set()
+        )
         native_search = [
             dict(zip(CANONICAL_KEYS, m.key_columns)).get(c, c)
             for c in phys_search
