@@ -273,3 +273,64 @@ def test_unify_widens_and_refuses_narrowing():
     assert {f.name for f in u} == {"k", "t", "u"}  # union of columns
     with pytest.raises(pa.lib.ArrowTypeError):
         unify([pa.schema([("k", pa.string())]), pa.schema([("k", pa.int64())])])
+
+
+# --- file-statistics pruning kernels --------------------------------------
+#
+# _stats_reject may return True ONLY when NO value in the file could satisfy
+# the predicate; _stats_range_hits may return False ONLY when NO candidate
+# value lies in the file. Soundness (never skipping a matching file) is the
+# property that keeps pruning a pure optimization — checked here against a
+# brute-force evaluation over the actual value population.
+
+from sql_graph_visualizer_ray.pipelines.cdc import (  # noqa: E402
+    _stats_range_hits,
+    _stats_reject,
+)
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=30
+    ),
+    op=st.sampled_from(list(_OPS)),
+    q=st.integers(-60, 60),
+)
+@settings(max_examples=300, deadline=None)
+def test_stats_reject_sound_vs_bruteforce(vals, op, q):
+    nn = [v for v in vals if v is not None]
+    colstats = [min(nn), max(nn)] if nn else [None, None]
+    any_match = any(_OPS[op](v, q) for v in nn)  # nulls never match
+    rejected = _stats_reject(colstats, op, q)
+    if rejected:
+        assert not any_match, (colstats, op, q)
+    # completeness on exact bounds: no-match ranges must be rejected for
+    # the range ops (equality can only check the bounds)
+    if op in ("<", "<=", ">", ">=") and nn and not any_match:
+        assert rejected, (colstats, op, q)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=30
+    ),
+    probes=st.lists(st.integers(-60, 60), min_size=1, max_size=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_stats_range_hits_sound_vs_bruteforce(vals, probes):
+    nn = [v for v in vals if v is not None]
+    colstats = [min(nn), max(nn)] if nn else [None, None]
+    if any(v in nn for v in probes):  # a probe value really occurs
+        assert _stats_range_hits(colstats, probes)
+    if not _stats_range_hits(colstats, probes):  # skip => provably no probe
+        assert not any(v in nn for v in probes)
