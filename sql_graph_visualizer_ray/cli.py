@@ -379,6 +379,16 @@ def cmd_analyze(a) -> int:
                 f"only {len(buckets)}/{m.num_buckets} buckets populated — "
                 "key space is narrower than the bucket count assumes"
             )
+    n_files = sum(len(v["files"]) for v in m.data["buckets"].values())
+    n_stats = sum(
+        len(v.get("stats") or {}) for v in m.data["buckets"].values()
+    )
+    if n_stats < n_files:
+        recs.append(
+            f"{n_files - n_stats}/{n_files} data files lack column "
+            "statistics (written pre-stats) — run `compact` to record them "
+            "and enable file skipping on the serving path"
+        )
     report = {
         "lake": a.lake_dir,
         "format": m.data["format"],
@@ -390,6 +400,10 @@ def cmd_analyze(a) -> int:
         "counters": m.data["counters"],
         "buckets": buckets,
         "commits": m.history_total(),
+        # file-statistics coverage: files without stats (pre-stats commits)
+        # can never be skipped by lookup/search — compact() re-records them
+        "stats_files": n_stats,
+        "data_files": n_files,
         "recommendations": recs,
     }
     if a.format == "json":

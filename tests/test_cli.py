@@ -243,3 +243,28 @@ def test_cli_search_any(ray_session, clog, tmp_path, capsys):
 
     assert main(["search-any", lake_dir, "x", "--search-columns", "nope"]) == 1
     assert "nope" in capsys.readouterr().err
+
+
+def test_cli_analyze_reports_stats_coverage(ray_session, clog, tmp_path, capsys):
+    import json
+
+    from sql_graph_visualizer_ray.cli import main
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.state.manifest import Manifest
+
+    lake_dir = str(tmp_path / "lake")
+    replay(clog, lake_dir, num_buckets=4)
+    assert main(["analyze", lake_dir, "--format", "json"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["stats_files"] == rep["data_files"] > 0
+    assert not any("lack column statistics" in r for r in rep["recommendations"])
+
+    # a pre-stats lake (stats stripped) gets the compact recommendation
+    m = Manifest.load(lake_dir)
+    for b in m.data["buckets"].values():
+        b.pop("stats", None)
+    m.save_atomic(lake_dir)
+    assert main(["analyze", lake_dir, "--format", "json"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["stats_files"] == 0
+    assert any("lack column statistics" in r for r in rep["recommendations"])
