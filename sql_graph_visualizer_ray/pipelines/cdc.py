@@ -110,6 +110,12 @@ _COUNTER_SCHEMA = pa.schema(
 # still prune within the files that survive. A file with no stats entry
 # (pre-stats lake, non-eligible column, oversized string bound) is always
 # scanned — pruning is only ever an optimization, never a correctness input.
+#
+# Cost: ~200 B of JSON per file (measured) — the same O(live files) scaling
+# the manifest's file list already has, a ~3x constant on manifest size.
+# GRAFT_STAT_COLUMNS_MAX bounds the per-file column count; auto-compaction
+# bounds files per bucket, so manifest size stays O(buckets x tier), never
+# O(commits) or O(rows).
 # ---------------------------------------------------------------------------
 
 #: string min/max longer than this are NOT recorded (a wide text column's
