@@ -386,8 +386,9 @@ def cmd_analyze(a) -> int:
     if n_stats < n_files:
         recs.append(
             f"{n_files - n_stats}/{n_files} data files lack column "
-            "statistics (written pre-stats) — run `compact` to record them "
-            "and enable file skipping on the serving path"
+            "statistics (written pre-stats) — LakeTable.backfill_stats() "
+            "recovers numeric/timestamp bounds from footers with zero data "
+            "IO; `compact` records exact bounds for every eligible column"
         )
     report = {
         "lake": a.lake_dir,

@@ -227,6 +227,62 @@ def _stats_reject(colstats, op: str, value_enc) -> bool:
     return False  # contains / unknown op: stats cannot prune
 
 
+def _footer_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] recovered from a parquet file's FOOTER
+    row-group statistics — zero data IO, for backfilling stats on files
+    written before stats support.
+
+    Sound-by-construction subset: string columns are SKIPPED (parquet
+    writers may truncate string bounds, and the footer does not always
+    say so — a truncated max used as exact would wrongly skip files);
+    numeric/timestamp/boolean bounds are exact by definition. A column
+    qualifies only if every non-empty row group carries statistics; a
+    column that is all-null in every row group records ``[None, None]``
+    (the all-null marker), exactly like the write-time path."""
+    md = pq.read_metadata(path)
+    fschema = pq.read_schema(path)
+    out: dict[str, list] = {}
+    prio = [n for n in ("conv_id", "turn_idx", "ts") if n in fschema.names]
+    names = prio + [
+        n for n in fschema.names if n not in prio and n not in _STAT_SKIP
+    ]
+    for name in names[: _stat_max_columns()]:
+        if name in _STAT_SKIP:
+            continue
+        typ = fschema.field(name).type
+        if (
+            not _stat_eligible(typ)
+            or pa.types.is_string(typ)
+            or pa.types.is_large_string(typ)
+        ):
+            continue
+        idx = fschema.get_field_index(name)
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            if rgm.num_rows == 0:
+                continue
+            st = rgm.column(idx).statistics
+            if st is None:
+                ok = False
+                break
+            if st.null_count == rgm.num_rows:
+                continue  # all-null row group: no bounds, no rows to miss
+            if not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if not ok:
+            continue
+        try:
+            out[name] = [_stat_encode(mn, typ), _stat_encode(mx, typ)]
+        except (ValueError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            continue
+    return out
+
+
 def _stats_range_hits(colstats, values_enc) -> bool:
     """True unless the file's [min, max] proves NONE of ``values_enc`` occur
     (the lookup-side membership prune)."""
@@ -1247,6 +1303,49 @@ class LakeTable:
         )
         m.save_atomic(self.path)
         return {"compacted_buckets": len(counters), "files_merged": files_merged}
+
+    def backfill_stats(self) -> dict:
+        """Record column statistics for live files that lack them (written
+        before stats support) from parquet FOOTER metadata — zero data IO,
+        unlike ``compact()``. String columns stay uncovered (footer string
+        bounds may be truncated; a compact records exact ones); numeric/
+        timestamp/boolean bounds are exact and immediately enable file
+        skipping in ``lookup``/``search``/``read_final(keys=)``.
+
+        Published as a metadata-only commit: an empty version dir claims
+        the version number (same rename-CAS as data commits, so concurrent
+        writers stay safe), then the manifest updates atomically."""
+        self._check_writable()
+        m = self.manifest
+        # compute first, mutate the manifest only AFTER the version claim
+        # succeeds (the commit-protocol contract a losing CAS writer relies
+        # on: its in-memory manifest must be untouched for reload/retry)
+        updates: dict[str, dict[str, dict]] = {}
+        for key, entry in m.data["buckets"].items():
+            stats = entry.get("stats") or {}
+            for rel in entry["files"]:
+                if rel in stats:
+                    continue
+                st = _footer_stats(os.path.join(self.path, rel))
+                if st:
+                    updates.setdefault(key, {})[rel] = st
+        added = sum(len(v) for v in updates.values())
+        if not added:
+            return {"files_backfilled": 0}
+        import uuid as _uuid
+
+        new_version = m.version + 1
+        staging = os.path.join(
+            self.path, "_staging", f"v{new_version}-{_uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(staging, exist_ok=True)
+        self._publish_version_dir(staging, new_version)
+        for key, per_file in updates.items():
+            m.data["buckets"][key].setdefault("stats", {}).update(per_file)
+        m.data["version"] = new_version
+        m.append_history({"version": new_version, "stats_backfill": added})
+        m.save_atomic(self.path)
+        return {"files_backfilled": added}
 
     def compact_tombstones(self, *, allowed_lateness_us: int) -> dict:
         """Drop tombstones the lateness watermark has passed (full compaction

@@ -293,3 +293,68 @@ def test_evolution_all_null_column_skips(lake):
     lk2.compact()
     got, opened = _spy_reads(lambda: lk2.search("score", ">", 0.5))
     assert got.num_rows == 0 and opened == []
+
+
+def test_backfill_stats_from_footers(lake):
+    """Metadata-only backfill: strip the stats (a pre-stats lake), recover
+    numeric/timestamp bounds from parquet footers with zero data reads, and
+    prove pruning works again — while string columns stay uncovered (footer
+    string bounds may be truncated) and results stay exact."""
+    import shutil
+
+    import pyarrow.parquet as pq_mod
+
+    dst = lake.path + "-backfill"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    v0 = lk.manifest.version
+    for b in lk.manifest.data["buckets"].values():
+        b.pop("stats", None)
+    baseline = lk.search("conv_id", ">=", "b000").to_pandas()
+
+    # zero data IO: only read_metadata/read_schema during the backfill
+    reads = []
+    real = cdc.pq.read_table
+
+    def spy(path, *a, **kw):
+        reads.append(path)
+        return real(path, *a, **kw)
+
+    with mock.patch.object(cdc.pq, "read_table", side_effect=spy):
+        r = lk.backfill_stats()
+    assert reads == [] and r["files_backfilled"] == 2
+    assert lk.manifest.version == v0 + 1  # metadata-only commit
+
+    fs = lk.manifest.file_stats(lk.path)
+    assert len(fs) == 2
+    for st in fs.values():
+        assert "turn_idx" in st and "ts" in st
+        assert "conv_id" not in st and "name" not in st  # strings skipped
+    # footer bounds match the write-time (exact) bounds for covered columns
+    orig = lake.manifest.file_stats(lake.path)
+    by_tail = lambda d: {  # noqa: E731 — key by v*/bucket=*/file
+        "/".join(p.rsplit("/", 3)[-3:]): s for p, s in d.items()
+    }
+    ofs = by_tail(orig)
+    for tail, st in by_tail(fs).items():
+        assert st["turn_idx"] == ofs[tail]["turn_idx"]
+        assert st["ts"] == ofs[tail]["ts"]
+
+    # pruning active again on a covered column; results unchanged
+    got, opened = _spy_reads(
+        lambda: lk.search("ts", "<", TS0 - dt.timedelta(days=1))
+    )
+    assert got.num_rows == 0 and opened == []
+    assert lk.search("conv_id", ">=", "b000").to_pandas().equals(baseline)
+
+    # idempotent: second call is a no-op with no version bump
+    v1 = lk.manifest.version
+    assert lk.backfill_stats() == {"files_backfilled": 0}
+    assert lk.manifest.version == v1
+
+    # a readonly snapshot refuses (snapshot(current) returns self, so
+    # time-travel to the previous commit)
+    snap = lk.snapshot(v1 - 1)
+    with pytest.raises(RuntimeError, match="read-only"):
+        snap.backfill_stats()
