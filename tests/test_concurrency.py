@@ -269,3 +269,38 @@ def test_tail_survives_commit_conflict(clog, tmp_path, monkeypatch):
     )
     assert fired  # the conflict actually fired inside the loop
     assert canonical(lake.final_table()).equals(canonical(replay_oracle(clog)))
+
+
+def test_stats_survive_cas_retry(clog, tmp_path):
+    """File statistics ride the counter rows into the manifest AFTER the
+    version claim; a losing writer's retry must leave every live file
+    covered (no stats lost or attributed to the losing attempt's paths),
+    including through backfill_stats racing an ingest."""
+    path = str(tmp_path / "lake")
+    a = LakeTable.open(path, num_buckets=8)
+    a.apply(clog, max_epochs=1)
+    b = LakeTable.open(path, num_buckets=8)
+    b.apply(clog, max_epochs=1)  # B wins the next version
+    a.commit_with_retry(lambda lk: lk.apply(clog, max_epochs=1))
+    live = set(a.manifest.bucket_paths(path))
+    covered = set(a.manifest.file_stats(path))
+    assert covered == live and live, "every live file must carry stats"
+    # every stats relpath points at a real file (no losing-attempt paths)
+    for p in covered:
+        assert os.path.exists(p)
+
+    # backfill_stats loses a race to an ingest, retries, still exact
+    m = a.manifest
+    for bkt in m.data["buckets"].values():
+        bkt.pop("stats", None)
+    m.save_atomic(path)
+    backfiller = LakeTable.open(path, num_buckets=8)
+    ingest = LakeTable.open(path, num_buckets=8)
+    ingest.apply(clog, max_epochs=1)  # advances past backfiller's base
+    with pytest.raises(CommitConflictError):
+        backfiller.backfill_stats()
+    backfiller.reload()
+    r = backfiller.backfill_stats()
+    assert r["files_backfilled"] > 0
+    fresh = LakeTable.open(path, num_buckets=8)
+    assert canonical(fresh.final_table()).equals(canonical(replay_oracle(clog)))
