@@ -102,6 +102,42 @@ class EdgeLake:
             events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
         )
 
+    def neighbors(self, node_id: int, *, direction: str = "both") -> pa.Table:
+        """One node's adjacent edges on the NO-RAY serving path — the
+        click-to-expand fetch the reference serves from Neo4j
+        (``/root/reference/internal/infrastructure/persistence/neo4j/repository.go``
+        ``FetchNodes`` / the visualizer's neighborhood queries).
+
+        Outgoing edges ride the keyed ``lookup`` (source_id is the first
+        merge key: home bucket + stats + row-group pruning, O(matching row
+        groups)); incoming edges ride the predicate ``search`` on
+        target_id (manifest file stats + one streaming scan). ``direction``
+        is ``out`` / ``in`` / ``both``; a self-loop appears once."""
+        if direction not in ("out", "in", "both"):
+            raise ValueError(f"direction must be out|in|both, got {direction!r}")
+        parts = []
+        if direction in ("out", "both"):
+            parts.append(self.lake.lookup([int(node_id)], columns=EDGE_COLUMNS))
+        if direction in ("in", "both"):
+            parts.append(
+                self.lake.search(
+                    "target_id", "==", int(node_id), columns=EDGE_COLUMNS
+                )
+            )
+        t = pa.concat_tables(parts)
+        if len(parts) == 2 and t.num_rows:
+            # a self-loop matches both orientations — keep one copy
+            df = t.to_pandas().drop_duplicates(["source_id", "target_id"])
+            t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        if t.num_rows == 0:
+            return t
+        return t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("source_id", "ascending"), ("target_id", "ascending")],
+            )
+        )
+
     def read_edges(self) -> rd.Dataset:
         """Streaming live-edge view: (source_id, target_id, relation_type,
         direction) — the lake's native schema, column-pruned past ``ts``."""

@@ -168,3 +168,44 @@ def test_native_key_view_sees_logical_names(ray_session, tmp_path):
     v.refresh()
     got = v.read().to_pandas().sort_values("source_id", ignore_index=True)
     assert got["n_out"].tolist() == [1] * 10
+
+
+def test_neighbors_serving_fetch(ray_session, tmp_path):
+    """neighbors(): the click-to-expand graph fetch — outgoing via keyed
+    lookup, incoming via predicate search, self-loop deduped, oracle = an
+    in-memory filter of the full edge table."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    lk = EdgeLake(str(tmp_path / "edges"), num_buckets=4)
+    edges = (
+        [{"source_id": 1, "target_id": t, "relation_type": "R", "direction": "out"}
+         for t in (2, 3, 4)]
+        + [{"source_id": s, "target_id": 1, "relation_type": "R", "direction": "out"}
+           for s in (5, 6)]
+        + [{"source_id": 1, "target_id": 1, "relation_type": "SELF", "direction": "out"},
+           {"source_id": 7, "target_id": 8, "relation_type": "R", "direction": "out"}]
+    )
+    lk.ingest(rd.from_items(edges), epoch=0)
+    full = lk.edges_table().to_pandas()
+
+    def oracle(node, direction):
+        m = {
+            "out": full.source_id == node,
+            "in": full.target_id == node,
+            "both": (full.source_id == node) | (full.target_id == node),
+        }[direction]
+        return (
+            full[m].sort_values(["source_id", "target_id"], ignore_index=True)
+        )
+
+    for direction in ("out", "in", "both"):
+        got = lk.neighbors(1, direction=direction).to_pandas()
+        pd.testing.assert_frame_equal(got, oracle(1, direction))
+    assert lk.neighbors(7, direction="in").num_rows == 0
+    assert lk.neighbors(99).num_rows == 0
+    with pytest.raises(ValueError, match="out|in|both"):
+        lk.neighbors(1, direction="sideways")
