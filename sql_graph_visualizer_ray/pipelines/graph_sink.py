@@ -38,14 +38,33 @@ EDGE_COLUMNS = ["source_id", "target_id", "relation_type", "direction"]
 
 class EdgeLake:
     """Edge lake table: ``ingest`` relationship-rule outputs per epoch,
-    ``read_edges`` streams the merged live edge set."""
+    ``read_edges`` streams the merged live edge set.
 
-    def __init__(self, path: str, *, num_buckets: int = 16):
+    ``reverse_index=True`` maintains a second lake at ``<path>_rev`` keyed
+    ``(target_id, source_id)`` — the standard adjacency double-write that
+    makes INCOMING-neighbor fetches O(keys) (home-bucket lookup) instead
+    of an O(lake-files) predicate scan. Costs 2× edge storage and 2× ingest
+    IO; both lakes share the epoch fence, so a crash between the two
+    commits heals on the next (idempotent) ingest of the same epoch."""
+
+    def __init__(
+        self, path: str, *, num_buckets: int = 16, reverse_index: bool = False
+    ):
         self.lake = LakeTable.open(
             path,
             num_buckets=num_buckets,
             payload_schema=EDGE_PAYLOAD_SCHEMA,
             key_columns=("source_id", "target_id"),
+        )
+        self.reverse = (
+            LakeTable.open(
+                path.rstrip("/") + "_rev",
+                num_buckets=num_buckets,
+                payload_schema=EDGE_PAYLOAD_SCHEMA,
+                key_columns=("target_id", "source_id"),
+            )
+            if reverse_index
+            else None
         )
 
     @property
@@ -98,9 +117,18 @@ class EdgeLake:
             )
 
         events = edges.map_batches(to_events, batch_format="pyarrow")
-        return self.lake.apply_dataset(
+        out = self.lake.apply_dataset(
             events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
         )
+        if self.reverse is not None:
+            # forward first (the source of truth), then the reverse index.
+            # Same epoch => a crash in between leaves the reverse one epoch
+            # behind, and re-running this ingest is a no-op on the forward
+            # lake (epoch fence) while completing the reverse — heals free.
+            self.reverse.apply_dataset(
+                events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
+            )
+        return out
 
     def neighbors(self, node_id: int, *, direction: str = "both") -> pa.Table:
         """One node's adjacent edges on the NO-RAY serving path — the
@@ -110,20 +138,30 @@ class EdgeLake:
 
         Outgoing edges ride the keyed ``lookup`` (source_id is the first
         merge key: home bucket + stats + row-group pruning, O(matching row
-        groups)); incoming edges ride the predicate ``search`` on
-        target_id (manifest file stats + one streaming scan). ``direction``
-        is ``out`` / ``in`` / ``both``; a self-loop appears once."""
+        groups)). Incoming edges use the reverse index's keyed lookup when
+        the lake was opened with ``reverse_index=True`` (O(keys), the
+        100 TB path), else the predicate ``search`` on target_id (manifest
+        file stats + one streaming scan — O(range-matching files)).
+        ``direction`` is ``out`` / ``in`` / ``both``; a self-loop appears
+        once."""
         if direction not in ("out", "in", "both"):
             raise ValueError(f"direction must be out|in|both, got {direction!r}")
         parts = []
         if direction in ("out", "both"):
             parts.append(self.lake.lookup([int(node_id)], columns=EDGE_COLUMNS))
         if direction in ("in", "both"):
-            parts.append(
-                self.lake.search(
-                    "target_id", "==", int(node_id), columns=EDGE_COLUMNS
+            if self.reverse is not None:
+                parts.append(
+                    self.reverse.lookup(
+                        [int(node_id)], columns=EDGE_COLUMNS
+                    ).select(EDGE_COLUMNS)
                 )
-            )
+            else:
+                parts.append(
+                    self.lake.search(
+                        "target_id", "==", int(node_id), columns=EDGE_COLUMNS
+                    )
+                )
         t = pa.concat_tables(parts)
         if len(parts) == 2 and t.num_rows:
             # a self-loop matches both orientations — keep one copy

@@ -209,3 +209,45 @@ def test_neighbors_serving_fetch(ray_session, tmp_path):
     assert lk.neighbors(99).num_rows == 0
     with pytest.raises(ValueError, match="out|in|both"):
         lk.neighbors(1, direction="sideways")
+
+
+def test_neighbors_reverse_index(ray_session, tmp_path):
+    """reverse_index=True: incoming neighbors come from the (target_id,
+    source_id)-keyed reverse lake's O(keys) lookup — results identical to
+    the search-based fallback, and a crash between the two ingests heals
+    on the idempotent re-ingest of the same epoch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    edges = [
+        {"source_id": s, "target_id": t, "relation_type": "R", "direction": "out"}
+        for s in range(12)
+        for t in ((s + 1) % 12, (s + 5) % 12)
+    ]
+    plain = EdgeLake(str(tmp_path / "plain"), num_buckets=4)
+    plain.ingest(rd.from_items(edges), epoch=0)
+    fast = EdgeLake(str(tmp_path / "fast"), num_buckets=4, reverse_index=True)
+    fast.ingest(rd.from_items(edges), epoch=0)
+
+    for node in (0, 3, 7):
+        for direction in ("in", "both"):
+            a = plain.neighbors(node, direction=direction).to_pandas()
+            b = fast.neighbors(node, direction=direction).to_pandas()
+            pd.testing.assert_frame_equal(a, b)
+
+    # crash-between-commits heal: commit epoch 1 through a forward-only
+    # handle (as if the process died before the reverse ingest ran)
+    more = [{"source_id": 99, "target_id": 3, "relation_type": "R",
+             "direction": "out"}]
+    half = EdgeLake(str(tmp_path / "fast"), num_buckets=4)  # forward only
+    half.ingest(rd.from_items(more), epoch=1)
+    assert fast.lake.reload().manifest.applied_epoch == 1
+    assert fast.reverse.reload().manifest.applied_epoch == 0
+    # full re-ingest of epoch 1: forward no-ops (fence), reverse completes
+    fast2 = EdgeLake(str(tmp_path / "fast"), num_buckets=4, reverse_index=True)
+    fast2.ingest(rd.from_items(more), epoch=1)
+    assert fast2.reverse.manifest.applied_epoch == 1
+    got = fast2.neighbors(3, direction="in").to_pandas()
+    assert 99 in set(got.source_id)
