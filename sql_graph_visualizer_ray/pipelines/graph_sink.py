@@ -176,6 +176,80 @@ class EdgeLake:
             )
         )
 
+    def expand(
+        self,
+        seed_ids,
+        *,
+        hops: int = 1,
+        direction: str = "out",
+        max_frontier: int = 100_000,
+    ) -> pa.Table:
+        """K-hop neighborhood expansion from ``seed_ids`` — the visualizer's
+        expand-around-a-node interaction, generalized. Each hop is ONE
+        batched keyed lookup (home buckets + stats + row-group pruning of
+        the whole frontier in a single scan), never a full-lake pass, so
+        cost is O(edges touched), not O(lake x hops).
+
+        ``direction="in"``/``"both"`` needs the reverse index (open with
+        ``reverse_index=True``) — a keyed reverse lookup is the only
+        O(frontier) way in; without it this raises rather than silently
+        degrading to per-hop full scans. Frontiers beyond ``max_frontier``
+        raise: that is a batch traversal (use ``read_final``/
+        ``connected_components``), not a serving fetch. Returns the visited
+        edge set, canonically sorted, each edge once."""
+        if direction not in ("out", "in", "both"):
+            raise ValueError(f"direction must be out|in|both, got {direction!r}")
+        if direction != "out" and self.reverse is None:
+            raise ValueError(
+                "expand(direction=in|both) needs the reverse index — open "
+                "this EdgeLake with reverse_index=True (or traverse with "
+                "read_edges()/connected_components on the batch path)"
+            )
+        visited: set[int] = set()
+        frontier = {int(x) for x in seed_ids}
+        parts: list[pa.Table] = []
+        for _ in range(hops):
+            frontier -= visited
+            if not frontier:
+                break
+            if len(frontier) > max_frontier:
+                raise ValueError(
+                    f"frontier grew past {max_frontier} nodes — that is a "
+                    "batch traversal; use read_edges()/connected_components"
+                )
+            visited |= frontier
+            fl = sorted(frontier)
+            step = []
+            if direction in ("out", "both"):
+                step.append(self.lake.lookup(fl, columns=EDGE_COLUMNS))
+            if direction in ("in", "both"):
+                step.append(
+                    self.reverse.lookup(fl, columns=EDGE_COLUMNS).select(
+                        EDGE_COLUMNS
+                    )
+                )
+            t = pa.concat_tables(step)
+            parts.append(t)
+            nxt = set()
+            if direction in ("out", "both"):
+                nxt |= set(t.column("target_id").to_pylist())
+            if direction in ("in", "both"):
+                nxt |= set(t.column("source_id").to_pylist())
+            frontier = nxt
+        if not parts:
+            return pa.schema(
+                [EDGE_PAYLOAD_SCHEMA.field(c) for c in EDGE_COLUMNS]
+            ).empty_table()
+        t = pa.concat_tables(parts)
+        df = t.to_pandas().drop_duplicates(["source_id", "target_id"])
+        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+        return t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("source_id", "ascending"), ("target_id", "ascending")],
+            )
+        )
+
     def read_edges(self) -> rd.Dataset:
         """Streaming live-edge view: (source_id, target_id, relation_type,
         direction) — the lake's native schema, column-pruned past ``ts``."""

@@ -251,3 +251,59 @@ def test_neighbors_reverse_index(ray_session, tmp_path):
     assert fast2.reverse.manifest.applied_epoch == 1
     got = fast2.neighbors(3, direction="in").to_pandas()
     assert 99 in set(got.source_id)
+
+
+def test_expand_khop_vs_bfs_oracle(ray_session, tmp_path):
+    """expand(): k-hop neighborhood equals a pandas BFS oracle for every
+    (hops, direction) combination on a ring+chords graph."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    n = 20
+    edges = [
+        {"source_id": s, "target_id": t, "relation_type": "R", "direction": "out"}
+        for s in range(n)
+        for t in ((s + 1) % n, (s + 7) % n)
+    ]
+    lk = EdgeLake(str(tmp_path / "g"), num_buckets=4, reverse_index=True)
+    lk.ingest(rd.from_items(edges), epoch=0)
+    full = lk.edges_table().to_pandas()
+
+    def bfs_edges(seeds, hops, direction):
+        visited, frontier, keep = set(), set(seeds), set()
+        for _ in range(hops):
+            frontier -= visited
+            if not frontier:
+                break
+            visited |= frontier
+            nxt = set()
+            for _, e in full.iterrows():
+                s, t = int(e.source_id), int(e.target_id)
+                if direction in ("out", "both") and s in frontier:
+                    keep.add((s, t)); nxt.add(t)
+                if direction in ("in", "both") and t in frontier:
+                    keep.add((s, t)); nxt.add(s)
+            frontier = nxt
+        m = full.apply(
+            lambda e: (int(e.source_id), int(e.target_id)) in keep, axis=1
+        )
+        return full[m].sort_values(
+            ["source_id", "target_id"], ignore_index=True
+        )
+
+    for hops in (1, 2, 3):
+        for direction in ("out", "in", "both"):
+            got = lk.expand([0], hops=hops, direction=direction).to_pandas()
+            want = bfs_edges([0], hops, direction)
+            pd.testing.assert_frame_equal(got, want), (hops, direction)
+
+    assert lk.expand([999], hops=3).num_rows == 0
+    with pytest.raises(ValueError, match="frontier grew"):
+        lk.expand(range(5), hops=3, max_frontier=3)
+    plain = EdgeLake(str(tmp_path / "plain"), num_buckets=2)
+    plain.ingest(rd.from_items(edges[:4]), epoch=0)
+    with pytest.raises(ValueError, match="reverse_index"):
+        plain.expand([0], direction="both")
