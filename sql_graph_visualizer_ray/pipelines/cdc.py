@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import base64
 import functools
+import json
 import os
 from collections import defaultdict
 
@@ -242,12 +243,23 @@ def _footer_stats(path: str) -> dict[str, list]:
     md = pq.read_metadata(path)
     fschema = pq.read_schema(path)
     out: dict[str, list] = {}
+    if md.num_row_groups == 0:
+        return out
+    # row-group column chunks are LEAF (physical) columns — a nested field
+    # earlier in the schema shifts every later leaf, so the top-level field
+    # index is NOT a valid chunk index. Resolve by path_in_schema: for a
+    # top-level primitive column the leaf path IS the column name; nested
+    # leaves carry dotted paths and simply never match.
+    leaf_idx = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.row_group(0).num_columns)
+    }
     prio = [n for n in ("conv_id", "turn_idx", "ts") if n in fschema.names]
     names = prio + [
         n for n in fschema.names if n not in prio and n not in _STAT_SKIP
     ]
     for name in names[: _stat_max_columns()]:
-        if name in _STAT_SKIP:
+        if name in _STAT_SKIP or name not in leaf_idx:
             continue
         typ = fschema.field(name).type
         if (
@@ -256,7 +268,7 @@ def _footer_stats(path: str) -> dict[str, list]:
             or pa.types.is_large_string(typ)
         ):
             continue
-        idx = fschema.get_field_index(name)
+        idx = leaf_idx[name]
         mn = mx = None
         ok = True
         for rg in range(md.num_row_groups):
@@ -910,8 +922,6 @@ class LakeTable:
             pq.write_table(out, tmp, row_group_size=_row_group_rows())
             os.replace(tmp, os.path.join(part_dir, fname))
             tomb = int(pc.sum(pc.cast(is_tomb, pa.int64())).as_py() or 0)
-            import json as _json
-
             return pa.table(
                 {
                     "bucket": [bucket],
@@ -925,7 +935,7 @@ class LakeTable:
                     "superseded": [events_in + state_in - merged.num_rows],
                     "late": [late],
                     "max_lsn": [max_lsn],
-                    "stats_json": [_json.dumps(_column_stats(out))],
+                    "stats_json": [json.dumps(_column_stats(out))],
                 },
                 schema=_COUNTER_SCHEMA,
             )
@@ -1116,12 +1126,10 @@ class LakeTable:
             "precompact_dropped": raw_events - events_in,
             "epochs": n_epochs,
         }
-        import json as _json
-
         for r in counters:
             if r["wrote"]:
                 key = str(int(r["bucket"]))
-                st = _json.loads(r["stats_json"]) if r["stats_json"] else {}
+                st = json.loads(r["stats_json"]) if r["stats_json"] else {}
                 if delta_mode:
                     relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/delta.parquet"
                     entry = m.data["buckets"].setdefault(
@@ -1237,8 +1245,6 @@ class LakeTable:
                     ).as_py()
                     or 0
                 )
-                import json as _json
-
                 outs.append(
                     pa.table(
                         {
@@ -1247,7 +1253,7 @@ class LakeTable:
                             "tombstones": [tomb],
                             "dropped": [dropped],
                             "files_in": [len(todo[bk])],
-                            "stats_json": [_json.dumps(_column_stats(out))],
+                            "stats_json": [json.dumps(_column_stats(out))],
                         }
                     )
                 )
@@ -1262,11 +1268,9 @@ class LakeTable:
             .take_all()
         )
         self._publish_version_dir(staging, new_version)
-        import json as _json
-
         for r in counters:
             relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"
-            st = _json.loads(r["stats_json"]) if r["stats_json"] else {}
+            st = json.loads(r["stats_json"]) if r["stats_json"] else {}
             m.data["buckets"][str(int(r["bucket"]))] = {
                 "files": [relpath],
                 "rows": int(r["rows"]),
@@ -1368,11 +1372,19 @@ class LakeTable:
         paths = m.bucket_paths(self.path)
         if not paths:
             return {"dropped": 0, "watermark_us": None}
-        # watermark from Parquet footer statistics — no data read
+        # watermark from Parquet footer statistics — no data read.
+        # Chunk index resolved by LEAF path, not top-level field index (a
+        # nested payload column would shift every later leaf).
         max_ts = 0
         for p in paths:
             md = pq.read_metadata(p)
-            ts_idx = pq.read_schema(p).get_field_index("ts")
+            if md.num_row_groups == 0:
+                continue
+            ts_idx = next(
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == "ts"
+            )
             for rg in range(md.num_row_groups):
                 stats = md.row_group(rg).column(ts_idx).statistics
                 if stats is not None and stats.max is not None:
@@ -1494,15 +1506,13 @@ class LakeTable:
                         ).as_py()
                         or 0
                     )
-                    import json as _json
-
                     outs.append(
                         pa.table(
                             {
                                 "bucket": [int(nb)],
                                 "rows": [out.num_rows],
                                 "tombstones": [tomb],
-                                "stats_json": [_json.dumps(_column_stats(out))],
+                                "stats_json": [json.dumps(_column_stats(out))],
                             }
                         )
                     )
@@ -1517,12 +1527,10 @@ class LakeTable:
             .take_all()
         )
         self._publish_version_dir(staging, new_version)
-        import json as _json
-
         m.data["buckets"] = {}
         for r in counters:
             relpath = f"v{new_version}/bucket={int(r['bucket']):05d}/data.parquet"
-            st = _json.loads(r["stats_json"]) if r["stats_json"] else {}
+            st = json.loads(r["stats_json"]) if r["stats_json"] else {}
             m.data["buckets"][str(int(r["bucket"]))] = {
                 "files": [relpath],
                 "rows": int(r["rows"]),
@@ -1555,12 +1563,20 @@ class LakeTable:
         ``commit_mode="rewrite"`` commits rewrite existing rows (a rewrite
         commit's per-bucket files contain the merged prior state, not just
         that commit's changes), so serving them here would replay
-        pre-existing rows as changes — raises KeyError for all three."""
+        pre-existing rows as changes — raises KeyError for all three.
+        Metadata-only commits (``stats_backfill``) changed zero rows and
+        raise too; the feed cursor skips them like compactions."""
         entry = self.manifest.history_entry(self.path, version)
-        if entry is None or entry.get("compaction") or "split_buckets" in entry:
+        if (
+            entry is None
+            or entry.get("compaction")
+            or "split_buckets" in entry
+            or "stats_backfill" in entry
+        ):
             raise KeyError(
                 f"no change feed for v{version}: not a data commit "
-                "(compaction/split rewrite existing rows, or never committed)"
+                "(compaction/split/stats-backfill rewrote or changed no "
+                "rows, or never committed)"
             )
         prefix = f"v{version}/"
         files = [
@@ -1913,7 +1929,6 @@ class LakeTable:
         # key types, files physically missing the column read as null there
         # and match nothing).
         by_bucket = m.bucket_files(self.path)
-        key_cols = ["conv_id", "turn_idx"]
         fstats = m.file_stats(self.path)
         col_type = m.payload_schema.field(phys_col).type
         # encode the QUERY value into the stats' comparison domain
@@ -1952,31 +1967,39 @@ class LakeTable:
             if paths
             else set()
         )
+        def _mask(t: pa.Table):
+            col = t.column(column)  # lookup returns native (logical) names
+            if op == "contains":
+                return pc.match_substring(col.cast(pa.string()), value)
+            return self._SEARCH_OPS[op](col, value)
+
+        return self._serve_candidates(seen, columns, [column], _mask)
+
+    def _serve_candidates(
+        self, seen: set[tuple], columns, pred_cols_native: list[str], mask_fn
+    ) -> pa.Table:
+        """Phase 2 shared by ``search``/``search_any``: merged key-exact
+        ``lookup`` of the candidate pairs, predicate re-applied POST-merge
+        (drops candidates whose matching version was superseded), then the
+        requested projection restored (predicate columns that only rode
+        along for the re-filter are trimmed)."""
         if not seen:
             return self.lookup([], columns=columns)
         import pandas as pd
 
-        pairs_pd = pd.DataFrame(list(seen), columns=key_cols)
-
-        # phase 2: merged key-exact lookup, predicate re-applied post-merge
+        pairs_pd = pd.DataFrame(list(seen), columns=["conv_id", "turn_idx"])
         want_cols = None
         if columns is not None:
-            want_cols = list(columns)
-            if column not in want_cols:
-                want_cols = want_cols + [column]
+            want_cols = list(dict.fromkeys(list(columns) + pred_cols_native))
         t = self.lookup(
             pairs_pd["conv_id"].tolist(),
             turns=pairs_pd["turn_idx"].tolist(),
             columns=want_cols,
         )
-        col = t.column(column)  # lookup returns native (logical) names
-        if op == "contains":
-            mask = pc.match_substring(col.cast(pa.string()), value)
-        else:
-            mask = self._SEARCH_OPS[op](col, value)
-        t = t.filter(pc.fill_null(mask, False))
-        if columns is not None and column not in columns:
-            t = t.select([c for c in t.column_names if c != column])
+        t = t.filter(pc.fill_null(mask_fn(t), False))
+        if columns is not None:
+            keep = set(columns)
+            t = t.select([c for c in t.column_names if c in keep])
         return t
 
     def search_any(
@@ -2045,7 +2068,6 @@ class LakeTable:
             return mask
 
         by_bucket = m.bucket_files(self.path)
-        key_cols = ["conv_id", "turn_idx"]
         fstats = m.file_stats(self.path)
         # stats-skip files whose EVERY searched column is recorded all-null;
         # survivors pool into one streaming scan where a column physically
@@ -2086,23 +2108,10 @@ class LakeTable:
             dict(zip(CANONICAL_KEYS, m.key_columns)).get(c, c)
             for c in phys_search
         ]
-        if not seen:
-            return self.lookup([], columns=columns)
-        import pandas as pd
-
-        pairs_pd = pd.DataFrame(list(seen), columns=key_cols)
-        want_cols = None
-        if columns is not None:
-            want_cols = list(dict.fromkeys(list(columns) + native_search))
-        t = self.lookup(
-            pairs_pd["conv_id"].tolist(),
-            turns=pairs_pd["turn_idx"].tolist(),
-            columns=want_cols,
+        return self._serve_candidates(
+            seen, columns, native_search,
+            lambda t: _or_contains(t, native_search),
         )
-        t2 = t.filter(_or_contains(t, native_search))
-        if columns is not None:
-            t2 = t2.select([c for c in t2.column_names if c in set(columns)])
-        return t2
 
     def read_final(
         self,

@@ -59,7 +59,11 @@ class ChangeFeedCursor:
         # That keeps drain() of an N-commit backlog O(N) history entries
         # total, not O(N^2).
         for h in lake.manifest.history_after(lake.path, self.acked):
-            if not h.get("compaction") and "split_buckets" not in h:
+            if (
+                not h.get("compaction")
+                and "split_buckets" not in h
+                and "stats_backfill" not in h  # metadata-only: zero rows
+            ):
                 yield int(h["version"])
 
     def lag(self, lake: LakeTable) -> int:

@@ -36,6 +36,42 @@ EDGE_PAYLOAD_SCHEMA = pa.schema(
 EDGE_COLUMNS = ["source_id", "target_id", "relation_type", "direction"]
 
 
+def _edge_events(t: pa.Table, epoch: int) -> pa.Table:
+    """Edge rows -> change events. ``lsn`` is a stable hash of the edge key
+    (a retried/duplicated ingest collapses in the LWW merge); ``ts`` is the
+    row's own ``ts`` when present (sync/rebuild keeps original versions),
+    else the ingest epoch (a later epoch's version of an edge wins)."""
+    n = t.num_rows
+    src = pc.cast(t.column("source_id"), pa.int64())
+    tgt = pc.cast(t.column("target_id"), pa.int64())
+    h = (
+        pd.util.hash_array(src.to_numpy(zero_copy_only=False))
+        * np.uint64(0x9E3779B97F4A7C15)
+        ^ pd.util.hash_array(tgt.to_numpy(zero_copy_only=False))
+    ).view(np.int64) & 0x7FFFFFFFFFFFFFFF  # non-negative int64 lsn
+    op = (
+        t.column("op")
+        if "op" in t.column_names
+        else pa.array(["I"] * n, pa.string())
+    )
+    ts = (
+        t.column("ts").cast(pa.timestamp("us"))
+        if "ts" in t.column_names
+        else pa.array(np.full(n, int(epoch), dtype=np.int64), pa.timestamp("us"))
+    )
+    return pa.table(
+        {
+            "lsn": pa.array(h, pa.int64()),
+            "op": op,
+            "source_id": src,
+            "target_id": tgt,
+            "relation_type": t.column("relation_type"),
+            "direction": t.column("direction"),
+            "ts": ts,
+        }
+    )
+
+
 class EdgeLake:
     """Edge lake table: ``ingest`` relationship-rule outputs per epoch,
     ``read_edges`` streams the merged live edge set.
@@ -83,40 +119,15 @@ class EdgeLake:
         relation_type, direction[, op]). ``op`` defaults to "I"; "D" rows
         tombstone the edge. Epoch-fenced and idempotent like ``apply``."""
         ep = int(epoch)
-
-        def to_events(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            src = pc.cast(t.column("source_id"), pa.int64())
-            tgt = pc.cast(t.column("target_id"), pa.int64())
-            # deterministic lsn: stable hash of the edge key — replaying a
-            # retried/duplicated ingest collapses in the LWW merge
-            h = (
-                pd.util.hash_array(src.to_numpy(zero_copy_only=False))
-                * np.uint64(0x9E3779B97F4A7C15)
-                ^ pd.util.hash_array(tgt.to_numpy(zero_copy_only=False))
-            ).view(np.int64) & 0x7FFFFFFFFFFFFFFF  # non-negative int64 lsn
-            op = (
-                t.column("op")
-                if "op" in t.column_names
-                else pa.array(["I"] * n, pa.string())
-            )
-            return pa.table(
-                {
-                    "lsn": pa.array(h, pa.int64()),
-                    "op": op,
-                    "source_id": src,
-                    "target_id": tgt,
-                    "relation_type": t.column("relation_type"),
-                    "direction": t.column("direction"),
-                    # edge version time = the ingest epoch: a later epoch's
-                    # version of the same edge wins the merge
-                    "ts": pa.array(
-                        np.full(n, ep, dtype=np.int64), pa.timestamp("us")
-                    ),
-                }
-            )
-
-        events = edges.map_batches(to_events, batch_format="pyarrow")
+        events = edges.map_batches(
+            lambda t: _edge_events(t, ep), batch_format="pyarrow"
+        )
+        if self.reverse is not None:
+            # the reverse apply re-reads its input: materialize the
+            # normalized events ONCE so the upstream source scan and
+            # hashing do not execute twice (2x storage/write is the
+            # intended cost of the index; 2x source compute is not)
+            events = events.materialize()
         out = self.lake.apply_dataset(
             events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
         )
@@ -125,12 +136,66 @@ class EdgeLake:
             # Same epoch => a crash in between leaves the reverse one epoch
             # behind, and re-running this ingest is a no-op on the forward
             # lake (epoch fence) while completing the reverse — heals free.
+            # A resume that skips the missed epoch instead is caught by the
+            # read-time epoch guard and repaired by sync_reverse().
             self.reverse.apply_dataset(
                 events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
             )
         return out
 
-    def neighbors(self, node_id: int, *, direction: str = "both") -> pa.Table:
+    def _reverse_ready(self) -> "LakeTable":
+        """The reverse lake, verified in step with the forward lake — a
+        lagging index (crash between the double-writes resumed past the
+        gap, or reverse_index enabled on an already-populated lake) must
+        refuse loudly rather than silently serve incomplete adjacency."""
+        fwd = self.lake.manifest.applied_epoch
+        rev = self.reverse.manifest.applied_epoch
+        if rev != fwd:
+            raise RuntimeError(
+                f"reverse index at epoch {rev} but forward lake at {fwd} — "
+                "re-ingest the missing epochs or run sync_reverse()"
+            )
+        return self.reverse
+
+    def sync_reverse(self) -> dict:
+        """Rebuild the reverse index from the forward lake's LIVE edge set —
+        the repair for a lagging/newly-enabled index. The reverse lake is
+        derived state: it is deleted and re-created at the forward lake's
+        applied epoch (original per-edge ``ts`` preserved, so subsequent
+        incremental double-writes merge identically on both sides)."""
+        if self.reverse is None:
+            raise ValueError("open this EdgeLake with reverse_index=True")
+        import shutil
+
+        rev_path = self.reverse.path
+        nb = self.reverse.manifest.num_buckets
+        shutil.rmtree(rev_path, ignore_errors=True)
+        self.reverse = LakeTable.open(
+            rev_path,
+            num_buckets=nb,
+            payload_schema=EDGE_PAYLOAD_SCHEMA,
+            key_columns=("target_id", "source_id"),
+        )
+        ep = self.lake.manifest.applied_epoch
+        if ep < 0:
+            return {"synced_edges": 0}
+        # keep_tombstones: the rebuilt index must remember deletes with
+        # their timestamps, or a late pre-delete event double-written later
+        # would resurrect the edge on the reverse side only
+        state = self.lake.read_final(keep_tombstones=True)
+        events = state.map_batches(
+            lambda t: _edge_events(t, ep), batch_format="pyarrow"
+        )
+        c = self.reverse.apply_dataset(events, epoch=ep)
+        return {"synced_edges": int(c.get("upserts", 0))}
+
+    def neighbors(
+        self,
+        node_id: int,
+        *,
+        direction: str = "both",
+        max_result_keys: int = 100_000,
+    ) -> pa.Table:
         """One node's adjacent edges on the NO-RAY serving path — the
         click-to-expand fetch the reference serves from Neo4j
         (``/root/reference/internal/infrastructure/persistence/neo4j/repository.go``
@@ -143,7 +208,9 @@ class EdgeLake:
         100 TB path), else the predicate ``search`` on target_id (manifest
         file stats + one streaming scan — O(range-matching files)).
         ``direction`` is ``out`` / ``in`` / ``both``; a self-loop appears
-        once."""
+        once. ``max_result_keys`` bounds the search-fallback incoming fetch
+        (a hub past it raises toward the batch path — raise the cap or use
+        the reverse index for unbounded-degree serving)."""
         if direction not in ("out", "in", "both"):
             raise ValueError(f"direction must be out|in|both, got {direction!r}")
         parts = []
@@ -152,14 +219,16 @@ class EdgeLake:
         if direction in ("in", "both"):
             if self.reverse is not None:
                 parts.append(
-                    self.reverse.lookup(
+                    self._reverse_ready().lookup(
                         [int(node_id)], columns=EDGE_COLUMNS
                     ).select(EDGE_COLUMNS)
                 )
             else:
                 parts.append(
                     self.lake.search(
-                        "target_id", "==", int(node_id), columns=EDGE_COLUMNS
+                        "target_id", "==", int(node_id),
+                        columns=EDGE_COLUMNS,
+                        max_result_keys=max_result_keys,
                     )
                 )
         t = pa.concat_tables(parts)
@@ -224,9 +293,9 @@ class EdgeLake:
                 step.append(self.lake.lookup(fl, columns=EDGE_COLUMNS))
             if direction in ("in", "both"):
                 step.append(
-                    self.reverse.lookup(fl, columns=EDGE_COLUMNS).select(
-                        EDGE_COLUMNS
-                    )
+                    self._reverse_ready()
+                    .lookup(fl, columns=EDGE_COLUMNS)
+                    .select(EDGE_COLUMNS)
                 )
             t = pa.concat_tables(step)
             parts.append(t)

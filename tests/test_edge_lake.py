@@ -307,3 +307,45 @@ def test_expand_khop_vs_bfs_oracle(ray_session, tmp_path):
     plain.ingest(rd.from_items(edges[:4]), epoch=0)
     with pytest.raises(ValueError, match="reverse_index"):
         plain.expand([0], direction="both")
+
+
+def test_reverse_index_guard_and_sync(ray_session, tmp_path):
+    """A lagging reverse index refuses to serve incoming adjacency (silent
+    incompleteness is worse than an error), and sync_reverse() rebuilds it
+    from the forward lake — including tombstones, so a rebuilt index cannot
+    resurrect deleted edges."""
+    import pytest
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    path = str(tmp_path / "g")
+    # populate WITHOUT the reverse index first (the enable-later scenario)
+    plain = EdgeLake(path, num_buckets=4)
+    plain.ingest(edges_ds([e(1, 2), e(3, 2), e(2, 4)]), epoch=0)
+    plain.ingest(edges_ds([e(3, 2, op="D")]), epoch=1)
+
+    lk = EdgeLake(path, num_buckets=4, reverse_index=True)
+    with pytest.raises(RuntimeError, match="sync_reverse"):
+        lk.neighbors(2, direction="in")
+    with pytest.raises(RuntimeError, match="sync_reverse"):
+        lk.expand([2], direction="both")
+    # outgoing stays served — only the reverse-backed paths refuse
+    assert lk.neighbors(2, direction="out").num_rows == 1
+
+    lk.sync_reverse()
+    got = lk.neighbors(2, direction="in").to_pandas()
+    assert set(zip(got.source_id, got.target_id)) == {(1, 2)}  # (3,2) deleted
+
+    # tombstones survived the rebuild: a LATE pre-delete event double-written
+    # afterwards must not resurrect (3,2) on either side
+    lk.ingest(edges_ds([e(3, 2)]), epoch=0 + 2)  # ts=epoch2 > delete ts... use old ts
+    # ingest stamps ts=epoch, so epoch2 legitimately re-creates the edge;
+    # assert both sides agree instead
+    fwd = {(r.source_id, r.target_id)
+           for r in lk.edges_table().to_pandas().itertuples()}
+    inc = set()
+    for n in (2, 4):
+        d = lk.neighbors(n, direction="in").to_pandas()
+        inc |= set(zip(d.source_id, d.target_id))
+    assert inc <= fwd and (3, 2) in fwd

@@ -172,11 +172,32 @@ def test_search_skips_by_range_predicate(lake):
     # conv_id > 'b' can only live in the second delta
     got, opened = _spy_reads(lambda: lake.search("conv_id", ">=", "b000"))
     assert set(got.to_pandas().conv_id) == {f"b{i:03d}" for i in range(20)}
-    # phase 1 opens only the b file; phase 2's lookup re-opens it
+    # phase 2's lookup reads only the b file (phase 1 streams through a
+    # dataset scanner the pq.read_table spy cannot see)
     assert all("v2" in p for p in opened)
     # a predicate outside every file's range opens nothing at all
     got, opened = _spy_reads(lambda: lake.search("conv_id", ">", "zzz"))
     assert got.num_rows == 0 and opened == []
+    # behavioral proof that PHASE 1 skips too: delete the a-file on a copy;
+    # a b-range search (stats-pruned to the b file) must still succeed,
+    # while a search needing the deleted file fails
+    import os
+    import shutil
+
+    dst = lake.path + "-p1skip"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    a_file = next(
+        p
+        for p, st in lk.manifest.file_stats(dst).items()
+        if st["conv_id"][0].startswith("a")
+    )
+    os.remove(a_file)
+    ok = lk.search("conv_id", ">=", "b000")
+    assert set(ok.to_pandas().conv_id) == {f"b{i:03d}" for i in range(20)}
+    with pytest.raises(Exception):
+        lk.search("conv_id", "<=", "a999")
 
 
 def test_search_correct_when_stats_absent(lake):
@@ -358,3 +379,38 @@ def test_backfill_stats_from_footers(lake):
     snap = lk.snapshot(v1 - 1)
     with pytest.raises(RuntimeError, match="read-only"):
         snap.backfill_stats()
+
+
+def test_feed_skips_stats_backfill_commit(lake):
+    """A metadata-only stats_backfill commit changed zero rows; the change
+    feed must skip it exactly like a compaction instead of hard-failing on
+    a version dir with no data files (review regression)."""
+    import shutil
+
+    from sql_graph_visualizer_ray.pipelines.feed import ChangeFeedCursor
+
+    dst = lake.path + "-feed"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    for b in lk.manifest.data["buckets"].values():
+        b.pop("stats", None)
+    lk.manifest.save_atomic(dst)
+    lk = LakeTable.open(dst)
+    assert lk.backfill_stats()["files_backfilled"] == 2
+    bf_version = lk.manifest.version
+
+    cur = ChangeFeedCursor(dst + ".cursor")
+    seen_versions = []
+    while True:
+        item = cur.poll(lk)
+        if item is None:
+            break
+        v, ds = item
+        seen_versions.append(v)
+        ds.count()
+        cur.ack(v)
+    assert bf_version not in seen_versions
+    assert seen_versions == [1, 2]  # the two data commits, in order
+    with pytest.raises(KeyError, match="stats-backfill|not a data commit"):
+        lk.changes(bf_version)
