@@ -189,40 +189,54 @@ def cmd_lookup(a) -> int:
     return 0
 
 
-def cmd_search(a) -> int:
-    """Predicate fetch on the serving path (the reference's searchNodes) —
-    no Ray session; value strings are coerced to the column's type."""
+def _coerce_search_value(lake, column: str, op: str, value: str):
+    """CLI value string -> the column's type (int/float/timestamp pass
+    through for 'contains', which matches on the stringified column)."""
     import pyarrow as pa
 
-    from .pipelines.cdc import CANONICAL_KEYS, LakeTable
+    from .pipelines.cdc import CANONICAL_KEYS
+
+    ren_in = dict(zip(lake.key_columns, CANONICAL_KEYS))
+    try:
+        f = lake.manifest.payload_schema.field(ren_in.get(column, column))
+    except KeyError:
+        raise KeyError(f"unknown column {column!r}") from None
+    if op == "contains":
+        return value
+    try:
+        if pa.types.is_integer(f.type):
+            return int(value)
+        if pa.types.is_floating(f.type):
+            return float(value)
+        if pa.types.is_timestamp(f.type):
+            import pandas as pd
+
+            return pd.Timestamp(value)
+    except ValueError as e:
+        raise ValueError(f"value for {column} must be {f.type}: {e}") from e
+    return value
+
+
+def cmd_search(a) -> int:
+    """Predicate fetch on the serving path (the reference's searchNodes) —
+    no Ray session; value strings are coerced to the column's type.
+    Repeatable ``--and COL OP VAL`` triples AND further predicates."""
+    import pyarrow as pa
+
+    from .pipelines.cdc import LakeTable
 
     lake = LakeTable.open(a.lake_dir)
-    ren_in = dict(zip(lake.key_columns, CANONICAL_KEYS))
-    phys = ren_in.get(a.column, a.column)
     try:
-        f = lake.manifest.payload_schema.field(phys)
-    except KeyError:
-        print(f"unknown column {a.column!r}", file=sys.stderr)
+        predicates = [
+            (col, op, _coerce_search_value(lake, col, op, val))
+            for col, op, val in [(a.column, a.op, a.value)] + (a.extra or [])
+        ]
+    except (ValueError, KeyError) as e:
+        print(str(e), file=sys.stderr)
         return 1
-    value = a.value
-    if a.op != "contains":
-        try:
-            if pa.types.is_integer(f.type):
-                value = int(value)
-            elif pa.types.is_floating(f.type):
-                value = float(value)
-            elif pa.types.is_timestamp(f.type):
-                import pandas as pd
-
-                value = pd.Timestamp(value)
-        except ValueError as e:
-            print(f"--value must be {f.type}: {e}", file=sys.stderr)
-            return 1
     try:
-        t = lake.search(
-            a.column,
-            a.op,
-            value,
+        t = lake.search_where(
+            predicates,
             columns=a.columns.split(",") if a.columns else None,
             version=a.version,
             max_result_keys=a.max_result_keys,
@@ -569,6 +583,14 @@ def build_parser() -> argparse.ArgumentParser:
         "op", help="one of = == != < <= > >= contains"
     )
     se.add_argument("value")
+    se.add_argument(
+        "--and",
+        dest="extra",
+        action="append",
+        nargs=3,
+        metavar=("COL", "OP", "VAL"),
+        help="additional ANDed predicate (repeatable)",
+    )
     se.add_argument("--columns", help="comma-separated projection")
     se.add_argument("--version", type=int, help="time-travel to a commit")
     se.add_argument(

@@ -1904,76 +1904,131 @@ class LakeTable:
         once). ``op`` is one of ``= == != < <= > >= contains`` (comparisons
         push to stats; ``contains`` evaluates on the one predicate column
         in memory)."""
+        return self.search_where(
+            [(column, op, value)],
+            columns=columns,
+            version=version,
+            max_result_keys=max_result_keys,
+        )
+
+    def search_where(
+        self,
+        predicates,
+        *,
+        columns: list[str] | None = None,
+        version: int | None = None,
+        max_result_keys: int = 100_000,
+    ) -> pa.Table:
+        """Conjunctive predicate fetch: ``predicates`` is a list of
+        ``(column, op, value)`` triples ANDed together (``WHERE a AND b``)
+        on the same no-Ray serving path as ``search`` — which is the
+        single-predicate wrapper around this.
+
+        Phase 1: manifest file stats skip a file when ANY conjunct's
+        [min, max] provably misses (a conjunction fails if one conjunct
+        provably fails); survivors pool into one streaming dataset scan
+        with the whole conjunction as the scanner filter. Phase 2: merged
+        key-exact ``lookup`` of the candidates, conjunction re-applied
+        POST-merge (superseded versions never resurface)."""
         if version is not None and version != self.manifest.version:
-            return self.snapshot(version).search(
-                column, op, value, columns=columns,
-                max_result_keys=max_result_keys,
+            return self.snapshot(version).search_where(
+                predicates, columns=columns, max_result_keys=max_result_keys
             )
-        if op != "contains" and op not in self._SEARCH_OPS:
-            raise ValueError(
-                f"unsupported op {op!r}; use one of "
-                f"{sorted(self._SEARCH_OPS)} or 'contains'"
-            )
+        if not predicates:
+            raise ValueError("search_where needs at least one predicate")
         m = self.manifest
         ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
-        phys_col = ren_in.get(column, column)
-        if phys_col not in m.payload_schema.names:
-            raise KeyError(f"unknown column {column!r}")
+        compiled = []  # (native, phys, op, value, value_enc)
+        for column, op, value in predicates:
+            if op != "contains" and op not in self._SEARCH_OPS:
+                raise ValueError(
+                    f"unsupported op {op!r}; use one of "
+                    f"{sorted(self._SEARCH_OPS)} or 'contains'"
+                )
+            phys_col = ren_in.get(column, column)
+            if phys_col not in m.payload_schema.names:
+                raise KeyError(f"unknown column {column!r}")
+            col_type = m.payload_schema.field(phys_col).type
+            # encode the QUERY value into the stats' comparison domain
+            # (timestamps -> int64 micros); the stored-bound string cap
+            # does NOT apply here — a long query string compares fine
+            # against exact stored bounds. Unencodable => no skipping.
+            try:
+                if pa.types.is_timestamp(col_type):
+                    value_enc = (
+                        pa.scalar(value, col_type).cast(pa.int64()).as_py()
+                    )
+                elif isinstance(value, (int, float, str, bool)):
+                    value_enc = value
+                else:
+                    value_enc = None
+            except (
+                pa.ArrowInvalid,
+                pa.ArrowNotImplementedError,
+                pa.ArrowTypeError,
+            ):
+                value_enc = None
+            compiled.append((column, phys_col, op, value, value_enc))
 
-        # phase 1: candidate (conv_id, turn_idx) pairs, key columns only.
-        # manifest file stats first: a comparison predicate skips files
-        # whose [min, max] provably misses, WITHOUT opening their footers —
-        # the candidate walk is O(files whose range matches), not O(lake
-        # files); survivors pool into ONE streaming dataset scan
-        # (``_candidate_pairs``: pre-widen fragments cast to the current
-        # key types, files physically missing the column read as null there
-        # and match nothing).
+        # phase 1: candidate (conv_id, turn_idx) pairs, key columns only —
+        # stats first (no footer opened for a provably-missing file), then
+        # one streaming scan (``_candidate_pairs``: pre-widen fragments
+        # cast, files physically missing a column read null and the
+        # conjunction fails there).
         by_bucket = m.bucket_files(self.path)
         fstats = m.file_stats(self.path)
-        col_type = m.payload_schema.field(phys_col).type
-        # encode the QUERY value into the stats' comparison domain
-        # (timestamps -> int64 micros); the stored-bound string cap does NOT
-        # apply here — a long query string compares fine against exact
-        # stored bounds. Unencodable value => no skipping, correctness intact.
-        try:
-            if pa.types.is_timestamp(col_type):
-                value_enc = pa.scalar(value, col_type).cast(pa.int64()).as_py()
-            elif isinstance(value, (int, float, str, bool)):
-                value_enc = value
-            else:
-                value_enc = None
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-            value_enc = None
         paths = [
             p
             for bk in sorted(by_bucket)
             for p in by_bucket[bk]
-            if not _stats_reject(fstats.get(p, {}).get(phys_col), op, value_enc)
-        ]
-        if op == "contains":
-            expr = pc.match_substring(
-                pc.field(phys_col).cast(pa.string()), value
+            if not any(
+                _stats_reject(fstats.get(p, {}).get(ph), op, enc)
+                for _, ph, op, _, enc in compiled
             )
-        else:
-            expr = self._SEARCH_OPS[op](pc.field(phys_col), value)
+        ]
+
+        def _pred_expr(ph, op, value):
+            if op == "contains":
+                return pc.match_substring(pc.field(ph).cast(pa.string()), value)
+            return self._SEARCH_OPS[op](pc.field(ph), value)
+
+        import functools as _ft
+        import operator as _opr
+
+        expr = _ft.reduce(
+            _opr.and_,
+            [_pred_expr(ph, op, v) for _, ph, op, v, _ in compiled],
+        )
+        desc = " AND ".join(
+            f"{c} {op} {v!r}" for c, _, op, v, _ in compiled
+        )
         seen = (
             self._candidate_pairs(
                 paths,
-                [phys_col],
+                [ph for _, ph, _, _, _ in compiled],
                 expr,
                 max_result_keys,
-                f"search({column} {op} {value!r})",
+                f"search({desc})",
             )
             if paths
             else set()
         )
-        def _mask(t: pa.Table):
-            col = t.column(column)  # lookup returns native (logical) names
-            if op == "contains":
-                return pc.match_substring(col.cast(pa.string()), value)
-            return self._SEARCH_OPS[op](col, value)
 
-        return self._serve_candidates(seen, columns, [column], _mask)
+        def _mask(t: pa.Table):
+            mask = None
+            for column, _, op, value, _ in compiled:
+                col = t.column(column)  # lookup returns native names
+                if op == "contains":
+                    mc = pc.match_substring(col.cast(pa.string()), value)
+                else:
+                    mc = self._SEARCH_OPS[op](col, value)
+                mc = pc.fill_null(mc, False)
+                mask = mc if mask is None else pc.and_(mask, mc)
+            return mask
+
+        return self._serve_candidates(
+            seen, columns, [c for c, *_ in compiled], _mask
+        )
 
     def _serve_candidates(
         self, seen: set[tuple], columns, pred_cols_native: list[str], mask_fn

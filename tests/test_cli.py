@@ -268,3 +268,29 @@ def test_cli_analyze_reports_stats_coverage(ray_session, clog, tmp_path, capsys)
     rep = json.loads(capsys.readouterr().out)
     assert rep["stats_files"] == 0
     assert any("lack column statistics" in r for r in rep["recommendations"])
+
+
+def test_cli_search_and_conjunction(ray_session, clog, tmp_path, capsys):
+    import json
+
+    from sql_graph_visualizer_ray.cli import main
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+
+    lake_dir = str(tmp_path / "lake")
+    lake = replay(clog, lake_dir, num_buckets=4)
+    want = lake.final_table().to_pandas()
+    n = int(((want.role == "assistant") & (want.turn_idx < 5)).sum())
+    rc = main(
+        [
+            "search", lake_dir, "role", "==", "assistant",
+            "--and", "turn_idx", "<", "5", "--columns", "conv_id",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == n
+    # coercion error in an --and predicate reports cleanly
+    assert main(
+        ["search", lake_dir, "role", "==", "x", "--and", "turn_idx", "<", "z"]
+    ) == 1
+    assert "must be int" in capsys.readouterr().err

@@ -493,3 +493,45 @@ def test_search_any_projection_scope_and_errors(lake, clog):
         lake.search_any("x", search_columns=["no_such_col"])
     with pytest.raises(ValueError, match="read_final"):
         lake.search_any("a", max_result_keys=1)
+
+
+def test_search_where_conjunction_matches_duckdb(delta_lake, clog):
+    """search_where: ANDed predicates on the serving path equal the DuckDB
+    LWW oracle's WHERE a AND b — on a delta lake so superseded versions
+    that matched must not resurface."""
+    want = _duckdb_lww(clog)
+    w = want[
+        (want.role == "assistant")
+        & (want.turn_idx >= 10)
+        & want.text.str.contains("the", na=False)
+    ].reset_index(drop=True)
+    got = (
+        delta_lake.search_where(
+            [
+                ("role", "==", "assistant"),
+                ("turn_idx", ">=", 10),
+                ("text", "contains", "the"),
+            ],
+            max_result_keys=10**6,
+        )
+        .to_pandas()[w.columns.tolist()]
+        .reset_index(drop=True)
+    )
+    assert len(w) > 0 and got.equals(w), (len(got), len(w))
+    # single-predicate search delegates to the same machinery
+    one = delta_lake.search("role", "==", "assistant", max_result_keys=10**6)
+    assert one.num_rows == int((want.role == "assistant").sum())
+
+
+def test_search_where_stats_skip_and_errors(lake):
+    # a conjunct outside every file's range skips everything
+    got = lake.search_where(
+        [("role", "==", "assistant"), ("turn_idx", ">", 10**9)]
+    )
+    assert got.num_rows == 0
+    with pytest.raises(ValueError, match="at least one predicate"):
+        lake.search_where([])
+    with pytest.raises(KeyError):
+        lake.search_where([("role", "==", "x"), ("nope", "==", 1)])
+    with pytest.raises(ValueError, match="unsupported op"):
+        lake.search_where([("role", "~~", "x")])
