@@ -442,7 +442,7 @@ def build_queries() -> dict:
     ``orders_custkey_lookup`` (same plan as orders_lookup_with_timeout,
     which also exercises the S2 deadline)."""
     return {
-        # --- oracle-backed (51 entries: the driver gate covers all) -------
+        # --- oracle-backed (52 entries: the driver gate covers all) -------
         # CDC core + change feed + incremental view
         "cdc_lww_merge": cdc_lww_merge,
         "cdc_lww_dup_heavy": cdc_lww_dup_heavy,
@@ -500,6 +500,7 @@ def build_queries() -> dict:
         "rules_from_yaml": rules_from_yaml,
         "rel_lake_roundtrip": rel_lake_roundtrip,
         "nodes_search_term": nodes_search_term,
+        "nodes_search_where": nodes_search_where,
         # direct-id lookup (J3) under a query deadline (S2), quality gate
         "orders_lookup_with_timeout": orders_lookup_with_timeout,
         "docs_quality_filter": docs_quality_filter,
@@ -612,6 +613,11 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             "c_mktsegment AS segment FROM customer "
             f"WHERE c_name LIKE '%{SEARCH_TERM}%' "
             f"OR c_mktsegment LIKE '%{SEARCH_TERM}%'"
+        ),
+        "nodes_search_where": (
+            "SELECT CAST(c_custkey AS BIGINT) AS node_id, c_name AS name, "
+            "c_mktsegment AS segment FROM customer "
+            "WHERE c_mktsegment = 'BUILDING' AND c_name LIKE '%12%'"
         ),
         "orders_lookup_with_timeout": (
             "SELECT o_orderkey, o_custkey, "
@@ -1538,6 +1544,58 @@ def nodes_search_term(sf_dir: str) -> pa.Table:
     lake.apply_dataset(nodes, epoch=0)
     return lake.search_any(
         SEARCH_TERM, columns=["node_id", "name", "segment"]
+    )
+
+
+def nodes_search_where(sf_dir: str) -> pa.Table:
+    """Conjunctive serving fetch (``WHERE a AND b``) over the same customer
+    node lake as ``nodes_search_term`` — ``LakeTable.search_where`` with a
+    segment equality AND a name substring, the multi-predicate shape of the
+    reference's filtered node queries (``neo4j/repository.go:239-299``
+    typed fetch + property filter)."""
+    from .cdc import LakeTable
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    lake_dir = os.path.join(LAKE_ROOT, label, "node_lake_w")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    payload = pa.schema(
+        [
+            ("node_id", pa.int64()),
+            ("slot", pa.int32()),
+            ("name", pa.string()),
+            ("segment", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    lake = LakeTable.open(
+        lake_dir,
+        num_buckets=8,
+        payload_schema=payload,
+        key_columns=("node_id", "slot"),
+    )
+
+    def to_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column("c_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "lsn": ids,
+                "op": pa.array(["I"] * n, pa.string()),
+                "node_id": ids,
+                "slot": pa.array(np.zeros(n, dtype=np.int32)),
+                "name": t.column("c_name"),
+                "segment": t.column("c_mktsegment"),
+                "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
+            }
+        )
+
+    nodes = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(to_events, batch_format="pyarrow")
+    lake.apply_dataset(nodes, epoch=0)
+    return lake.search_where(
+        [("segment", "==", "BUILDING"), ("name", "contains", "12")],
+        columns=["node_id", "name", "segment"],
     )
 
 
