@@ -288,6 +288,21 @@ def cmd_search_any(a) -> int:
     return 0
 
 
+def cmd_backfill_stats(a) -> int:
+    """Record column statistics for pre-stats files from parquet footers —
+    zero data IO, publishes a metadata-only commit (no Ray session)."""
+    from .pipelines.cdc import CommitConflictError, LakeTable
+
+    lake = LakeTable.open(a.lake_dir)
+    try:
+        r = lake.commit_with_retry(lambda lk: lk.backfill_stats())
+    except CommitConflictError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    print(json.dumps(r))
+    return 0
+
+
 def cmd_snapshot(a) -> int:
     """Time-travel read: export (or count) the lake state as of a commit."""
     from .pipelines.cdc import LakeTable
@@ -400,8 +415,8 @@ def cmd_analyze(a) -> int:
     if n_stats < n_files:
         recs.append(
             f"{n_files - n_stats}/{n_files} data files lack column "
-            "statistics (written pre-stats) — LakeTable.backfill_stats() "
-            "recovers numeric/timestamp bounds from footers with zero data "
+            "statistics (written pre-stats) — run `backfill-stats` to "
+            "recover numeric/timestamp bounds from footers with zero data "
             "IO; `compact` records exact bounds for every eligible column"
         )
     report = {
@@ -617,6 +632,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sa.add_argument("--out", help="write parquet instead of printing rows")
     sa.set_defaults(fn=cmd_search_any)
+
+    bf = sub.add_parser(
+        "backfill-stats",
+        help="record file statistics from parquet footers (no data IO)",
+    )
+    bf.add_argument("lake_dir")
+    bf.set_defaults(fn=cmd_backfill_stats)
 
     sn = sub.add_parser("snapshot", help="time-travel read of a commit's state")
     sn.add_argument("lake_dir")

@@ -294,3 +294,27 @@ def test_cli_search_and_conjunction(ray_session, clog, tmp_path, capsys):
         ["search", lake_dir, "role", "==", "x", "--and", "turn_idx", "<", "z"]
     ) == 1
     assert "must be int" in capsys.readouterr().err
+
+
+def test_cli_backfill_stats(ray_session, clog, tmp_path, capsys):
+    import json
+
+    from sql_graph_visualizer_ray.cli import main
+    from sql_graph_visualizer_ray.pipelines.cdc import replay
+    from sql_graph_visualizer_ray.state.manifest import Manifest
+
+    lake_dir = str(tmp_path / "lake")
+    replay(clog, lake_dir, num_buckets=4)
+    m = Manifest.load(lake_dir)
+    n_files = sum(len(b["files"]) for b in m.data["buckets"].values())
+    for b in m.data["buckets"].values():
+        b.pop("stats", None)
+    m.save_atomic(lake_dir)
+
+    assert main(["backfill-stats", lake_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_backfilled"] == n_files
+    # second run is a no-op
+    assert main(["backfill-stats", lake_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_backfilled"] == 0
