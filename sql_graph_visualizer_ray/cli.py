@@ -226,13 +226,18 @@ def cmd_search(a) -> int:
     from .pipelines.cdc import LakeTable
 
     lake = LakeTable.open(a.lake_dir)
+
+    def _emsg(e: BaseException) -> str:
+        # str(KeyError) is the repr of its argument (quotes included)
+        return str(e.args[0]) if isinstance(e, KeyError) and e.args else str(e)
+
     try:
         predicates = [
             (col, op, _coerce_search_value(lake, col, op, val))
             for col, op, val in [(a.column, a.op, a.value)] + (a.extra or [])
         ]
     except (ValueError, KeyError) as e:
-        print(str(e), file=sys.stderr)
+        print(_emsg(e), file=sys.stderr)
         return 1
     try:
         t = lake.search_where(
@@ -245,7 +250,7 @@ def cmd_search(a) -> int:
         # ArrowException covers type mismatches the coercion above cannot
         # anticipate (bool/date/decimal/binary columns vs a string --value):
         # pc.equal raises ArrowNotImplementedError, which is NOT a ValueError
-        print(str(e), file=sys.stderr)
+        print(_emsg(e), file=sys.stderr)
         return 1
     if a.out:
         import pyarrow.parquet as pq
@@ -276,7 +281,9 @@ def cmd_search_any(a) -> int:
             max_result_keys=a.max_result_keys,
         )
     except (ValueError, KeyError, pa.lib.ArrowException) as e:
-        print(str(e), file=sys.stderr)
+        # str(KeyError) is the repr of its argument (quotes included)
+        msg = str(e.args[0]) if isinstance(e, KeyError) and e.args else str(e)
+        print(msg, file=sys.stderr)
         return 1
     if a.out:
         import pyarrow.parquet as pq

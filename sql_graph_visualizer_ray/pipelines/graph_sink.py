@@ -36,11 +36,17 @@ EDGE_PAYLOAD_SCHEMA = pa.schema(
 EDGE_COLUMNS = ["source_id", "target_id", "relation_type", "direction"]
 
 
-def _edge_events(t: pa.Table, epoch: int) -> pa.Table:
+def _edge_events(
+    t: pa.Table, epoch: int, *, use_row_ts: bool = False
+) -> pa.Table:
     """Edge rows -> change events. ``lsn`` is a stable hash of the edge key
-    (a retried/duplicated ingest collapses in the LWW merge); ``ts`` is the
-    row's own ``ts`` when present (sync/rebuild keeps original versions),
-    else the ingest epoch (a later epoch's version of an edge wins)."""
+    (a retried/duplicated ingest collapses in the LWW merge). ``ts`` is the
+    ingest epoch — the documented "a later epoch's version wins" ordering —
+    and a ``ts`` column on the input is deliberately IGNORED unless
+    ``use_row_ts=True`` (the sync/rebuild path, which must preserve each
+    stored version's original timestamp): silently honoring caller ts on
+    the ingest path would let a stale source timestamp beat a later
+    epoch's correction."""
     n = t.num_rows
     src = pc.cast(t.column("source_id"), pa.int64())
     tgt = pc.cast(t.column("target_id"), pa.int64())
@@ -56,7 +62,7 @@ def _edge_events(t: pa.Table, epoch: int) -> pa.Table:
     )
     ts = (
         t.column("ts").cast(pa.timestamp("us"))
-        if "ts" in t.column_names
+        if use_row_ts and "ts" in t.column_names
         else pa.array(np.full(n, int(epoch), dtype=np.int64), pa.timestamp("us"))
     )
     return pa.table(
@@ -119,6 +125,23 @@ class EdgeLake:
         relation_type, direction[, op]). ``op`` defaults to "I"; "D" rows
         tombstone the edge. Epoch-fenced and idempotent like ``apply``."""
         ep = int(epoch)
+        if self.reverse is not None:
+            # PRE-ingest lockstep guard. Allowed states: in step (normal),
+            # or re-ingesting exactly the forward lake's last epoch while
+            # the reverse lags (the crash-between-double-writes heal). A
+            # resume that SKIPS the missed epoch (rev < fwd and ep > fwd)
+            # must refuse here: applying the later epoch to the reverse
+            # would advance its watermark past the hole and the read-time
+            # equality guard could never see it again — permanent silent
+            # incompleteness. This guard also bounds the lag to one epoch.
+            fwd0 = self.lake.manifest.applied_epoch
+            rev0 = self.reverse.manifest.applied_epoch
+            if rev0 != fwd0 and not (rev0 < fwd0 == ep):
+                raise RuntimeError(
+                    f"reverse index out of step (reverse at epoch {rev0}, "
+                    f"forward at {fwd0}, ingesting {ep}) — re-ingest epoch "
+                    f"{fwd0} or run sync_reverse()"
+                )
         events = edges.map_batches(
             lambda t: _edge_events(t, ep), batch_format="pyarrow"
         )
@@ -135,9 +158,9 @@ class EdgeLake:
             # forward first (the source of truth), then the reverse index.
             # Same epoch => a crash in between leaves the reverse one epoch
             # behind, and re-running this ingest is a no-op on the forward
-            # lake (epoch fence) while completing the reverse — heals free.
-            # A resume that skips the missed epoch instead is caught by the
-            # read-time epoch guard and repaired by sync_reverse().
+            # lake (epoch fence) while completing the reverse — heals free
+            # (the pre-ingest guard above forces exactly that heal, or
+            # sync_reverse(), before any further epoch may land).
             self.reverse.apply_dataset(
                 events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
             )
@@ -184,7 +207,8 @@ class EdgeLake:
         # would resurrect the edge on the reverse side only
         state = self.lake.read_final(keep_tombstones=True)
         events = state.map_batches(
-            lambda t: _edge_events(t, ep), batch_format="pyarrow"
+            lambda t: _edge_events(t, ep, use_row_ts=True),
+            batch_format="pyarrow",
         )
         c = self.reverse.apply_dataset(events, epoch=ep)
         return {"synced_edges": int(c.get("upserts", 0))}

@@ -337,15 +337,66 @@ def test_reverse_index_guard_and_sync(ray_session, tmp_path):
     got = lk.neighbors(2, direction="in").to_pandas()
     assert set(zip(got.source_id, got.target_id)) == {(1, 2)}  # (3,2) deleted
 
-    # tombstones survived the rebuild: a LATE pre-delete event double-written
-    # afterwards must not resurrect (3,2) on either side
-    lk.ingest(edges_ds([e(3, 2)]), epoch=0 + 2)  # ts=epoch2 > delete ts... use old ts
-    # ingest stamps ts=epoch, so epoch2 legitimately re-creates the edge;
-    # assert both sides agree instead
+    # tombstones survived the rebuild: a genuinely LATE event for (3,2)
+    # whose ts predates the delete's (row-ts events through both lakes,
+    # the sync-path event builder) must not resurrect the edge on EITHER
+    # side — this is exactly what keep_tombstones in sync_reverse buys
+    import pyarrow as pa
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import _edge_events
+
+    late = pa.table(
+        {
+            "source_id": pa.array([3], pa.int64()),
+            "target_id": pa.array([2], pa.int64()),
+            "relation_type": ["R"],
+            "direction": ["outgoing"],
+            "ts": pa.array([0], pa.timestamp("us")),  # older than the delete
+        }
+    )
+    ev = rd.from_arrow(_edge_events(late, 3, use_row_ts=True))
+    lk.lake.apply_dataset(ev, epoch=3)
+    lk.reverse.apply_dataset(ev, epoch=3)
     fwd = {(r.source_id, r.target_id)
            for r in lk.edges_table().to_pandas().itertuples()}
-    inc = set()
-    for n in (2, 4):
-        d = lk.neighbors(n, direction="in").to_pandas()
-        inc |= set(zip(d.source_id, d.target_id))
-    assert inc <= fwd and (3, 2) in fwd
+    assert (3, 2) not in fwd, "late pre-delete event resurrected on forward"
+    d = lk.neighbors(2, direction="in").to_pandas()
+    assert (3, 2) not in set(zip(d.source_id, d.target_id)), (
+        "late pre-delete event resurrected on the REBUILT reverse index"
+    )
+
+    # ...while ingest-path events deliberately IGNORE a caller ts column
+    # (epoch stamping keeps 'later epoch wins'); the re-created edge shows
+    # up on both sides in step
+    lk.ingest(edges_ds([e(3, 2)]), epoch=4)
+    assert (3, 2) in {
+        (r.source_id, r.target_id)
+        for r in lk.edges_table().to_pandas().itertuples()
+    }
+    d = lk.neighbors(2, direction="in").to_pandas()
+    assert (3, 2) in set(zip(d.source_id, d.target_id))
+
+
+def test_reverse_index_refuses_epoch_skip(ray_session, tmp_path):
+    """A resume that SKIPS the epoch the reverse index missed must refuse
+    at ingest: applying the later epoch would advance the reverse watermark
+    past the hole and no guard could ever see it again."""
+    import pytest
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    path = str(tmp_path / "g")
+    lk = EdgeLake(path, num_buckets=2, reverse_index=True)
+    lk.ingest(edges_ds([e(1, 2)]), epoch=0)
+    # crash between the double-writes of epoch 1: forward-only handle
+    EdgeLake(path, num_buckets=2).ingest(edges_ds([e(2, 3)]), epoch=1)
+
+    lk2 = EdgeLake(path, num_buckets=2, reverse_index=True)
+    with pytest.raises(RuntimeError, match="out of step"):
+        lk2.ingest(edges_ds([e(3, 4)]), epoch=2)  # skip attempt
+    # the sanctioned heal: re-ingest exactly the lagging epoch, then go on
+    lk2.ingest(edges_ds([e(2, 3)]), epoch=1)
+    lk2.ingest(edges_ds([e(3, 4)]), epoch=2)
+    d = lk2.neighbors(3, direction="in").to_pandas()
+    assert set(zip(d.source_id, d.target_id)) == {(2, 3)}

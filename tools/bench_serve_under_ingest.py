@@ -58,6 +58,8 @@ def probe(lake_dir: str, keys, ts_probe):
 
 
 def pct(xs, q):
+    if not xs:  # child finished before the first probe landed
+        return float("nan")
     xs = sorted(xs)
     return xs[min(len(xs) - 1, int(q * len(xs)))]
 
