@@ -120,10 +120,19 @@ class EdgeLake:
         epoch: int,
         shuffle: str = "sort",
         commit_mode: str = "delta",
+        auto_compact_files: int | None = 8,
+        auto_split_bytes: int | None = 1 << 30,
     ) -> dict:
         """Commit one epoch of edges: columns (source_id, target_id,
         relation_type, direction[, op]). ``op`` defaults to "I"; "D" rows
-        tombstone the edge. Epoch-fenced and idempotent like ``apply``."""
+        tombstone the edge. Epoch-fenced and idempotent like ``apply``.
+
+        Auto-management defaults mirror ``replay``/``tail``: after a data
+        commit, buckets holding >= ``auto_compact_files`` files compact and
+        buckets past ``auto_split_bytes`` split — on BOTH lakes when the
+        reverse index is on, so a naive long-lived edge ingest loop keeps
+        per-bucket files and bytes bounded out of the box (None/0
+        disables)."""
         ep = int(epoch)
         if self.reverse is not None:
             # PRE-ingest lockstep guard. Allowed states: in step (normal),
@@ -164,6 +173,12 @@ class EdgeLake:
             self.reverse.apply_dataset(
                 events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
             )
+        if out.get("epochs", 0):
+            for lk in filter(None, (self.lake, self.reverse)):
+                if auto_compact_files:
+                    lk.compact(min_files=auto_compact_files)
+                if auto_split_bytes:
+                    lk.maybe_auto_split(auto_split_bytes)
         return out
 
     def _reverse_ready(self) -> "LakeTable":

@@ -400,3 +400,29 @@ def test_reverse_index_refuses_epoch_skip(ray_session, tmp_path):
     lk2.ingest(edges_ds([e(3, 4)]), epoch=2)
     d = lk2.neighbors(3, direction="in").to_pandas()
     assert set(zip(d.source_id, d.target_id)) == {(2, 3)}
+
+
+def test_edge_ingest_auto_management_bounds_files(ray_session, tmp_path):
+    """A naive 12-commit edge ingest loop keeps per-bucket files bounded on
+    BOTH lakes out of the box (auto-compaction defaults, mirroring
+    replay/tail), and the edge set stays exact."""
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    lk = EdgeLake(str(tmp_path / "g"), num_buckets=2, reverse_index=True)
+    want = set()
+    for ep in range(12):
+        rows = [e(ep, t) for t in range(3)]
+        want |= {(ep, t) for t in range(3)}
+        lk.ingest(edges_ds(rows), epoch=ep)
+    for lake in (lk.lake, lk.reverse):
+        worst = max(len(f) for f in lake.manifest.bucket_files(lake.path).values())
+        assert worst < 8 + 2, f"unbounded delta files: {worst}"
+    got = {(r.source_id, r.target_id)
+           for r in lk.edges_table().to_pandas().itertuples()}
+    assert got == want
+    # every epoch wrote (ep, 1): the reverse index survived the per-commit
+    # compactions/splits with the full incoming set intact
+    d = lk.neighbors(1, direction="in").to_pandas()
+    assert set(zip(d.source_id, d.target_id)) == {(s, 1) for s in range(12)}
