@@ -142,11 +142,38 @@ def run_suite() -> dict:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # NO-RAY serving-path probes against the suite's freshly-replayed lake
+    # (median of 9): reported as a side channel, not part of the suite
+    # metric, so round-over-round suite comparisons stay apples-to-apples
+    import statistics as _stats
+
+    from sql_graph_visualizer_ray.pipelines.cdc import LakeTable
+
+    label = os.path.basename(os.path.normpath(SF_DIR))
+    lake = LakeTable.open(f"/tmp/graft_bench/{label}/suite2")
+    probe = lake.read_final().take(1)[0]
+    serving: dict[str, float] = {}
+    for name, fn in {
+        "lookup_1key_ms": lambda: lake.lookup([probe["conv_id"]]),
+        "search_ts_eq_ms": lambda: lake.search("ts", "==", probe["ts"]),
+        "search_and_ms": lambda: lake.search_where(
+            [("ts", "==", probe["ts"]), ("role", "==", probe["role"])],
+        ),
+    }.items():
+        xs = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            fn()
+            xs.append(time.perf_counter() - t0)
+        serving[name] = round(_stats.median(xs) * 1000, 1)
+
     return {
         "metric": "headline pipeline suite wall-clock (CDC replay + operator set)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "serving_ms": serving,
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
         "cdc_events_per_sec": round(n_events / cdc_sec, 1),
