@@ -535,3 +535,19 @@ def test_search_where_stats_skip_and_errors(lake):
         lake.search_where([("role", "==", "x"), ("nope", "==", 1)])
     with pytest.raises(ValueError, match="unsupported op"):
         lake.search_where([("role", "~~", "x")])
+
+
+def test_search_where_equals_intersection_of_searches(delta_lake):
+    """Algebraic pin: a conjunction's row set equals the intersection of
+    its conjuncts' single-predicate results (same lake, same versions)."""
+    preds = [("role", "==", "user"), ("turn_idx", "<", 12)]
+    both = delta_lake.search_where(preds, max_result_keys=10**6).to_pandas()
+    single = [
+        delta_lake.search(c, o, v, max_result_keys=10**6).to_pandas()
+        for c, o, v in preds
+    ]
+    key = ["conv_id", "turn_idx"]
+    inter = set(map(tuple, single[0][key].values)) & set(
+        map(tuple, single[1][key].values)
+    )
+    assert set(map(tuple, both[key].values)) == inter and len(inter) > 0
