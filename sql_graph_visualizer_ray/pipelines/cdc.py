@@ -1976,6 +1976,18 @@ class LakeTable:
         # cast, files physically missing a column read null and the
         # conjunction fails there).
         by_bucket = m.bucket_files(self.path)
+        # a first-key equality conjunct routes phase 1 to the key's home
+        # bucket (same hash the writer used) — one bucket's files instead
+        # of the lake's. A mistyped value routes "wrongly" only when no
+        # row could match anyway (the stored keys were hashed from the
+        # column's actual values), so the result is identical either way.
+        for _, ph, op, value, _ in compiled:
+            if ph == "conv_id" and op in ("=", "=="):
+                need = self._buckets_for_keys([value], None, by_bucket)
+                by_bucket = {
+                    b: fs for b, fs in by_bucket.items() if need.get(b)
+                }
+                break
         fstats = m.file_stats(self.path)
         paths = [
             p

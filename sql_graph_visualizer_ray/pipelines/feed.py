@@ -122,14 +122,7 @@ class ChangeFeedCursor:
                 f"resync to v{v} does not advance the cursor (at {self.acked})"
             )
         ds = lake.read_final(version=v, keep_tombstones=True)
-        tmp = os.path.join(out_dir, f"_v{v}.writing")
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        with open(os.path.join(tmp, "_FULL_STATE"), "w") as f:
-            f.write(json.dumps({"version": v}))
-        final = os.path.join(out_dir, f"v{v}")
-        shutil.rmtree(final, ignore_errors=True)
-        os.replace(tmp, final)
+        _deliver(ds, out_dir, v, full_state=True)
         for n in os.listdir(out_dir):  # superseded delta deliveries
             if n.startswith("v") and n[1:].isdigit() and int(n[1:]) < v:
                 shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
@@ -163,6 +156,28 @@ class ChangeFeedCursor:
         os.replace(tmp, self.path)
 
 
+def _deliver(ds, out_dir: str, v: int, *, full_state: bool = False) -> None:
+    """Atomic (re)delivery shared by ``drain`` and ``resync``: write to the
+    ``_v{N}.writing`` staging dir, then rename into ``v{N}``. A crash
+    between write and ack re-delivers the commit; naive write_parquet into
+    the existing dir would APPEND a second copy of every row — the staging
+    swap makes re-delivery overwrite instead. ``resync``'s crashed-staging
+    GC keys off the SAME staging name, so the contract lives here in one
+    place. ``full_state`` adds the ``_FULL_STATE`` marker (downstream must
+    REPLACE derived state, not apply a delta)."""
+    import shutil
+
+    tmp = os.path.join(out_dir, f"_v{v}.writing")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    if full_state:
+        with open(os.path.join(tmp, "_FULL_STATE"), "w") as f:
+            f.write(json.dumps({"version": v}))
+    final = os.path.join(out_dir, f"v{v}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+
+
 def drain(
     lake: LakeTable, cursor: ChangeFeedCursor, out_dir: str, *, max_polls: int | None = None
 ) -> list[int]:
@@ -170,24 +185,13 @@ def drain(
     (``out_dir/v{N}/``), acking after each successful write — the restart-
     safe export loop a downstream system would run from cron. Returns the
     versions delivered this call."""
-    import shutil
-
     delivered: list[int] = []
     while max_polls is None or len(delivered) < max_polls:
         nxt = cursor.poll(lake)
         if nxt is None:
             break
         v, ds = nxt
-        final = os.path.join(out_dir, f"v{v}")
-        # atomic (re)delivery: write to a staging dir and rename into place.
-        # A crash between write and ack re-delivers the commit; naive
-        # write_parquet into the existing dir would APPEND a second copy of
-        # every row — the staging swap makes re-delivery overwrite instead.
-        tmp = os.path.join(out_dir, f"_v{v}.writing")
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        shutil.rmtree(final, ignore_errors=True)
-        os.replace(tmp, final)
+        _deliver(ds, out_dir, v)
         cursor.ack(v)
         delivered.append(v)
     return delivered

@@ -278,6 +278,30 @@ def sized_partitions(
     return int(np.clip(size // per_partition_bytes, 2, 4 * cpus))
 
 
+def _has_exchange(ds: rd.Dataset) -> bool:
+    """True when the plan contains an all-to-all/join operator — ``limit``
+    cannot early-stop through those, so an emptiness probe would execute
+    the entire upstream. Name-based check on the logical plan; unknown
+    shapes conservatively count as expensive (materializing is always
+    safe, re-executing is the thing to avoid)."""
+
+    def walk(op) -> bool:
+        name = type(op).__name__.lower()
+        if any(
+            k in name
+            for k in ("sort", "aggregate", "shuffle", "repartition", "join", "zip")
+        ):
+            return True
+        return any(
+            walk(d) for d in (getattr(op, "input_dependencies", None) or [])
+        )
+
+    try:
+        return walk(ds._logical_plan.dag)
+    except Exception:
+        return True
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -286,24 +310,53 @@ def hash_join(
     right_on: str | None = None,
     join_type: str = "inner",
     num_partitions: int | None = None,
+    left_schema_hint: pa.Schema | None = None,
+    right_schema_hint: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Both-sides-large join via Ray's hash-partitioned ``Dataset.join``.
     ``num_partitions=None`` sizes the exchange to the inputs/cluster.
 
-    Inner joins probe each side for one row first (streaming early-stop,
-    ~one block when non-empty): Ray 2.49's hash join crashes when a side is
-    entirely empty (the empty shuffle partitions lose their schema and the
-    Acero kernel can't resolve the key field), so an empty side
-    short-circuits to an empty result with the joined schema — e.g. a
-    relationship rule whose node-set filter matched nothing returns zero
-    edges instead of erroring. Outer joins can't short-circuit this way;
-    callers with legitimately-empty outer sides must guard themselves."""
+    Inner joins probe each side for one row first: Ray 2.49's hash join
+    crashes when a side is entirely empty (the empty shuffle partitions
+    lose their schema and the Acero kernel can't resolve the key field),
+    so an empty side short-circuits to an empty result with the joined
+    schema — e.g. a relationship rule whose node-set filter matched
+    nothing returns zero edges instead of erroring. Map-only inputs
+    early-stop the probe under ``limit(1)`` (~one block); an input whose
+    plan contains an EXCHANGE (sort/aggregate/shuffle/join — limit cannot
+    stop early through those) is materialized first so the probe and the
+    join share one execution instead of running that upstream twice.
+    Outer joins can't short-circuit this way; callers with
+    legitimately-empty outer sides must guard themselves."""
     rkey = right_on or on
+    if join_type == "inner":
+        if _has_exchange(left):
+            left = left.materialize()
+        if _has_exchange(right):
+            right = right.materialize()
     if join_type == "inner" and (
         not left.limit(1).take(1) or not right.limit(1).take(1)
     ):
-        lsch = left.schema().base_schema
-        rsch = right.schema().base_schema
+
+        def _sch(ds: rd.Dataset, hint: pa.Schema | None) -> pa.Schema:
+            # Ray cannot know the schema of an EMPTY mapped dataset (zero
+            # blocks survive materialization) — the *_schema_hint params
+            # exist for exactly this: callers that know their projection's
+            # output schema pass it so the short-circuit can type the empty
+            # result. Otherwise: a clear error beats Acero's deep crash.
+            s = ds.schema(fetch_if_missing=True)
+            if s is not None:
+                return s.base_schema
+            if hint is not None:
+                return hint
+            raise ValueError(
+                "hash_join: an empty input's schema is unknowable (empty "
+                "mapped Dataset) — pass left/right_schema_hint or supply a "
+                "typed empty Dataset (rd.from_arrow(schema.empty_table()))"
+            )
+
+        lsch = _sch(left, left_schema_hint)
+        rsch = _sch(right, right_schema_hint)
         lnames = set(lsch.names)
         fields = list(lsch)
         for f in rsch:
@@ -345,22 +398,45 @@ def apply_relationship_rule(
                 }
             )
 
-        return ds.map_batches(project, batch_format="pyarrow")
+        # projection schema hint: an EMPTY node set's mapped schema is
+        # unknowable to Ray, but ours is a pure column selection — derive
+        # it from the input so hash_join's empty-side short-circuit can
+        # still type its result (a rule whose filter matched nothing)
+        hint = None
+        in_sch = ds.schema(fetch_if_missing=True)
+        if in_sch is not None:
+            b = in_sch.base_schema
+            if id_prop in b.names and match_prop in b.names:
+                hint = pa.schema(
+                    [
+                        (f"{prefix}_id", b.field(id_prop).type),
+                        (f"{prefix}_match", b.field(match_prop).type),
+                    ]
+                )
+        return ds.map_batches(project, batch_format="pyarrow"), hint
 
-    src = side(source_nodes, rule.source_id, rule.source_match, "source")
-    dst = side(target_nodes, rule.target_id, rule.target_match, "target")
+    src, lhint = side(source_nodes, rule.source_id, rule.source_match, "source")
+    dst, rhint = side(target_nodes, rule.target_id, rule.target_match, "target")
     joined = hash_join(
         src, dst, on="source_match", right_on="target_match",
         num_partitions=num_partitions,
+        left_schema_hint=lhint, right_schema_hint=rhint,
     )
 
     def tag(t: pa.Table) -> pa.Table:
+        # constants pinned to pa.string(): a zero-row block (empty-side
+        # join short-circuit) would otherwise infer null-typed columns and
+        # break unions with non-empty rules' edge outputs
         return pa.table(
             {
                 "source_id": t.column("source_id"),
                 "target_id": t.column("target_id"),
-                "relation_type": pa.array([rule.relation_type] * t.num_rows),
-                "direction": pa.array([rule.direction] * t.num_rows),
+                "relation_type": pa.array(
+                    [rule.relation_type] * t.num_rows, pa.string()
+                ),
+                "direction": pa.array(
+                    [rule.direction] * t.num_rows, pa.string()
+                ),
             }
         )
 

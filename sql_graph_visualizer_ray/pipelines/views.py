@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from ..state.manifest import _schema_from_str, _schema_to_str
 from .cdc import CANONICAL_KEYS, LakeTable, _read_files_merged
 
 VIEW_MANIFEST = "VIEW.json"
@@ -136,6 +137,23 @@ class BucketAggView:
                 del self.state["buckets"][bk]
         self.state["gen"] = gen
         self.state["schema"] = schema_fp
+        # pin the view's OUTPUT schema so read() over an empty lake returns
+        # a correctly-typed empty dataset (a zero-column table breaks
+        # schema-bound consumers): probe agg_fn with an empty logical-name
+        # table when no partition exists to take the schema from
+        if not self.state["buckets"]:
+            try:
+                empty_in = pa.schema(
+                    [
+                        pa.field(ren_out.get(f.name, f.name), f.type)
+                        for f in m.payload_schema
+                    ]
+                ).empty_table()
+                self.state["out_schema"] = _schema_to_str(
+                    agg_fn(empty_in).schema
+                )
+            except Exception:
+                self.state.pop("out_schema", None)  # agg needs rows: no pin
         tmp = os.path.join(self.dir, VIEW_MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(self.state, f)
@@ -167,7 +185,12 @@ class BucketAggView:
         ]
         if not paths:
             if "gen" in self.state:
-                # refreshed over an empty lake: a legitimate empty view
+                # refreshed over an empty lake: a legitimate empty view,
+                # typed with the pinned agg output schema when available
+                if self.state.get("out_schema"):
+                    return rd.from_arrow(
+                        _schema_from_str(self.state["out_schema"]).empty_table()
+                    )
                 return rd.from_arrow(pa.Table.from_pylist([]))
             raise RuntimeError("view has never been refreshed")
         return rd.read_parquet(paths)

@@ -77,3 +77,39 @@ def test_compact_with_lineage_rejects_tombstone_drop():
     )
     with pytest.raises(ValueError, match="keep_tombstones"):
         compact_with_lineage(t, keep_tombstones=False)
+
+
+def test_empty_side_edge_rule_keeps_string_schema(ray_session):
+    """An edge rule whose node-set filter matched nothing must emit
+    STRING-typed relation_type/direction (untyped pa.array([]) infers
+    null) so unions with non-empty rules' outputs stay schema-stable."""
+    import pyarrow as pa
+
+    from sql_graph_visualizer_ray.config import RelationshipRule
+    from sql_graph_visualizer_ray.pipelines.relational import (
+        apply_relationship_rule,
+    )
+
+    src_empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+    src_full = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64())}))
+    dst = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64())}))
+    rule = RelationshipRule(name="r", relation_type="REL")
+    empty_out = apply_relationship_rule(src_empty, dst, rule)
+    assert empty_out.count() == 0
+    # the consumer contract: unioning an empty rule's output with a
+    # non-empty rule's must neither crash nor poison the string columns
+    full_out = apply_relationship_rule(src_full, dst, rule)
+    u = full_out.union(empty_out).materialize()
+    sch = u.schema().base_schema
+    assert sch.field("relation_type").type == pa.string()
+    assert sch.field("direction").type == pa.string()
+    assert u.count() == 2
+    # and the typed-constants guarantee at the batch level: a zero-row
+    # block through the tag path keeps string columns (no null inference)
+    zero = pa.table(
+        {
+            "relation_type": pa.array(["REL"] * 0, pa.string()),
+            "direction": pa.array(["outgoing"] * 0, pa.string()),
+        }
+    )
+    assert zero.schema.field("relation_type").type == pa.string()

@@ -232,3 +232,17 @@ def test_view_incremental_refresh(ray_session, clog, tmp_path):
     assert r4["recomputed"] == len(lake.manifest.data["buckets"])
     got = view2.read().to_pandas().sort_values("conv_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, expected())
+
+
+def test_empty_view_read_is_schema_typed(ray_session, tmp_path):
+    """A refreshed-but-empty view must read with the aggregate's OUTPUT
+    schema (pinned by probing agg_fn with an empty typed table), not a
+    zero-column dataset — schema-bound consumers index columns."""
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=4)
+    view = BucketAggView(lake, "v", _make_turns_per_conv())
+    view.refresh()
+    ds = view.read()
+    # (Dataset.to_pandas() drops columns on empty datasets — a Ray quirk —
+    # so the schema is the surface a typed consumer actually binds to)
+    assert ds.schema().names == ["conv_id", "n_turns"]
+    assert ds.count() == 0
