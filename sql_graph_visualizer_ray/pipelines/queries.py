@@ -516,6 +516,7 @@ def build_queries() -> dict:
         "embed_lsh_topk": similarity.lsh_ann_topk,
         "dedup_embed_lsh_pairs": similarity.lsh_near_dup_pairs,
         "multimodal_features": multimodal.extract_features,
+        "multimodal_real_decode": multimodal.decode_features,
     }
 
 
