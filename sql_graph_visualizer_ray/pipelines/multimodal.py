@@ -126,6 +126,25 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP bytes (bottom-up,
+    BGR, 4-byte row padding — the inverse of real_decode)."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up rows
+        line = row[:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        raster += line + b"\x00" * (stride - len(line))
+    data_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(raster)
+
+
 def encode_wav(samples: np.ndarray, *, rate: int = 8000) -> bytes:
     """(n, channels) int16 -> PCM WAV bytes."""
     import io
@@ -142,15 +161,16 @@ def encode_wav(samples: np.ndarray, *, rate: int = 8000) -> bytes:
 
 def synthesize_decodable_payloads(sf_dir: str) -> rd.Dataset:
     """REAL decodable payloads, deterministically derived from doc_id:
-    even ids get an 8x6 P6 PPM gradient image, odd ids a 64-sample 16-bit
-    PCM WAV tone. Output: (doc_id, payload: binary, media_type)."""
+    ids cycle through an 8x6 P6 PPM gradient, a 64-sample 16-bit PCM WAV
+    tone, and a 5x4 24-bit BMP — one payload per format real_decode
+    supports natively. Output: (doc_id, payload: binary, media_type)."""
 
     def encode(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         payloads, media = [], []
         for did in ids:
             did = int(did)
-            if did % 2 == 0:
+            if did % 3 == 0:
                 y, x = np.mgrid[0:6, 0:8]
                 img = np.stack(
                     [
@@ -162,13 +182,18 @@ def synthesize_decodable_payloads(sf_dir: str) -> rd.Dataset:
                 ).astype(np.uint8)
                 payloads.append(encode_ppm(img))
                 media.append("image/ppm")
-            else:
+            elif did % 3 == 1:
                 n = np.arange(64)
                 tone = (
                     np.sin(2 * np.pi * n * ((did % 13) + 1) / 64.0) * 1000
                 ).astype(np.int16)[:, None]
                 payloads.append(encode_wav(tone))
                 media.append("audio/wav")
+            else:
+                y, x = np.mgrid[0:4, 0:5]
+                img = ((x * 50 + y * 60 + did) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(np.stack([img] * 3, axis=-1)))
+                media.append("image/bmp")
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

@@ -3,35 +3,18 @@ this container supports without external libraries (binary P6 PPM,
 uncompressed 24-bit BMP, PCM WAV via stdlib wave), with round-trip and
 ground-truth oracles; PIL/ffmpeg formats still raise loudly."""
 
-import struct
-
 import numpy as np
 import pytest
 
 from sql_graph_visualizer_ray.pipelines.multimodal import (
     RealFeatureExtractor,
+    encode_bmp,
     decode_features,
     encode_ppm,
     encode_wav,
     real_decode,
     synthesize_decodable_payloads,
 )
-
-
-def _bmp_bytes(img: np.ndarray) -> bytes:
-    """Minimal uncompressed 24-bit BMP encoder (bottom-up, BGR, padded)."""
-    h, w, _ = img.shape
-    stride = (w * 3 + 3) & ~3
-    raster = bytearray()
-    for row in img[::-1]:  # bottom-up
-        line = row[:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
-        raster += line + b"\x00" * (stride - len(line))
-    data_off = 14 + 40
-    size = data_off + len(raster)
-    header = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
-                       2835, 2835, 0, 0)
-    return header + info + bytes(raster)
 
 
 def test_ppm_round_trip():
@@ -45,7 +28,7 @@ def test_bmp_decode_ground_truth():
     img[0, 0] = [255, 0, 0]  # top-left red
     img[2, 4] = [0, 0, 255]  # bottom-right blue
     img[1, 2] = [1, 2, 3]
-    out = real_decode(_bmp_bytes(img), "image/bmp")
+    out = real_decode(encode_bmp(img), "image/bmp")
     assert np.array_equal(out, img)
 
 
@@ -85,4 +68,4 @@ def test_decode_features_match_numpy_oracle(ray_session):
         assert got["mean"][i] == pytest.approx(arr.astype(np.float64).mean())
         assert got["std"][i] == pytest.approx(arr.astype(np.float64).std())
     # both modalities present and decoded
-    assert set(got.media_type) == {"image/ppm", "audio/wav"}
+    assert set(got.media_type) == {"image/ppm", "audio/wav", "image/bmp"}
