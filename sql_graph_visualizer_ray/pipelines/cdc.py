@@ -1978,12 +1978,26 @@ class LakeTable:
         by_bucket = m.bucket_files(self.path)
         # a first-key equality conjunct routes phase 1 to the key's home
         # bucket (same hash the writer used) — one bucket's files instead
-        # of the lake's. A mistyped value routes "wrongly" only when no
-        # row could match anyway (the stored keys were hashed from the
-        # column's actual values), so the result is identical either way.
+        # of the lake's. The routing value is cast to the key column's
+        # STORED type first (mirroring lookup): a cross-typed query value
+        # (float 5.0 vs int64 keys) hashes differently raw but Arrow's
+        # ``==`` numeric-promotes, so routing on the raw value would
+        # silently miss rows the unrouted scan finds. Uncastable values
+        # skip routing and take the full scan.
         for _, ph, op, value, _ in compiled:
             if ph == "conv_id" and op in ("=", "=="):
-                need = self._buckets_for_keys([value], None, by_bucket)
+                try:
+                    route_val = pa.scalar(
+                        value, m.payload_schema.field("conv_id").type
+                    ).as_py()
+                except (
+                    pa.ArrowInvalid,
+                    pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError,
+                    OverflowError,
+                ):
+                    break
+                need = self._buckets_for_keys([route_val], None, by_bucket)
                 by_bucket = {
                     b: fs for b, fs in by_bucket.items() if need.get(b)
                 }
@@ -2091,9 +2105,11 @@ class LakeTable:
         the row predicate = OR of ``contains(term)`` over
         ``search_columns`` (default: every string payload column except the
         key). Files recording every searched column as all-null are skipped
-        via manifest stats; files missing ALL searched columns (pre-
-        evolution) are skipped outright. Bounded by ``max_result_keys``
-        exactly like ``search``."""
+        via manifest stats; files physically missing a searched column
+        (pre-evolution) are still scanned — the column reads as null there
+        and matches nothing (stats can't distinguish "column absent" from
+        "stats not recorded", so skipping on absence would be unsafe).
+        Bounded by ``max_result_keys`` exactly like ``search``."""
         if version is not None and version != self.manifest.version:
             return self.snapshot(version).search_any(
                 term,

@@ -134,6 +134,7 @@ class EdgeLake:
         per-bucket files and bytes bounded out of the box (None/0
         disables)."""
         ep = int(epoch)
+        heal = False
         if self.reverse is not None:
             # PRE-ingest lockstep guard. Allowed states: in step (normal),
             # or re-ingesting exactly the forward lake's last epoch while
@@ -145,7 +146,8 @@ class EdgeLake:
             # incompleteness. This guard also bounds the lag to one epoch.
             fwd0 = self.lake.manifest.applied_epoch
             rev0 = self.reverse.manifest.applied_epoch
-            if rev0 != fwd0 and not (rev0 < fwd0 == ep):
+            heal = rev0 < fwd0 == ep
+            if rev0 != fwd0 and not heal:
                 raise RuntimeError(
                     f"reverse index out of step (reverse at epoch {rev0}, "
                     f"forward at {fwd0}, ingesting {ep}) — re-ingest epoch "
@@ -154,7 +156,7 @@ class EdgeLake:
         events = edges.map_batches(
             lambda t: _edge_events(t, ep), batch_format="pyarrow"
         )
-        if self.reverse is not None:
+        if self.reverse is not None and not heal:
             # the reverse apply re-reads its input: materialize the
             # normalized events ONCE so the upstream source scan and
             # hashing do not execute twice (2x storage/write is the
@@ -164,15 +166,25 @@ class EdgeLake:
             events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
         )
         if self.reverse is not None:
-            # forward first (the source of truth), then the reverse index.
-            # Same epoch => a crash in between leaves the reverse one epoch
-            # behind, and re-running this ingest is a no-op on the forward
-            # lake (epoch fence) while completing the reverse — heals free
-            # (the pre-ingest guard above forces exactly that heal, or
-            # sync_reverse(), before any further epoch may land).
-            self.reverse.apply_dataset(
-                events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
-            )
+            if heal:
+                # Heal by REBUILDING from the forward lake's committed
+                # state, never from the caller's events: the forward apply
+                # above no-opped (epoch fence), so if this "re-ingest of
+                # epoch fwd" carries different rows than the original
+                # commit, applying them to the reverse would leave both
+                # lakes at the same epoch with silently divergent
+                # adjacency. sync_reverse() is derived-state repair — it
+                # converges to the source of truth regardless of input.
+                self.sync_reverse()
+            else:
+                # forward first (the source of truth), then the reverse
+                # index. Same epoch => a crash in between leaves the
+                # reverse one epoch behind, and re-running this ingest
+                # heals it via the rebuild branch above (or an explicit
+                # sync_reverse()) before any further epoch may land.
+                self.reverse.apply_dataset(
+                    events, epoch=ep, shuffle=shuffle, commit_mode=commit_mode
+                )
         if out.get("epochs", 0):
             for lk in filter(None, (self.lake, self.reverse)):
                 if auto_compact_files:

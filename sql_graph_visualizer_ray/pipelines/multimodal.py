@@ -2,11 +2,12 @@
 
 The decode hook is REAL for the formats this container can handle without
 external libraries — binary P6 PPM and uncompressed 24-bit BMP (pure
-numpy), PCM WAV (stdlib ``wave``) — with round-trip/ground-truth tests
-(``tests/test_multimodal.py``) and a live pipeline
+numpy), non-interlaced 8-bit RGB PNG (stdlib ``zlib`` + numpy scanline
+unfiltering), PCM WAV (stdlib ``wave``) — with round-trip/ground-truth
+tests (``tests/test_multimodal.py``) and a live pipeline
 (``decode_features`` / the ``multimodal_real_decode`` driver query).
-Compressed formats (JPEG/PNG/MP3) still raise: PIL/ffmpeg are absent, and
-``FakeFeatureExtractor`` remains the deterministic stand-in for them.
+Codec-heavy formats (JPEG/MP3/video) still raise: PIL/ffmpeg are absent,
+and ``FakeFeatureExtractor`` remains the deterministic stand-in for them.
 Every Ray-side concern is real either way: binary columns stay in
 ``batch_format="pyarrow"`` (binary round-trips poorly through pandas
 object dtype), extractors are actor-pool classes (decoder/model init once
@@ -58,12 +59,15 @@ def real_decode(payload: bytes, media_type: str) -> np.ndarray:
 
     - ``image/ppm``  — binary P6, pure numpy header parse + frombuffer;
       returns ``(h, w, 3) uint8``.
-    - ``image/bmp``  — uncompressed 24-bit BI_RGB (bottom-up rows, 4-byte
-      padding, BGR→RGB); returns ``(h, w, 3) uint8``.
+    - ``image/bmp``  — uncompressed 24-bit BI_RGB (bottom-up OR top-down
+      rows, 4-byte padding, BGR→RGB); returns ``(h, w, 3) uint8``.
+    - ``image/png``  — non-interlaced 8-bit RGB (color type 2) via stdlib
+      ``zlib`` + numpy scanline unfiltering (all five PNG filter types);
+      returns ``(h, w, 3) uint8``.
     - ``audio/wav``  — PCM via the stdlib ``wave`` module; returns
       ``(n_samples, n_channels) int16``.
 
-    Compressed formats (JPEG/PNG/MP3/...) still raise — PIL/ffmpeg are
+    Codec-heavy formats (JPEG/MP3/video) still raise — PIL/ffmpeg are
     absent here; a production deployment swaps this hook, the Ray-side
     plumbing (schemas, actor pools, batch sizing) is unchanged."""
     if media_type == "image/ppm":
@@ -72,19 +76,25 @@ def real_decode(payload: bytes, media_type: str) -> np.ndarray:
         # header: P6 <ws> width <ws> height <ws> maxval <ONE ws> raster.
         # Parsed positionally — bytes.split() would also eat raster bytes
         # that happen to be whitespace-valued (the classic PPM pitfall).
-        pos, fields = 2, []
+        # Both scans are bounded so a truncated payload raises instead of
+        # spinning (payload[n:n+1] == b'' is not .isspace()).
+        pos, fields, end = 2, [], len(payload)
         while len(fields) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < end and payload[pos : pos + 1].isspace():
                 pos += 1
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < end and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos == start or pos >= end:
+                raise ValueError("truncated PPM header")
             fields.append(int(payload[start:pos]))
         pos += 1  # exactly one whitespace byte after maxval
         w, h, maxval = fields
         if maxval > 255:
             raise NotImplementedError("16-bit PPM not supported")
         arr = np.frombuffer(payload[pos : pos + w * h * 3], dtype=np.uint8)
+        if arr.size != w * h * 3:
+            raise ValueError("truncated PPM raster")
         return arr.reshape(h, w, 3)
     if media_type == "image/bmp":
         import struct
@@ -92,17 +102,27 @@ def real_decode(payload: bytes, media_type: str) -> np.ndarray:
         if payload[:2] != b"BM":
             raise ValueError("not a BMP payload")
         data_off = struct.unpack_from("<I", payload, 10)[0]
-        hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
+        # biHeight is SIGNED: negative means top-down row order (common in
+        # the wild) — decode it instead of exploding on a 4e9 reshape.
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)[:3]
         bpp = struct.unpack_from("<H", payload, 28)[0]
         compression = struct.unpack_from("<I", payload, 30)[0]
         if bpp != 24 or compression != 0:
             raise NotImplementedError("only uncompressed 24-bit BMP")
+        top_down, h = h < 0, abs(h)
         stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-        rows = np.frombuffer(
+        raster = np.frombuffer(
             payload[data_off : data_off + stride * h], dtype=np.uint8
-        ).reshape(h, stride)[:, : w * 3]
-        img = rows.reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up, BGR→RGB
+        )
+        if raster.size != stride * h:
+            raise ValueError("truncated BMP raster")
+        rows = raster.reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+        if not top_down:
+            img = img[::-1]  # bottom-up storage → natural row order
         return np.ascontiguousarray(img)
+    if media_type == "image/png":
+        return _decode_png(payload)
     if media_type == "audio/wav":
         import io
         import wave
@@ -115,8 +135,121 @@ def real_decode(payload: bytes, media_type: str) -> np.ndarray:
             return arr.reshape(-1, f.getnchannels())
     raise NotImplementedError(
         f"decode for {media_type!r} needs PIL/ffmpeg, absent in this "
-        "environment; PPM/BMP/PCM-WAV decode natively, "
+        "environment; PPM/BMP/PNG/PCM-WAV decode natively, "
         "FakeFeatureExtractor is the stand-in for the rest"
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit RGB PNG → (h, w, 3) uint8, stdlib only.
+
+    Chunk walk → concatenated IDAT → ``zlib.decompress`` → per-scanline
+    unfiltering. Filters None/Sub/Up are vectorized (Sub is a cumulative
+    sum per channel, mod 256); Average/Paeth carry a left-pixel dependency
+    so they fall back to a per-byte loop — encoders here and most tools
+    emit 0/1/2, so the slow path is the exception."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, end, idat, w = 8, len(payload), bytearray(), None
+    while pos + 8 <= end:
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos : pos + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += length + 4  # skip CRC (integrity left to the transport)
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2:
+                raise NotImplementedError("only 8-bit RGB (color type 2) PNG")
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = 3
+    for y in range(h):
+        f, cur = filters[y], rows[y]
+        prior = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: Recon[x] = Filt[x] + Recon[x-bpp]
+            out[y] = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            out[y] = (cur + prior) % 256
+        elif f == 3:  # Average (left-dependent: sequential in x)
+            line = out[y]
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (cur[x] + ((left + prior[x]) >> 1)) % 256
+        elif f == 4:  # Paeth (left-dependent: sequential in x)
+            line = out[y]
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b, c = prior[x], prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+                line[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> non-interlaced 8-bit RGB PNG bytes (the
+    inverse of real_decode). filter_type picks the per-scanline filter
+    (0=None, 1=Sub, 2=Up) so tests can exercise each unfilter path."""
+    import struct
+    import zlib
+
+    if filter_type not in (0, 1, 2):
+        raise ValueError("encode_png supports filter types 0/1/2")
+    h, w, _ = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = img.astype(np.int32).reshape(h, w * 3)
+    raster = bytearray()
+    prev = np.zeros(w * 3, np.int32)
+    for row in rows:
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            px = row.reshape(w, 3)
+            left = np.vstack([np.zeros((1, 3), np.int32), px[:-1]])
+            filt = ((px - left) % 256).reshape(-1)
+        else:  # Up
+            filt = (row - prev) % 256
+        raster += bytes([filter_type]) + filt.astype(np.uint8).tobytes()
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -162,15 +295,16 @@ def encode_wav(samples: np.ndarray, *, rate: int = 8000) -> bytes:
 def synthesize_decodable_payloads(sf_dir: str) -> rd.Dataset:
     """REAL decodable payloads, deterministically derived from doc_id:
     ids cycle through an 8x6 P6 PPM gradient, a 64-sample 16-bit PCM WAV
-    tone, and a 5x4 24-bit BMP — one payload per format real_decode
-    supports natively. Output: (doc_id, payload: binary, media_type)."""
+    tone, a 5x4 24-bit BMP, and a 6x5 8-bit RGB PNG (Sub-filtered, so the
+    pipeline exercises real unfiltering) — one payload per format
+    real_decode supports natively. Output: (doc_id, payload, media_type)."""
 
     def encode(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         payloads, media = [], []
         for did in ids:
             did = int(did)
-            if did % 3 == 0:
+            if did % 4 == 0:
                 y, x = np.mgrid[0:6, 0:8]
                 img = np.stack(
                     [
@@ -182,18 +316,30 @@ def synthesize_decodable_payloads(sf_dir: str) -> rd.Dataset:
                 ).astype(np.uint8)
                 payloads.append(encode_ppm(img))
                 media.append("image/ppm")
-            elif did % 3 == 1:
+            elif did % 4 == 1:
                 n = np.arange(64)
                 tone = (
                     np.sin(2 * np.pi * n * ((did % 13) + 1) / 64.0) * 1000
                 ).astype(np.int16)[:, None]
                 payloads.append(encode_wav(tone))
                 media.append("audio/wav")
-            else:
+            elif did % 4 == 2:
                 y, x = np.mgrid[0:4, 0:5]
                 img = ((x * 50 + y * 60 + did) % 256).astype(np.uint8)
                 payloads.append(encode_bmp(np.stack([img] * 3, axis=-1)))
                 media.append("image/bmp")
+            else:
+                y, x = np.mgrid[0:6, 0:5]
+                img = np.stack(
+                    [
+                        (x * 37 + did) % 256,
+                        (y * 53 + did * 7) % 256,
+                        (x * y + did) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_png(img, filter_type=1))
+                media.append("image/png")
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

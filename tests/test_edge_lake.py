@@ -402,6 +402,39 @@ def test_reverse_index_refuses_epoch_skip(ray_session, tmp_path):
     assert set(zip(d.source_id, d.target_id)) == {(2, 3)}
 
 
+def test_reverse_heal_with_divergent_data_converges_to_forward(
+    ray_session, tmp_path
+):
+    """The crash heal rebuilds the reverse index from the forward lake's
+    COMMITTED state: a heal-epoch re-ingest carrying different rows than
+    the original commit (caller bug / nondeterministic source) no-ops on
+    the forward lake (epoch fence) and must NOT plant those rows in the
+    reverse lake — adjacency stays identical on both sides."""
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    path = str(tmp_path / "g")
+    lk = EdgeLake(path, num_buckets=2, reverse_index=True)
+    lk.ingest(edges_ds([e(1, 2)]), epoch=0)
+    # crash between the double-writes of epoch 1 (forward-only handle)
+    EdgeLake(path, num_buckets=2).ingest(edges_ds([e(2, 3)]), epoch=1)
+
+    # heal re-ingest of epoch 1 with DIFFERENT data
+    lk2 = EdgeLake(path, num_buckets=2, reverse_index=True)
+    lk2.ingest(edges_ds([e(7, 8)]), epoch=1)
+    assert lk2.reverse.manifest.applied_epoch == 1
+    fwd = {
+        (r.source_id, r.target_id)
+        for r in lk2.edges_table().to_pandas().itertuples()
+    }
+    assert fwd == {(1, 2), (2, 3)}  # the divergent row never landed
+    d = lk2.neighbors(3, direction="in").to_pandas()
+    assert set(zip(d.source_id, d.target_id)) == {(2, 3)}
+    d = lk2.neighbors(8, direction="in")
+    assert d.num_rows == 0  # divergent edge absent from the reverse too
+
+
 def test_edge_ingest_auto_management_bounds_files(ray_session, tmp_path):
     """A naive 12-commit edge ingest loop keeps per-bucket files bounded on
     BOTH lakes out of the box (auto-compaction defaults, mirroring

@@ -160,6 +160,31 @@ def test_lookup_native_keys_on_edge_lake(tmp_path):
     assert pair.num_rows == 1 and pair.column("target_id")[0].as_py() == 3
 
 
+def test_search_key_routing_casts_cross_typed_value(tmp_path):
+    """A key-equality search with a cross-typed value (float 1.0 against
+    int64 keys) must route to the SAME home bucket as the stored int —
+    Arrow '==' numeric-promotes, so the unrouted scan would match; routing
+    on the raw value's hash would silently return empty."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+
+    lake = EdgeLake(str(tmp_path / "edges"), num_buckets=8)
+    rows = [
+        {"source_id": s, "target_id": t, "relation_type": "KNOWS",
+         "direction": "outgoing", "op": "I"}
+        for s, t in [(1, 2), (1, 3), (2, 3), (7, 1)]
+    ]
+    lake.ingest(rd.from_arrow(pa.Table.from_pylist(rows)), epoch=0)
+    want = lake.lake.search("source_id", "==", 1).to_pandas()
+    got = lake.lake.search("source_id", "==", 1.0).to_pandas()  # float query
+    assert len(want) == 2
+    assert got.equals(want)
+    # an uncastable value skips routing and (correctly) matches nothing
+    assert lake.lake.search_where([("source_id", "==", 1.5)]).num_rows == 0
+
+
 def test_reader_snapshot_isolation(clog, tmp_path):
     """A read_final Dataset captures the manifest at creation; commits that
     land afterwards don't bleed into it (published files are immutable
