@@ -490,42 +490,154 @@ def with_hash_part(
 
 
 def cooccurrence_pairs(
-    ds: rd.Dataset, *, group_col: str, item_col: str
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    item_col: str,
+    group_cap: int = 4096,
+    num_parts: int = NUM_PARTS,
 ) -> rd.Dataset:
     """All (item_a < item_b) pairs sharing a group, counted across groups.
 
-    groupby(group).map_groups emits per-group pairs (vectorized triangle
-    indices); a second small groupby counts pair weights. Skewed groups note:
-    a group with k items emits k*(k-1)/2 pairs — cap or salt upstream if a
-    group can be huge."""
+    SKEW SAFETY: a group with k items emits k*(k-1)/2 pairs, so a hot group
+    would pin its whole O(k^2) triangle on one task. Pass 1 scans per-group
+    distinct-item counts (tiny output: only groups past ``group_cap``
+    reach the driver). Pass 2 routes rows: normal groups take the coarse
+    hash-partition path (per-group vectorized triangles inside a pandas
+    groupby, every group <= group_cap items); each HOT group's items hash
+    into C = ceil(k/group_cap) sub-chunks and every chunk PAIR (i <= j)
+    becomes its own bounded task (<= 2*group_cap items, <= group_cap^2
+    pairs) — the same triangle chunk-pair decomposition as
+    ``similarity.lsh_near_dup_pairs`` / ``dedup._mine_candidates_skew_safe``,
+    at the cost of replicating each hot member C times. Every unordered
+    pair lands in EXACTLY one task (two chunk members meet only in their
+    chunks' one pair task), so the emitted pair set is identical to the
+    unchunked form — pinned by a cap-parity test
+    (``tests/test_relational.py``). A second small groupby counts pair
+    weights."""
 
     import pandas as pd
 
-    def emit_pairs_coarse(g: pd.DataFrame) -> pa.Table:
-        outs_a: list[np.ndarray] = []
-        outs_b: list[np.ndarray] = []
-        for _, sub in g.groupby(group_col, sort=False):
-            items = np.unique(sub[item_col].to_numpy())
-            if len(items) < 2:
-                continue
-            ia, ib = np.triu_indices(len(items), k=1)
-            outs_a.append(items[ia])
-            outs_b.append(items[ib])
-        if not outs_a:
-            return pa.table(
-                {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64())}
+    sel = ds.select_columns([group_col, item_col])
+
+    # ---- pass 1: hot groups (distinct items > group_cap) ----
+    def oversized(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby(group_col, sort=False)[item_col].nunique()
+        n = n[n > group_cap]
+        return pd.DataFrame(
+            {group_col: n.index.to_numpy(), "n_items": n.to_numpy("int64")}
+        )
+
+    hot_rows = (
+        with_hash_part(sel, group_col, num_parts)
+        .groupby("_part")
+        .map_groups(oversized, batch_format="pandas")
+        .take_all()  # only the over-cap groups — small by construction
+    )
+    hot_id_map = {r[group_col]: i for i, r in enumerate(hot_rows)}
+    C_by_hot = np.array(
+        [-(-int(r["n_items"]) // group_cap) for r in hot_rows], dtype=np.int64
+    )
+    enc = int(C_by_hot.max()) + 1 if len(C_by_hot) else 1  # chunk-key radix
+
+    # ---- pass 2: one routed exchange ----
+    # normal rows -> _gkey = stable_hash(group) % num_parts (coarse path);
+    # hot rows    -> C copies, _gkey = num_parts + (hot_id*enc + i)*enc + j
+    def route(t: pa.Table) -> pa.Table:
+        groups = np.asarray(t.column(group_col).to_numpy(zero_copy_only=False))
+        items = np.asarray(
+            t.column(item_col).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        keys = (pd.util.hash_array(groups) % num_parts).astype(np.int64)
+        if hot_id_map:
+            hid = pd.Series(groups).map(hot_id_map)
+            is_hot = hid.notna().to_numpy()
+        else:
+            is_hot = np.zeros(len(items), dtype=bool)
+        out_k = [keys[~is_hot]]
+        out_g = [groups[~is_hot]]
+        out_i = [items[~is_hot]]
+        if is_hot.any():
+            hid_h = hid.to_numpy()[is_hot].astype(np.int64)
+            it_h = items[is_hot]
+            C_arr = C_by_hot[hid_h]
+            c = (pd.util.hash_array(it_h) % C_arr.astype(np.uint64)).astype(
+                np.int64
             )
+            idx = np.repeat(np.arange(len(it_h)), C_arr)
+            starts = np.cumsum(C_arr) - C_arr
+            i_seq = np.arange(int(C_arr.sum())) - np.repeat(starts, C_arr)
+            c_rep = np.repeat(c, C_arr)
+            lo = np.minimum(i_seq, c_rep)
+            hi = np.maximum(i_seq, c_rep)
+            out_k.append(num_parts + (np.repeat(hid_h, C_arr) * enc + lo) * enc + hi)
+            out_g.append(np.repeat(groups[is_hot], C_arr))
+            out_i.append(it_h[idx])
         return pa.table(
             {
-                "item_a": pa.array(np.concatenate(outs_a), pa.int64()),
-                "item_b": pa.array(np.concatenate(outs_b), pa.int64()),
+                "_gkey": pa.array(np.concatenate(out_k), pa.int64()),
+                group_col: pa.array(
+                    np.concatenate(out_g), t.schema.field(group_col).type
+                ),
+                item_col: pa.array(np.concatenate(out_i), pa.int64()),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64())}
+        )
+        key = int(g["_gkey"].iloc[0])
+        if key < num_parts:  # coarse partition: per-group triangles
+            outs_a: list[np.ndarray] = []
+            outs_b: list[np.ndarray] = []
+            for _, sub in g.groupby(group_col, sort=False):
+                items = np.unique(sub[item_col].to_numpy())
+                if len(items) < 2:
+                    continue
+                ia, ib = np.triu_indices(len(items), k=1)
+                outs_a.append(items[ia])
+                outs_b.append(items[ib])
+            if not outs_a:
+                return empty
+            return pa.table(
+                {
+                    "item_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                    "item_b": pa.array(np.concatenate(outs_b), pa.int64()),
+                }
+            )
+        # hot chunk-pair task: exactly one group, chunks i and j present.
+        # Duplicated (group, item) rows route identically, so np.unique
+        # inside the task dedupes them just like the coarse path.
+        rel = key - num_parts
+        hot_id, i, j = rel // (enc * enc), (rel // enc) % enc, rel % enc
+        C = np.uint64(C_by_hot[hot_id])
+        items = np.unique(g[item_col].to_numpy().astype(np.int64))
+        c = (pd.util.hash_array(items) % C).astype(np.int64)
+        if i == j:  # within-chunk: upper triangle
+            side = items[c == i]
+            if len(side) < 2:
+                return empty
+            ia, ib = np.triu_indices(len(side), k=1)
+            a, b = side[ia], side[ib]
+        else:  # cross-chunk: full bipartite, sides disjoint by residue
+            sa, sb = items[c == i], items[c == j]
+            if not len(sa) or not len(sb):
+                return empty
+            a_ = np.repeat(sa, len(sb))
+            b_ = np.tile(sb, len(sa))
+            a, b = np.minimum(a_, b_), np.maximum(a_, b_)
+        return pa.table(
+            {
+                "item_a": pa.array(a, pa.int64()),
+                "item_b": pa.array(b, pa.int64()),
             }
         )
 
     pairs = (
-        with_hash_part(ds.select_columns([group_col, item_col]), group_col)
-        .groupby("_part")
-        .map_groups(emit_pairs_coarse, batch_format="pandas")
+        sel.map_batches(route, batch_format="pyarrow")
+        .groupby("_gkey")
+        .map_groups(emit_pairs, batch_format="pandas")
     )
     from ray.data.aggregate import Count
 

@@ -113,3 +113,66 @@ def test_empty_side_edge_rule_keeps_string_schema(ray_session):
         }
     )
     assert zero.schema.field("relation_type").type == pa.string()
+
+
+def test_cooccurrence_hot_group_decomposition_parity(ray_session):
+    """A hot group (one group owning most items) must produce EXACTLY the
+    same counted pair set in the decomposed regime (group_cap forced tiny,
+    the group fans into bounded chunk-pair tasks) as in the unchunked
+    regime (cap above every group) — and both must equal a brute-force
+    pandas oracle. This pins the chunk-pair routing to the unchunked
+    semantics, the same parity proof style as the MinHash miner."""
+    import itertools
+
+    import pandas as pd
+
+    from sql_graph_visualizer_ray.pipelines.relational import (
+        cooccurrence_pairs,
+    )
+
+    rows = []
+    # hot group 'H': 500 items (12_4750 pairs if unbounded in one task)
+    rows += [{"g": "H", "item": i * 3 + 1} for i in range(500)]
+    # normal groups, overlapping items so cross-group counts exceed 1
+    for gi in range(20):
+        rows += [{"g": f"g{gi}", "item": (gi * 7 + k * 11) % 90} for k in range(8)]
+    # duplicate (group, item) rows must not inflate counts in either regime
+    rows += rows[:40]
+    ds = rd.from_items(rows)
+
+    def run(cap):
+        return (
+            cooccurrence_pairs(
+                ds, group_col="g", item_col="item", group_cap=cap, num_parts=8
+            )
+            .to_pandas()
+            .sort_values(["item_a", "item_b"])
+            .reset_index(drop=True)
+        )
+
+    decomposed = run(64)     # H (500 items) fans into ceil(500/64)=8 chunks
+    unchunked = run(10_000)  # every group under the cap: original path
+
+    # brute-force oracle
+    df = pd.DataFrame(rows).drop_duplicates()
+    want: dict[tuple, int] = {}
+    for _, sub in df.groupby("g"):
+        for a, b in itertools.combinations(sorted(set(sub["item"])), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    oracle = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in want.items()],
+            columns=["item_a", "item_b", "n_shared"],
+        )
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        decomposed, unchunked.astype(decomposed.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(
+        decomposed.astype({"n_shared": "int64"}),
+        oracle.astype({"item_a": decomposed.item_a.dtype,
+                       "item_b": decomposed.item_b.dtype,
+                       "n_shared": "int64"}),
+    )
