@@ -431,10 +431,15 @@ def schema_discovery(sf_dir: str) -> pa.Table:
 
 def build_queries() -> dict:
     """name -> callable(sf_dir). ORDER MATTERS: the driver's correctness gate
-    checks the first 50 entries, so every oracle-backed query (exactly 50)
-    comes first; the rows-only entries (approximation algorithms with no
-    SQL-expressible oracle — each value-checked against a single-process
-    reimplementation in tests/test_query_oracles.py) sit at the end.
+    checks the FIRST 50 entries only. There are 52 oracle-backed queries;
+    all 52 run with full value-hash oracles in the builder's own sweep
+    (tools/check_queries.py), and the two that sit at positions 51-52 —
+    ``count_all_tables`` and ``sample_orders_mod``, whose operator families
+    stay driver-gated via ``estimate_table_sizes`` (counts) and
+    ``docs_sample_per_lang`` (sampling) — ride on that sweep plus pytest.
+    The rows-only entries (approximation algorithms with no SQL-expressible
+    oracle — each value-checked against a single-process reimplementation
+    in tests/test_query_oracles.py) sit at the very end.
 
     Not registered (bounded exact-pairs demos superseded by the shuffle-
     native LSH paths, kept as library functions with pytest oracles):
@@ -442,7 +447,7 @@ def build_queries() -> dict:
     ``orders_custkey_lookup`` (same plan as orders_lookup_with_timeout,
     which also exercises the S2 deadline)."""
     return {
-        # --- oracle-backed (52 entries: the driver gate covers all) -------
+        # --- oracle-backed, driver-gated (first 50 entries) ---------------
         # CDC core + change feed + incremental view
         "cdc_lww_merge": cdc_lww_merge,
         "cdc_lww_dup_heavy": cdc_lww_dup_heavy,
@@ -464,7 +469,6 @@ def build_queries() -> dict:
         "topk_customers": topk_customers,
         "distinct_segments": distinct_segments,
         "pairs_supplier_copart": pairs_supplier_copart,
-        "count_all_tables": count_all_tables,
         "schema_discovery": schema_discovery,
         # events / windows
         "events_sessionize": events.sessionize,
@@ -487,7 +491,6 @@ def build_queries() -> dict:
         "multimodal_payload_sizes": multimodal.payload_sizes,
         # multi-way join / sampling / window / normalization / surrogate ids
         "join_order_geo": join_order_geo,
-        "sample_orders_mod": sample_orders_mod,
         "window_rank_orders": window_rank_orders,
         "norm_text_quirks": norm_text_quirks,
         "nodes_surrogate_ids": nodes_surrogate_ids,
@@ -506,6 +509,11 @@ def build_queries() -> dict:
         "docs_quality_filter": docs_quality_filter,
         "docs_sample_per_lang": docs_sample_per_lang,
         "text_token_histogram": text_token_histogram,
+        # --- oracle-backed, positions 51-52: outside the driver's 50-entry
+        # gate; full value-hash-checked by tools/check_queries.py + pytest,
+        # operator families driver-covered by the entries named above ------
+        "count_all_tables": count_all_tables,
+        "sample_orders_mod": sample_orders_mod,
         # --- rows-only (approximations; pytest oracles) --------------------
         "events_distinct_users_hll": events_distinct_users_hll,
         "text_langid_counts": _text_langid_counts,
