@@ -295,6 +295,15 @@ def cmd_search_any(a) -> int:
     return 0
 
 
+def cmd_serve(a) -> int:
+    """Serve the lake over HTTP (blocking; no Ray session) — see serve.py
+    for the resolver-to-endpoint mapping."""
+    from .serve import serve
+
+    serve(a.lake_dir, edges_path=a.edges, host=a.host, port=a.port)
+    return 0
+
+
 def cmd_backfill_stats(a) -> int:
     """Record column statistics for pre-stats files from parquet footers —
     zero data IO, publishes a metadata-only commit (no Ray session)."""
@@ -657,6 +666,18 @@ def build_parser() -> argparse.ArgumentParser:
     ve.add_argument("changelog_dir")
     ve.add_argument("lake_dir")
     ve.set_defaults(fn=cmd_verify)
+
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP JSON API over the no-Ray serving path (node/search/"
+        "graph/neighbors/updates — the reference's GraphQL surface)",
+    )
+    sv.add_argument("lake_dir")
+    sv.add_argument("--edges", default=None, help="edge lake dir for "
+                    "/relationships /neighbors /expand")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8265)
+    sv.set_defaults(fn=cmd_serve)
 
     an = sub.add_parser("analyze", help="lake report (json|yaml|summary)")
     an.add_argument("lake_dir")

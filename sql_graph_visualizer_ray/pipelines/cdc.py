@@ -1566,6 +1566,15 @@ class LakeTable:
         pre-existing rows as changes — raises KeyError for all three.
         Metadata-only commits (``stats_backfill``) changed zero rows and
         raise too; the feed cursor skips them like compactions."""
+        files, shape = self._changes_files(version)
+        return rd.read_parquet(files, override_num_blocks=len(files)).map_batches(
+            shape, batch_format="pyarrow"
+        )
+
+    def _changes_files(self, version: int):
+        """Shared by ``changes`` (Ray dataset) and ``changes_table``
+        (no-Ray serving): the commit's delta file list plus the batch
+        shaping function, with the unservable-commit guards."""
         entry = self.manifest.history_entry(self.path, version)
         if (
             entry is None
@@ -1615,9 +1624,82 @@ class LakeTable:
                 [ren_out.get(c, c) for c in t.column_names]
             )
 
-        return rd.read_parquet(files, override_num_blocks=len(files)).map_batches(
-            shape, batch_format="pyarrow"
+        return files, shape
+
+    def changes_table(self, version: int) -> pa.Table:
+        """NO-RAY change feed of one commit, for the serving layer
+        (``serve.py`` ``/updates`` long-poll — the reference's
+        ``GraphUpdates`` subscription shape): same rows and guards as
+        ``changes`` but read on the caller's thread with one pq.read_table.
+        Delta commits are bounded (one commit's rows), so this is a
+        serving-sized read, not a batch scan."""
+        files, shape = self._changes_files(version)
+        tables = [shape(pq.read_table(f)) for f in files]
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    def data_commits_after(self, after: int):
+        """Ascending data-commit versions strictly newer than ``after`` —
+        the servable (delta) feed positions. Shared shape with
+        ``feed.ChangeFeedCursor._data_commits`` but cursorless, for
+        stateless consumers (the HTTP ``/updates`` long-poll)."""
+        for h in self.manifest.history_after(self.path, int(after)):
+            if (
+                not h.get("compaction")
+                and "split_buckets" not in h
+                and "stats_backfill" not in h
+            ):
+                yield int(h["version"])
+
+    def head(self, n: int, *, columns: list[str] | None = None) -> pa.Table:
+        """Bounded NO-RAY merged read: the first ``n`` live rows in bucket
+        order, LWW-merged exactly like ``read_final`` but on the caller's
+        thread, stopping as soon as ``n`` rows are accumulated (a small
+        ``n`` on a large lake opens only the first bucket or two). This is
+        the serving-layer ``graph(limit)`` primitive — use ``read_final``
+        for unbounded batch reads."""
+        from ..stages.apply import lww_compact
+
+        n = int(n)
+        payload, payload_cols, ren_out = self._projection(columns)
+        out_names = [ren_out.get(c, c) for c in payload_cols]
+        empty = pa.schema(
+            [pa.field(ren_out.get(f.name, f.name), f.type) for f in payload]
+        ).empty_table().select(out_names)
+        if n <= 0:
+            return empty
+        phys_target = pa.schema(
+            list(payload)
+            + [pa.field("_lsn", pa.int64()), pa.field("_op", pa.string())]
         )
+        by_bucket = self.manifest.bucket_files(self.path)
+        parts: list[pa.Table] = []
+        have = 0
+        for bk in sorted(by_bucket):
+            paths = by_bucket[bk]
+            if not paths:
+                continue
+            t = pq.read_table(paths, schema=phys_target)
+            t = t.rename_columns(
+                [{"_lsn": "lsn", "_op": "op"}.get(c, c) for c in t.column_names]
+            )
+            if len(paths) > 1:
+                t = lww_compact(t, keep_tombstones=True)
+            t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
+            if t.num_rows:
+                parts.append(t)
+                have += t.num_rows
+            if have >= n:
+                break
+        if not parts:
+            return empty
+        t = pa.concat_tables(parts, promote_options="permissive")
+        t = t.select(payload_cols).rename_columns(out_names)
+        sort_keys = [
+            (k, "ascending") for k in self.manifest.key_columns if k in out_names
+        ]
+        if sort_keys:
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        return t.slice(0, n)
 
     # ------------------------------------------------------------------
     # Read views (merge-on-read)

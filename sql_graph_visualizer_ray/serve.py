@@ -1,0 +1,368 @@
+"""Minimal HTTP JSON serving layer over the NO-RAY serving primitives —
+the engine-side analogue of the reference's primary user surface, its
+GraphQL/REST/WebSocket servers
+(``/root/reference/schema/schema.graphqls:36-61``; resolvers
+``internal/interfaces/graphql/schema.resolvers.go:25-236``; REST + viz
+servers ``cmd/main.go:222,:345``). Every resolver maps onto an endpoint:
+
+=====================================  =====================  ===================
+reference resolver                     endpoint               engine primitive
+=====================================  =====================  ===================
+``node(id)``                           GET /node/<id>         LakeTable.lookup
+``searchNodes(query)``                 GET /search?q=         LakeTable.search_any
+``nodesByType(type)`` (generalized)    GET /where?col&op&val  LakeTable.search_where
+``graph`` (bounded)                    GET /graph?limit=      LakeTable.head
+``relationshipsByType(type)``          GET /relationships?    EdgeLake search
+viz click-to-expand                    GET /neighbors/<id>    EdgeLake.neighbors
+viz k-hop expand                       GET /expand?seeds=     EdgeLake.expand
+``graphUpdates`` subscription          GET /updates?after=    changes_table long-poll
+``config``                             GET /config            manifest snapshot
+=====================================  =====================  ===================
+
+Design: a stdlib ``ThreadingHTTPServer`` — no Ray session anywhere on a
+request path. Every read rides the keyed / manifest-stats-pruned serving
+primitives (O(keys) or O(matching files), never O(lake)), so one process
+in front of a 100 TB lake serves point reads at millisecond latency while
+replay/compaction run elsewhere; scale-out is N stateless server processes
+over the same lake directory (the manifest is immutable-per-version, CAS
+published). The ``GraphUpdates`` push subscription becomes a LONG-POLL:
+``/updates?after=<version>`` blocks up to ``wait`` seconds for the next
+delta commit and returns its rows plus the next cursor — the same
+at-least-once contract as ``feed.ChangeFeedCursor`` with the offset kept
+client-side.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+import pyarrow as pa
+
+from .pipelines.cdc import LakeTable
+
+_MAX_LIMIT = 10_000  # serving-path row cap; batch reads use read_final
+
+
+def _rows(t: pa.Table) -> list[dict]:
+    return t.to_pylist()
+
+
+def _json_default(o):
+    import datetime
+
+    if isinstance(o, (datetime.datetime, datetime.date)):
+        return o.isoformat()
+    if isinstance(o, bytes):
+        return o.hex()
+    return str(o)
+
+
+def _parse_value(raw: str):
+    """Query-string value -> typed predicate value (int, float, or str).
+    search/lookup cast to the stored column type themselves."""
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            continue
+    return raw
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "sgvray/1"
+
+    # -- plumbing -------------------------------------------------------
+    def log_message(self, fmt, *args):  # route through the server hook
+        self.server.log(fmt % args)
+
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload, default=_json_default).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    @property
+    def lake(self) -> LakeTable:
+        return self.server.lake
+
+    @property
+    def edges(self):
+        return self.server.edges
+
+    def _need_edges(self):
+        if self.edges is None:
+            raise LookupError(
+                "this server has no edge lake (start serve() with edges=)"
+            )
+        return self.edges
+
+    def _key(self, raw: str):
+        """Path id segment -> the key column's stored type."""
+        key_type = self.lake.manifest.payload_schema.field("conv_id").type
+        try:
+            return pa.scalar(_parse_value(unquote(raw)), key_type).as_py()
+        except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+            raise ValueError(f"id {raw!r} does not fit key type {key_type}") from e
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self):  # noqa: N802 (stdlib handler contract)
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        parts = [p for p in url.path.split("/") if p]
+        try:
+            if url.path == "/config":
+                return self._send(200, self._config())
+            if url.path == "/graph":
+                return self._send(200, self._graph(q))
+            if parts[:1] == ["node"] and len(parts) == 2:
+                return self._node(parts[1], q)
+            if url.path == "/nodes":
+                return self._nodes(q)
+            if url.path == "/search":
+                return self._search(q)
+            if url.path == "/where":
+                return self._where(q)
+            if url.path == "/relationships":
+                return self._relationships(q)
+            if parts[:1] == ["neighbors"] and len(parts) == 2:
+                return self._neighbors(parts[1], q)
+            if url.path == "/expand":
+                return self._expand(q)
+            if url.path == "/updates":
+                return self._updates(q)
+            return self._send(404, {"error": f"no route {url.path}"})
+        except (ValueError, KeyError) as e:
+            return self._send(400, {"error": str(e)})
+        except LookupError as e:
+            return self._send(404, {"error": str(e)})
+        except RuntimeError as e:
+            return self._send(409, {"error": str(e)})
+
+    def _config(self) -> dict:
+        m = self.lake.manifest
+        return {
+            "version": m.version,
+            "applied_epoch": m.applied_epoch,
+            "num_buckets": m.num_buckets,
+            "key_columns": list(m.key_columns),
+            "counters": m.data.get("counters", {}),
+            "payload_schema": {f.name: str(f.type) for f in m.payload_schema},
+            "has_edges": self.edges is not None,
+        }
+
+    def _limit(self, q, default=100) -> int:
+        n = int(q.get("limit", [default])[0])
+        if not 0 < n <= _MAX_LIMIT:
+            raise ValueError(f"limit must be in 1..{_MAX_LIMIT}")
+        return n
+
+    def _columns(self, q):
+        cols = q.get("columns", [None])[0]
+        return cols.split(",") if cols else None
+
+    def _graph(self, q) -> dict:
+        limit = self._limit(q)
+        nodes = self.lake.head(limit, columns=self._columns(q))
+        rels = (
+            self.edges.lake.head(limit)
+            if self.edges is not None
+            else pa.table({})
+        )
+        return {
+            "nodes": _rows(nodes),
+            "relationships": _rows(rels) if rels.num_rows else [],
+            "truncated_at": limit,
+        }
+
+    def _node(self, raw_id: str, q) -> None:
+        t = self.lake.lookup([self._key(raw_id)], columns=self._columns(q))
+        if t.num_rows == 0:
+            return self._send(404, {"error": f"no live rows for id {raw_id!r}"})
+        return self._send(200, {"rows": _rows(t)})
+
+    def _nodes(self, q) -> None:
+        raw = q.get("ids", [""])[0]
+        if not raw:
+            raise ValueError("ids= is required (comma-separated)")
+        keys = [self._key(r) for r in raw.split(",")]
+        turns = q.get("turns", [None])[0]
+        t = self.lake.lookup(
+            keys,
+            turns=[int(x) for x in turns.split(",")] if turns else None,
+            columns=self._columns(q),
+        )
+        return self._send(200, {"rows": _rows(t)})
+
+    def _search(self, q) -> None:
+        term = q.get("q", [""])[0]
+        if not term:
+            raise ValueError("q= is required")
+        sc = q.get("search_columns", [None])[0]
+        t = self.lake.search_any(
+            term,
+            search_columns=sc.split(",") if sc else None,
+            columns=self._columns(q),
+            max_result_keys=self._limit(q, default=_MAX_LIMIT),
+        )
+        return self._send(200, {"rows": _rows(t)})
+
+    def _where(self, q) -> None:
+        cols, ops, vals = q.get("col", []), q.get("op", []), q.get("value", [])
+        if not cols or not (len(cols) == len(ops) == len(vals)):
+            raise ValueError("need matching col=/op=/value= triples")
+        preds = [
+            (c, op, _parse_value(v)) for c, op, v in zip(cols, ops, vals)
+        ]
+        t = self.lake.search_where(
+            preds,
+            columns=self._columns(q),
+            max_result_keys=self._limit(q, default=_MAX_LIMIT),
+        )
+        return self._send(200, {"rows": _rows(t)})
+
+    def _relationships(self, q) -> None:
+        rel_type = q.get("type", [""])[0]
+        if not rel_type:
+            raise ValueError("type= is required")
+        t = self._need_edges().lake.search(
+            "relation_type",
+            "==",
+            rel_type,
+            max_result_keys=self._limit(q, default=_MAX_LIMIT),
+        )
+        return self._send(200, {"rows": _rows(t)})
+
+    def _neighbors(self, raw_id: str, q) -> None:
+        t = self._need_edges().neighbors(
+            int(raw_id), direction=q.get("direction", ["both"])[0]
+        )
+        return self._send(200, {"rows": _rows(t)})
+
+    def _expand(self, q) -> None:
+        raw = q.get("seeds", [""])[0]
+        if not raw:
+            raise ValueError("seeds= is required (comma-separated ints)")
+        t = self._need_edges().expand(
+            [int(x) for x in raw.split(",")],
+            hops=int(q.get("hops", [1])[0]),
+            direction=q.get("direction", ["out"])[0],
+        )
+        return self._send(200, {"rows": _rows(t)})
+
+    def _updates(self, q) -> None:
+        """GraphUpdates-shaped long-poll: the next data commit after
+        ``after``, blocking up to ``wait`` seconds for one to land. The
+        client advances its own cursor to the returned ``cursor``.
+        Unservable positions (rewrite commit / compacted-away feed) return
+        409 with the resync point — same loud contract as
+        ``ChangeFeedCursor.poll``."""
+        after = int(q.get("after", [-1])[0])
+        wait = min(float(q.get("wait", [0])[0]), 30.0)
+        deadline = time.monotonic() + wait
+        while True:
+            self.lake.reload()
+            v = next(iter(self.lake.data_commits_after(after)), None)
+            if v is not None:
+                try:
+                    t = self.lake.changes_table(v)
+                except KeyError as e:
+                    return self._send(
+                        409,
+                        {
+                            "error": str(e),
+                            "resync_to": self.lake.manifest.version,
+                            "hint": "read a full snapshot at resync_to and "
+                            "continue with after=resync_to",
+                        },
+                    )
+                return self._send(
+                    200, {"version": v, "cursor": v, "rows": _rows(t)}
+                )
+            if time.monotonic() >= deadline:
+                return self._send(200, {"cursor": after, "rows": []})
+            time.sleep(min(0.1, max(0.0, deadline - time.monotonic())))
+
+
+class GraphServer:
+    """Embeddable server: ``with GraphServer(lake_path) as s: GET s.url...``.
+
+    ``edges_path`` optionally attaches an ``EdgeLake`` (with its reverse
+    index if one exists on disk) for the relationship endpoints. ``port=0``
+    picks a free port. Runs on a daemon thread; ``close()`` (or the context
+    manager) shuts it down."""
+
+    def __init__(
+        self,
+        lake_path: str,
+        *,
+        edges_path: str | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        quiet: bool = True,
+    ):
+        import os
+
+        self.lake = LakeTable.open(lake_path)
+        self.edges = None
+        if edges_path is not None:
+            from .pipelines.graph_sink import EdgeLake
+
+            nb = LakeTable.open(edges_path).manifest.num_buckets
+            self.edges = EdgeLake(
+                edges_path,
+                num_buckets=nb,
+                reverse_index=os.path.isdir(edges_path.rstrip("/") + "_rev"),
+            )
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.daemon_threads = True
+        self._httpd.lake = self.lake
+        self._httpd.edges = self.edges
+        self._httpd.log = (lambda msg: None) if quiet else print
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "GraphServer":
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def __enter__(self) -> "GraphServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def serve(
+    lake_path: str,
+    *,
+    edges_path: str | None = None,
+    host: str = "127.0.0.1",
+    port: int = 8265,
+) -> None:
+    """Blocking entry point (the ``cli serve`` verb)."""
+    s = GraphServer(
+        lake_path, edges_path=edges_path, host=host, port=port, quiet=False
+    )
+    print(f"serving {lake_path} on {s.url}")
+    s.start()
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        s.close()

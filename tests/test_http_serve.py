@@ -1,0 +1,188 @@
+"""HTTP serving layer (serve.GraphServer): every endpoint must match the
+library primitive it wraps (lookup/search_any/search_where/neighbors/
+expand/head/changes_table), run with NO Ray session on the request path,
+and speak the reference's resolver shapes (node / searchNodes / graph /
+relationshipsByType / graphUpdates long-poll)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+import ray.data as rd
+
+from sql_graph_visualizer_ray.pipelines.cdc import LakeTable
+from sql_graph_visualizer_ray.pipelines.graph_sink import EdgeLake
+from sql_graph_visualizer_ray.serve import GraphServer
+from sql_graph_visualizer_ray.sources.changelog import ChangelogSpec, materialize
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get_err(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def served(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_serve")
+    clog = materialize(
+        "http_serve", ChangelogSpec(n_events=6000, n_convs=120, n_epochs=3, seed=5)
+    )
+    lake = LakeTable.open(str(root / "lake"), num_buckets=8)
+    lake.apply(clog)
+
+    edges = EdgeLake(str(root / "edges"), num_buckets=4, reverse_index=True)
+    rows = [
+        {"source_id": s, "target_id": t, "relation_type": "KNOWS",
+         "direction": "outgoing"}
+        for s in range(10)
+        for t in ((s + 1) % 10, (s + 4) % 10)
+    ]
+    edges.ingest(rd.from_items(rows), epoch=0)
+
+    with GraphServer(
+        str(root / "lake"), edges_path=str(root / "edges")
+    ) as srv:
+        yield srv, lake, edges, clog
+
+
+def test_config_and_graph(served):
+    srv, lake, edges, _ = served
+    st, cfg = _get(srv.url + "/config")
+    assert st == 200
+    assert cfg["version"] == lake.manifest.version
+    assert cfg["applied_epoch"] == lake.manifest.applied_epoch
+    assert cfg["has_edges"] is True
+    assert "conv_id" in cfg["payload_schema"] or cfg["key_columns"]
+
+    st, g = _get(srv.url + "/graph?limit=25")
+    assert st == 200
+    assert len(g["nodes"]) == 25
+    assert len(g["relationships"]) == 20  # whole edge set fits the limit
+    # bounded head == the first 25 rows of the full merged read
+    want = lake.head(25).to_pylist()
+    assert [r["conv_id"] for r in g["nodes"]] == [r["conv_id"] for r in want]
+
+
+def test_node_endpoint_matches_lookup(served):
+    srv, lake, _, _ = served
+    conv = lake.final_table().column("conv_id")[0].as_py()
+    st, out = _get(f"{srv.url}/node/{conv}")
+    assert st == 200
+    want = lake.lookup([conv]).to_pylist()
+    assert len(out["rows"]) == len(want)
+    assert [r["turn_idx"] for r in out["rows"]] == [r["turn_idx"] for r in want]
+    assert [r["text"] for r in out["rows"]] == [r["text"] for r in want]
+
+    st, err = _get_err(srv.url + "/node/no_such_conv_id_xyz")
+    assert st == 404 and "no live rows" in err["error"]
+
+
+def test_search_endpoints_match_primitives(served):
+    srv, lake, _, _ = served
+    # pick a term guaranteed to hit: a word from some stored text
+    sample = lake.head(5).to_pylist()
+    term = next(
+        w for r in sample for w in (r["text"] or "").split() if len(w) >= 4
+    )
+    st, out = _get(f"{srv.url}/search?q={term}")
+    want = lake.search_any(term)
+    assert st == 200 and len(out["rows"]) == want.num_rows > 0
+
+    st, out = _get(srv.url + "/where?col=role&op==&value=user")
+    want = lake.search_where([("role", "=", "user")])
+    assert st == 200 and len(out["rows"]) == want.num_rows > 0
+
+    # conjunction via repeated triples
+    st, out2 = _get(
+        srv.url + "/where?col=role&op==&value=user&col=turn_idx&op=<&value=3"
+    )
+    want2 = lake.search_where([("role", "=", "user"), ("turn_idx", "<", 3)])
+    assert st == 200 and len(out2["rows"]) == want2.num_rows > 0
+    assert len(out2["rows"]) < len(out["rows"])
+
+
+def test_edge_endpoints_match_primitives(served):
+    srv, _, edges, _ = served
+    st, out = _get(srv.url + "/neighbors/3?direction=both")
+    want = edges.neighbors(3, direction="both").to_pylist()
+    assert st == 200
+    assert [(r["source_id"], r["target_id"]) for r in out["rows"]] == [
+        (r["source_id"], r["target_id"]) for r in want
+    ]
+
+    st, out = _get(srv.url + "/expand?seeds=0&hops=2&direction=out")
+    want = edges.expand([0], hops=2, direction="out").to_pylist()
+    assert st == 200 and len(out["rows"]) == len(want)
+
+    st, out = _get(srv.url + "/relationships?type=KNOWS")
+    assert st == 200 and len(out["rows"]) == 20
+    st, out = _get(srv.url + "/relationships?type=NOPE")
+    assert st == 200 and out["rows"] == []
+
+
+def test_updates_long_poll(served, tmp_path):
+    srv, lake, _, clog = served
+    # from the beginning: first data commit
+    st, first = _get(srv.url + "/updates?after=-1")
+    assert st == 200 and first["rows"] and first["version"] >= 0
+    want = lake.changes_table(first["version"])
+    assert len(first["rows"]) == want.num_rows
+
+    # at the head: empty poll returns immediately with the same cursor
+    head = lake.manifest.version
+    st, out = _get(f"{srv.url}/updates?after={head}&wait=0.2")
+    assert st == 200 and out["rows"] == [] and out["cursor"] == head
+
+    # long-poll actually waits for a commit that lands mid-flight
+    result = {}
+
+    def poll():
+        result["r"] = _get(f"{srv.url}/updates?after={head}&wait=20")
+
+    th = threading.Thread(target=poll)
+    th.start()
+    import pyarrow as pa
+
+    writer = LakeTable.open(lake.path)
+    sch = writer.manifest.payload_schema
+    ev = pa.table(
+        {
+            "lsn": pa.array([10**12], pa.int64()),
+            "op": ["I"],
+            "conv_id": pa.array(["zzz_new_conv"]).cast(sch.field("conv_id").type),
+            "turn_idx": pa.array([0]).cast(sch.field("turn_idx").type),
+            "role": ["user"],
+            "text": ["hello from the long poll test"],
+            "tool": pa.array([None], sch.field("tool").type),
+            "ts": pa.array([10**15], pa.timestamp("us")),
+        }
+    )
+    writer.apply_dataset(
+        rd.from_arrow(ev), epoch=writer.manifest.applied_epoch + 1
+    )
+    th.join(timeout=30)
+    assert not th.is_alive()
+    st, upd = result["r"]
+    assert st == 200 and upd["cursor"] > head and upd["rows"]
+
+
+def test_bad_requests(served):
+    srv = served[0]
+    st, err = _get_err(srv.url + "/where?col=role")  # missing op/value
+    assert st == 400
+    st, err = _get_err(srv.url + "/graph?limit=0")
+    assert st == 400
+    st, err = _get_err(srv.url + "/nope")
+    assert st == 404
+    st, err = _get_err(srv.url + "/where?col=not_a_column&op==&value=1")
+    assert st == 400 and "not_a_column" in err["error"]

@@ -576,3 +576,22 @@ def test_search_where_equals_intersection_of_searches(delta_lake):
         map(tuple, single[1][key].values)
     )
     assert set(map(tuple, both[key].values)) == inter and len(inter) > 0
+
+
+def test_head_bounded_noray_read(lake):
+    """head(n): no-Ray bounded merged read. With n >= row count it must
+    equal the full Ray merge-on-read path (read_final/final_table); with a
+    small n it returns exactly n live rows, every one present in the full
+    state (so LWW merge and tombstone filtering happened per bucket)."""
+    full = lake.final_table().to_pandas()
+    big = lake.head(10 ** 9).to_pandas()
+    assert big.sort_values(["conv_id", "turn_idx"], ignore_index=True).equals(
+        full.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    small = lake.head(17).to_pandas()
+    assert len(small) == 17
+    keyed = full.set_index(["conv_id", "turn_idx"])
+    for r in small.itertuples():
+        assert (r.conv_id, r.turn_idx) in keyed.index
+        assert keyed.loc[(r.conv_id, r.turn_idx)].text == r.text
+    assert lake.head(0).num_rows == 0
