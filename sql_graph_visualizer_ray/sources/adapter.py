@@ -108,11 +108,24 @@ def _arrow_batches_from_sql(
     cur = conn.cursor() if hasattr(conn, "cursor") else conn
     cur.execute(query)
     names = [d[0] for d in cur.description]
+    # DBAPI gives no column types; from_pylist infers per chunk. Keep the
+    # stream type-stable: a chunk whose column is all-NULL inherits the type
+    # seen in an earlier chunk (string if never seen), so downstream schema
+    # evolution never sees a spurious null-typed column.
+    seen: dict[str, pa.DataType] = {}
     while True:
         rows = cur.fetchmany(rows_per_epoch)
         if not rows:
             break
-        yield pa.Table.from_pylist([dict(zip(names, r)) for r in rows])
+        t = pa.Table.from_pylist([dict(zip(names, r)) for r in rows])
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if pa.types.is_null(col.type):
+                col = col.cast(seen.get(name, pa.string()))
+            seen[name] = col.type
+            cols[name] = col
+        yield pa.table(cols)
 
 
 def sql_to_epochs(
@@ -133,6 +146,18 @@ def _fetchall(conn, query: str) -> list[tuple]:
     cur = conn.cursor() if hasattr(conn, "cursor") else conn
     cur.execute(query)
     return list(cur.fetchall())
+
+
+def _is_sqlite(conn) -> bool:
+    """SQLite has no ``information_schema`` — every introspection entry
+    point below dispatches to a PRAGMA dialect for its connections. This is
+    the engine's second live backend, mirroring the reference's
+    MySQL/PostgreSQL dual-repository matrix
+    (``/root/reference/internal/infrastructure/persistence/postgresql/repository.go:50-86``):
+    one generic pull path, per-dialect metadata."""
+    import sqlite3
+
+    return isinstance(conn, sqlite3.Connection)
 
 
 _SCHEMA_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
@@ -169,6 +194,9 @@ def _current_schema(conn) -> str | None:
 
 
 def _probe_schema(conn) -> str | None:
+    if _is_sqlite(conn):
+        # the connection's primary attached database is always "main"
+        return "main"
     for probe in ("SELECT current_schema()", "SELECT DATABASE()"):
         try:
             rows = _fetchall(conn, probe)
@@ -195,19 +223,26 @@ class SourceValidationError(RuntimeError):
 def open_source(dsn: str):
     """DSN front door: validate and open a source connection.
 
-    Accepts ``duckdb:///path/to.db``, ``duckdb://:memory:``, ``:memory:``
-    or a plain filesystem path to a DuckDB database. Mirrors the
+    Accepts ``duckdb:///path/to.db``, ``sqlite:///path/to.db`` (stdlib —
+    the second live backend of the dual-engine matrix, see ``_is_sqlite``),
+    ``duckdb://:memory:`` / ``sqlite://:memory:``, bare ``:memory:``
+    (DuckDB), or a plain filesystem path — sniffed by file magic, so a
+    SQLite file routes to sqlite3 and anything else to DuckDB. Mirrors the
     reference's pre-connect validation pass
     (``universal_database_service.go:76-112``: type check, parameter
     sanity, then connect) — unsupported schemes and missing files fail
-    HERE with a clear message, not deep inside the first query.
+    HERE with a clear message, not deep inside the first query. For SQLite
+    in particular the existence check matters: ``sqlite3.connect`` would
+    otherwise silently CREATE an empty database at a mistyped path.
     """
+    scheme = None
     if "://" in dsn:
         scheme, _, rest = dsn.partition("://")
-        if scheme.lower() != "duckdb":
+        scheme = scheme.lower()
+        if scheme not in ("duckdb", "sqlite"):
             raise SourceValidationError(
                 f"unsupported source scheme {scheme!r} (this build speaks "
-                "duckdb DSNs and DBAPI connections passed directly)"
+                "duckdb/sqlite DSNs and DBAPI connections passed directly)"
             )
         path = rest.lstrip("/") if rest != ":memory:" else rest
         if rest.startswith("/") and rest != ":memory:":
@@ -218,7 +253,31 @@ def open_source(dsn: str):
         raise SourceValidationError(
             f"source database does not exist: {path!r}"
         )
+    if scheme is None and path != ":memory:":
+        with open(path, "rb") as f:
+            magic = f.read(16)
+        scheme = "sqlite" if magic == b"SQLite format 3\x00" else "duckdb"
     try:
+        if scheme == "sqlite":
+            import sqlite3
+
+            # SQLite stores datetimes as TEXT; without decltype detection a
+            # pulled ts column arrives as ISO strings and fails to unify
+            # with a timestamp-typed lake schema. Register explicit ISO
+            # converters (the stdlib defaults are deprecated since 3.12)
+            # so TIMESTAMP/DATE-declared columns round-trip as datetimes.
+            import datetime as _dt
+
+            sqlite3.register_converter(
+                "TIMESTAMP",
+                lambda b: _dt.datetime.fromisoformat(b.decode()),
+            )
+            sqlite3.register_converter(
+                "DATE", lambda b: _dt.date.fromisoformat(b.decode())
+            )
+            return sqlite3.connect(
+                path, detect_types=sqlite3.PARSE_DECLTYPES
+            )
         import duckdb
 
         return duckdb.connect(path)
@@ -258,6 +317,67 @@ def validate_source(conn, *, required_tables: Iterable[str] = ()) -> dict:
     return {"schema": _current_schema(conn), "n_tables": len(tables)}
 
 
+def _sqlite_table_names(conn) -> list[str]:
+    rows = _fetchall(
+        conn,
+        "SELECT name FROM sqlite_master WHERE type = 'table' "
+        "AND name NOT LIKE 'sqlite_%' ORDER BY name",
+    )
+    return [r[0] for r in rows]
+
+
+def _sqlite_table_info(conn, table: str) -> list[tuple]:
+    # (cid, name, type, notnull, dflt_value, pk) per column, ordinal order
+    q = table.replace('"', '""')
+    return _fetchall(conn, f'PRAGMA table_info("{q}")')
+
+
+def _sqlite_foreign_keys(conn) -> list[dict]:
+    """PRAGMA foreign_key_list per table → the same row shape as the
+    information_schema walk. SQLite gives FKs no names; synthesize a
+    deterministic ``{table}_fk{id}``. A NULL "to" column means "the target's
+    PRIMARY KEY" — resolve it positionally against the target's PK list so
+    callers always see a concrete column pair."""
+    out: list[dict] = []
+    pk_cache: dict[str, list[str]] = {}
+    for t in _sqlite_table_names(conn):
+        q = t.replace('"', '""')
+        # (id, seq, table, from, to, on_update, on_delete, match) — PRAGMA
+        # numbers constraints in REVERSE declaration order (last-declared FK
+        # is id 0); renumber into declaration order so synthesized names
+        # sort the way the information_schema dialect's auto-names do.
+        rows = sorted(
+            _fetchall(conn, f'PRAGMA foreign_key_list("{q}")'),
+            key=lambda r: (-r[0], r[1]),
+        )
+        decl = {fk_id: k for k, fk_id in enumerate(dict.fromkeys(r[0] for r in rows))}
+        for r in rows:
+            fk_id, seq, target, src_col, tgt_col = r[0], r[1], r[2], r[3], r[4]
+            if tgt_col is None:
+                if target not in pk_cache:
+                    info = _sqlite_table_info(conn, target)
+                    pks = sorted(
+                        (c for c in info if c[5] > 0), key=lambda c: c[5]
+                    )
+                    pk_cache[target] = [c[1] for c in pks]
+                tgt_col = pk_cache[target][seq]
+            out.append(
+                {
+                    "source_table": t,
+                    "source_column": src_col,
+                    "target_table": target,
+                    "target_column": tgt_col,
+                    "constraint_name": f"{t}_fk{decl[fk_id]}",
+                }
+            )
+    out.sort(
+        key=lambda f: (
+            f["source_table"], f["constraint_name"], f["source_column"]
+        )
+    )
+    return out
+
+
 def introspect_foreign_keys(conn) -> list[dict]:
     """True FK metadata from a live connection (S7 full).
 
@@ -271,6 +391,8 @@ def introspect_foreign_keys(conn) -> list[dict]:
     FK column: source_table/source_column/target_table/target_column/
     constraint_name, deterministically ordered.
     """
+    if _is_sqlite(conn):
+        return _sqlite_foreign_keys(conn)
     rows = _fetchall(
         conn,
         f"""
@@ -303,7 +425,17 @@ def introspect_foreign_keys(conn) -> list[dict]:
 
 def introspect_primary_keys(conn) -> dict[str, list[str]]:
     """table -> PK column list (key order), from table_constraints +
-    key_column_usage."""
+    key_column_usage (SQLite: the pk ordinal in PRAGMA table_info)."""
+    if _is_sqlite(conn):
+        out: dict[str, list[str]] = {}
+        for t in _sqlite_table_names(conn):
+            pks = sorted(
+                (c for c in _sqlite_table_info(conn, t) if c[5] > 0),
+                key=lambda c: c[5],
+            )
+            if pks:
+                out[t] = [c[1] for c in pks]
+        return out
     rows = _fetchall(
         conn,
         f"""
@@ -326,7 +458,13 @@ def introspect_primary_keys(conn) -> dict[str, list[str]]:
 def introspect_columns(conn) -> dict[str, list[str]]:
     """Base-table column inventory (ordinal order) from
     ``information_schema.columns`` — the metadata half of the reference's
-    ``getTableList``/``analyzeTable`` pass."""
+    ``getTableList``/``analyzeTable`` pass. SQLite: sqlite_master + PRAGMA
+    table_info."""
+    if _is_sqlite(conn):
+        return {
+            t: [c[1] for c in _sqlite_table_info(conn, t)]
+            for t in _sqlite_table_names(conn)
+        }
     rows = _fetchall(
         conn,
         f"""
