@@ -24,50 +24,339 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from .relational import NUM_PARTS, read_table, with_hash_part  # noqa: F401
 
 
-def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
+def _sessions_frame(g: pd.DataFrame, gap: np.timedelta64) -> pd.DataFrame:
+    """Vectorized sessionize over one partition's (possibly many) users.
+
+    One sort + one cython groupby-agg; session ids come from a single cumsum
+    over the session-start mask, rebased per user (no per-user Python)."""
+    g = g.sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True
+    )
+    ts = g["ts"].to_numpy()
+    user = g["user_id"].to_numpy()
+    n = len(g)
+    new_user = np.ones(n, dtype=bool)
+    new_user[1:] = user[1:] != user[:-1]
+    new_session = new_user.copy()
+    if n > 1:
+        new_session[1:] |= (ts[1:] - ts[:-1]) > gap
+    sid_global = np.cumsum(new_session)
+    # rebase to 1..k within each user: forward-fill the user's base id
+    base = np.maximum.accumulate(np.where(new_user, sid_global - 1, 0))
+    g = g.assign(session_id=(sid_global - base).astype("int64"))
+    out = g.groupby(["user_id", "session_id"], sort=False, as_index=False).agg(
+        n_events=("event_id", "size"),
+        session_start=("ts", "min"),
+        session_end=("ts", "max"),
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[
+        ["user_id", "session_id", "n_events", "session_start", "session_end"]
+    ]
+
+
+def sessionize(
+    sf_dir: str, *, gap_minutes: int = 30, max_rows_per_task: int | None = None
+) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap since the
     previous event exceeds ``gap_minutes``. Output one row per session:
     (user_id, session_id, n_events, session_start, session_end).
     Tie-break ordering within a user: (ts, event_id) — deterministic and
     matched by the oracle SQL's window ORDER BY.
 
-    One sort + one cython groupby-agg per partition; session ids come from a
-    single cumsum over the session-start mask, rebased per user (no per-user
-    Python)."""
+    ``max_rows_per_task`` is the mega-key escape hatch (the keyed-window
+    analogue of the CDC lake's ``turn_shard_size``): by default all of a
+    user's events land in one coarse partition task; a user owning half the
+    corpus pins one worker. With the bound set, a cheap combiner stats pass
+    finds users whose event count exceeds the bound, a fine time histogram
+    packs each such user's events into contiguous ts-range chunks of at most
+    ``max_rows_per_task`` rows, each chunk sessionizes independently, and the
+    chunk-seam sessions (first/last per chunk — 2 rows per chunk, driver-side
+    by pigeonhole: at most ``2 * total_rows / bound``) are merged exactly:
+    a session can only span a sorted split at the seam. Interior sessions are
+    renumbered distributed via a broadcast (user, chunk) -> id-offset map.
+    Known limit: ``> max_rows_per_task`` events at ONE fine-bucket timestamp
+    cannot be split (order ties) and stay in one task, documented like the
+    conv-bucketing tie limit."""
     gap = np.timedelta64(gap_minutes * 60, "s")
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    if max_rows_per_task is None:
+
+        def per_part(g: pd.DataFrame) -> pd.DataFrame:
+            return _sessions_frame(g, gap)
+
+        return (
+            with_hash_part(ds, "user_id")
+            .groupby("_part")
+            .map_groups(per_part, batch_format="pandas")
+        )
+    return _sessionize_bounded(ds, gap, int(max_rows_per_task))
+
+
+def _plan_chunks(buckets: list[tuple[int, int]], bound: int) -> list[int]:
+    """Greedy-pack contiguous fine buckets into chunks of at most ``bound``
+    rows. Returns the bucket indices where a NEW chunk starts (first chunk
+    implicit). A single bucket larger than ``bound`` becomes its own chunk —
+    the unsplittable-tie case."""
+    cuts: list[int] = []
+    cur = 0
+    for b, c in sorted(buckets):
+        if cur and cur + c > bound:
+            cuts.append(b)
+            cur = 0
+        cur += c
+    return cuts
+
+
+def _sessionize_bounded(
+    ds: rd.Dataset, gap: np.timedelta64, bound: int
+) -> rd.Dataset:
+    """Skew-safe sessionize: heavy users are time-split into bounded chunks,
+    sessionized per chunk, and seam-merged exactly (see ``sessionize``).
+
+    Three pruned passes over (event_id, ts, user_id) — re-reading a pruned
+    projection streams and beats materializing the corpus at 100 TB. Pass A
+    and B are combiner-first: per-batch partials, then a groupby whose output
+    is one row per user (A) / per fine bucket of a heavy user (B)."""
+    gap_td = pd.Timedelta(gap)
+
+    # ---- pass A: per-user counts (combiner), heavy = count > bound --------
+    def partial_stats(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", sort=False, as_index=False).agg(
+            n=("event_id", "size"), ts_lo=("ts", "min"), ts_hi=("ts", "max")
+        )
+
+    stats = (
+        ds.map_batches(partial_stats, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("ts_lo", alias_name="ts_lo"),
+            Max("ts_hi", alias_name="ts_hi"),
+        )
+    )
+    # pigeonhole-small: at most total_rows / bound heavy users
+    heavy = stats.filter(expr=f"n > {bound}").take_all()
+    if not heavy:
+        def per_part(g: pd.DataFrame) -> pd.DataFrame:
+            return _sessions_frame(g, gap)
+
+        return (
+            with_hash_part(ds, "user_id")
+            .groupby("_part")
+            .map_groups(per_part, batch_format="pandas")
+        )
+
+    def _us(t) -> int:
+        return int(pd.Timestamp(t).value // 1000)
+
+    spec: dict[int, tuple[int, int]] = {}  # uid -> (lo_us, fine_us)
+    for r in heavy:
+        uid, n = int(r["user_id"]), int(r["n"])
+        lo, hi = _us(r["ts_lo"]), _us(r["ts_hi"])
+        k = -(-n // bound)  # chunks needed; 16x finer buckets for packing slack
+        fine = max(1, (hi - lo + 1) // max(16, k * 16) + 1)
+        spec[uid] = (lo, fine)
+
+    # ---- pass B: fine time histogram for heavy users only ------------------
+    heavy_ids = np.array(sorted(spec), dtype=np.int64)
+    lo_map = {u: s[0] for u, s in spec.items()}
+    fine_map = {u: s[1] for u, s in spec.items()}
+
+    def partial_hist(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["user_id"].isin(heavy_ids)
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if not m.any():
+            return empty
+        sub = b[m]
+        ts_us = sub["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        lo = sub["user_id"].map(lo_map).to_numpy(dtype="int64")
+        fw = sub["user_id"].map(fine_map).to_numpy(dtype="int64")
+        h = pd.DataFrame(
+            {"user_id": sub["user_id"].to_numpy(), "bucket": (ts_us - lo) // fw}
+        )
+        out = h.groupby(["user_id", "bucket"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype("int64")
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pandas")
+        .groupby(["user_id", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    per_user_buckets: dict[int, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_user_buckets.setdefault(int(r["user_id"]), []).append(
+            (int(r["bucket"]), int(r["n"]))
+        )
+
+    # cut thresholds in epoch-us; chunk_idx = searchsorted(cuts, ts, right)
+    cuts_map: dict[int, np.ndarray] = {}
+    part_base: dict[int, int] = {}
+    part_to_chunk: dict[int, tuple[int, int]] = {}
+    next_part = NUM_PARTS
+    for uid in sorted(per_user_buckets):
+        lo, fine = spec[uid]
+        cut_buckets = _plan_chunks(per_user_buckets[uid], bound)
+        cuts_map[uid] = np.array([lo + b * fine for b in cut_buckets], dtype="int64")
+        part_base[uid] = next_part
+        for c in range(len(cut_buckets) + 1):
+            part_to_chunk[next_part + c] = (uid, c)
+        next_part += len(cut_buckets) + 1
+
+    # ---- pass C: partition light users by hash, heavy by (user, chunk) ----
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(np.asarray(b["user_id"].to_numpy()))
+        part = (h % NUM_PARTS).astype("int64")
+        u = b["user_id"].to_numpy()
+        ts_us = b["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        for uid, cuts in cuts_map.items():  # few heavy users by pigeonhole
+            m = u == uid
+            if m.any():
+                part[m] = part_base[uid] + np.searchsorted(
+                    cuts, ts_us[m], side="right"
+                )
+        return b.assign(_part=part)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True
+        pval = int(g["_part"].iloc[0])
+        out = _sessions_frame(g, gap)
+        if pval < NUM_PARTS:
+            return out.assign(
+                chunk_idx=np.int64(-1),
+                local_idx=out["session_id"],
+                n_local=np.int64(-1),
+            )
+        uid, chunk = part_to_chunk[pval]
+        return out.assign(
+            chunk_idx=np.int64(chunk),
+            local_idx=out["session_id"],
+            n_local=np.int64(len(out)),
         )
-        ts = g["ts"].to_numpy()
-        user = g["user_id"].to_numpy()
-        n = len(g)
-        new_user = np.ones(n, dtype=bool)
-        new_user[1:] = user[1:] != user[:-1]
-        new_session = new_user.copy()
-        if n > 1:
-            new_session[1:] |= (ts[1:] - ts[:-1]) > gap
-        sid_global = np.cumsum(new_session)
-        # rebase to 1..k within each user: forward-fill the user's base id
-        base = np.maximum.accumulate(np.where(new_user, sid_global - 1, 0))
-        g = g.assign(session_id=(sid_global - base).astype("int64"))
-        out = g.groupby(["user_id", "session_id"], sort=False, as_index=False).agg(
-            n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[
-            ["user_id", "session_id", "n_events", "session_start", "session_end"]
-        ]
 
-    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-    return (
-        with_hash_part(ds, "user_id")
+    # session-level rows (post-window aggregation: one row per session, the
+    # output size) are materialized ONCE — the seam pass and the renumber
+    # pass both consume them, and without the pin each consumer would
+    # re-execute the event read + sort exchange from scratch
+    sess = (
+        ds.map_batches(assign, batch_format="pandas")
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
+        .materialize()
     )
+
+    FINAL = ["user_id", "session_id", "n_events", "session_start", "session_end"]
+
+    # seam descriptors: first+last session per heavy chunk — 2 rows per
+    # chunk, driver-side total bounded by 2 * total_rows / bound
+    def seam_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return b[
+            (b["chunk_idx"] >= 0)
+            & ((b["local_idx"] == 1) | (b["local_idx"] == b["n_local"]))
+        ]
+
+    bdesc: dict[tuple[int, int], dict] = {}
+    for r in sess.map_batches(seam_rows, batch_format="pandas").take_all():
+        key = (int(r["user_id"]), int(r["chunk_idx"]))
+        d = bdesc.setdefault(key, {"n_local": int(r["n_local"])})
+        if int(r["local_idx"]) == 1:
+            d["first"] = r
+        if int(r["local_idx"]) == int(r["n_local"]):
+            d["last"] = r
+
+    # driver walk: merge chunk seams, assign final ids. Invariant: count ==
+    # highest assigned id == number of final sessions so far (open included).
+    merged_rows: list[tuple] = []
+    base_id: dict[tuple[int, int], int] = {}
+    first_merged: dict[tuple[int, int], bool] = {}
+    for uid in sorted({u for u, _ in bdesc}):
+        chunks = sorted(c for u, c in bdesc if u == uid)
+        count = 0
+        open_s: dict | None = None
+        for c in chunks:
+            d = bdesc[(uid, c)]
+            f, l = d["first"], d["last"]
+            if (
+                open_s is not None
+                and pd.Timestamp(f["session_start"]) - open_s["end"] <= gap_td
+            ):
+                first_merged[(uid, c)] = True
+                open_s["end"] = pd.Timestamp(f["session_end"])
+                open_s["n"] += int(f["n_events"])
+                base_id[(uid, c)] = count - 1
+                if d["n_local"] > 1:
+                    merged_rows.append(
+                        (uid, open_s["id"], open_s["n"], open_s["start"], open_s["end"])
+                    )
+                    count += d["n_local"] - 1
+                    open_s = {
+                        "id": count,
+                        "start": pd.Timestamp(l["session_start"]),
+                        "end": pd.Timestamp(l["session_end"]),
+                        "n": int(l["n_events"]),
+                    }
+            else:
+                if open_s is not None:
+                    merged_rows.append(
+                        (uid, open_s["id"], open_s["n"], open_s["start"], open_s["end"])
+                    )
+                first_merged[(uid, c)] = False
+                base_id[(uid, c)] = count
+                count += d["n_local"]
+                open_s = {
+                    "id": count,
+                    "start": pd.Timestamp(l["session_start"]),
+                    "end": pd.Timestamp(l["session_end"]),
+                    "n": int(l["n_events"]),
+                }
+        if open_s is not None:
+            merged_rows.append(
+                (uid, open_s["id"], open_s["n"], open_s["start"], open_s["end"])
+            )
+
+    adj = pd.DataFrame(
+        [
+            (u, c, base_id[(u, c)], first_merged[(u, c)])
+            for (u, c) in base_id
+        ],
+        columns=["user_id", "chunk_idx", "base_id", "first_merged"],
+    ).astype({"user_id": "int64", "chunk_idx": "int64", "base_id": "int64"})
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        """Light sessions pass through; heavy-chunk sessions drop the seam
+        rows owned by the driver walk and shift onto their final ids."""
+        light = b[b["chunk_idx"] < 0][FINAL]
+        hv = b[b["chunk_idx"] >= 0]
+        if hv.empty:
+            return light
+        m = hv.merge(adj, on=["user_id", "chunk_idx"], how="left")
+        keep = (m["local_idx"] < m["n_local"]) & ~(
+            (m["local_idx"] == 1) & m["first_merged"].fillna(False).astype(bool)
+        )
+        m = m[keep]
+        m = m.assign(session_id=(m["base_id"] + m["local_idx"]).astype("int64"))
+        return pd.concat([light, m[FINAL]], ignore_index=True)
+
+    out = sess.map_batches(finalize, batch_format="pandas")
+    if merged_rows:
+        mdf = pd.DataFrame(merged_rows, columns=FINAL)
+        mdf = mdf.astype(
+            {
+                "user_id": "int64",
+                "session_id": "int64",
+                "n_events": "int64",
+                "session_start": "datetime64[us]",
+                "session_end": "datetime64[us]",
+            }
+        )
+        out = out.union(rd.from_pandas(mdf))
+    return out
 
 
 def tumbling_window_counts(sf_dir: str) -> rd.Dataset:

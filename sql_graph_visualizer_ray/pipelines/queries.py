@@ -431,12 +431,14 @@ def schema_discovery(sf_dir: str) -> pa.Table:
 
 def build_queries() -> dict:
     """name -> callable(sf_dir). ORDER MATTERS: the driver's correctness gate
-    checks the FIRST 50 entries only. There are 52 oracle-backed queries;
-    all 52 run with full value-hash oracles in the builder's own sweep
-    (tools/check_queries.py), and the two that sit at positions 51-52 —
-    ``count_all_tables`` and ``sample_orders_mod``, whose operator families
-    stay driver-gated via ``estimate_table_sizes`` (counts) and
-    ``docs_sample_per_lang`` (sampling) — ride on that sweep plus pytest.
+    checks the FIRST 50 entries only. There are 53 oracle-backed queries;
+    all 53 run with full value-hash oracles in the builder's own sweep
+    (tools/check_queries.py), and the three at positions 51-53 —
+    ``count_all_tables`` and ``sample_orders_mod`` (operator families
+    stay driver-gated via ``estimate_table_sizes`` and
+    ``docs_sample_per_lang``) plus ``events_sessionize_bounded`` (same
+    oracle as the gated ``events_sessionize``, skew path pinned by
+    tests/test_events_skew.py) — ride on that sweep plus pytest.
     The rows-only entries (approximation algorithms with no SQL-expressible
     oracle — each value-checked against a single-process reimplementation
     in tests/test_query_oracles.py) sit at the very end.
@@ -514,6 +516,7 @@ def build_queries() -> dict:
         # operator families driver-covered by the entries named above ------
         "count_all_tables": count_all_tables,
         "sample_orders_mod": sample_orders_mod,
+        "events_sessionize_bounded": _events_sessionize_bounded,
         # --- rows-only (approximations; pytest oracles) --------------------
         "events_distinct_users_hll": events_distinct_users_hll,
         "text_langid_counts": _text_langid_counts,
@@ -566,6 +569,14 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     checked rows-only by the driver: LSH/minhash/simhash approximations,
     heuristic langid, hash fingerprints, checksum features)."""
     token_re = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r]"
+    d = _oracle_sql_dict(sf_dir, token_re)
+    # the bounded (mega-key escape hatch) sessionize must produce the exact
+    # same result as the plain one — same oracle, different physical plan
+    d["events_sessionize_bounded"] = d["events_sessionize"]
+    return d
+
+
+def _oracle_sql_dict(sf_dir: str, token_re: str) -> dict:
     return {
         "cdc_lww_merge": _cdc_sql(sf_dir, "basic"),
         "cdc_lww_dup_heavy": _cdc_sql(sf_dir, "dup_heavy"),
@@ -937,6 +948,14 @@ def join_order_geo(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def _events_sessionize_bounded(sf_dir: str) -> rd.Dataset:
+    """``events.sessionize`` with the mega-key escape hatch forced live:
+    bound 40 < the max per-user event count at every test sf (86-99), so
+    heavy users go through the time-chunk split + exact seam merge. Must be
+    value-identical to the plain ``events_sessionize``."""
+    return events.sessionize(sf_dir, max_rows_per_task=40)
 
 
 def sample_orders_mod(sf_dir: str) -> rd.Dataset:

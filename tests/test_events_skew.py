@@ -1,0 +1,155 @@
+"""Mega-key escape hatch for keyed windows (VERDICT r4 item 5): a user whose
+events exceed ``max_rows_per_task`` is time-split into bounded chunks,
+sessionized per chunk, and seam-merged exactly. These tests pin the bounded
+path to the plain path and to a DuckDB window oracle on an adversarial
+fixture where one user owns half the corpus — the keyed-window analogue of
+the CDC lake's ``turn_shard_size`` skew tests."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sql_graph_visualizer_ray.pipelines.events import _plan_chunks, sessionize
+
+GAP_MIN = 10
+
+
+def _write_events(tmp_path, df: pd.DataFrame) -> str:
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "event_id": pa.array(df["event_id"], pa.int64()),
+            "ts": pa.array(df["ts"].astype("datetime64[us]")),
+            "user_id": pa.array(df["user_id"], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def _skew_frame() -> pd.DataFrame:
+    """User 1 owns ~50%% of events (2,000 of 4,040) with a mix of intra-gap
+    steps and occasional > gap jumps so sessions both span and break across
+    any time cut; 40 light users carry 51 events each including exact-ts
+    ties (unsplittable within a fine bucket)."""
+    rng = np.random.default_rng(7)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    # heavy user: steps of 1..9 min, with a 25-min (> GAP_MIN) jump every ~37
+    ts = t0
+    for i in range(2000):
+        step = int(rng.integers(60, 9 * 60))
+        if i % 37 == 36:
+            step = 25 * 60
+        ts = ts + np.timedelta64(step, "s")
+        rows.append((i, ts, 1))
+    # light users: bursts with ties and occasional session breaks
+    eid = 2000
+    for uid in range(2, 42):
+        ts = t0 + np.timedelta64(int(rng.integers(0, 3600)), "s")
+        for j in range(51):
+            if j % 17 == 16:
+                ts = ts + np.timedelta64(GAP_MIN * 60 + 61, "s")
+            elif j % 5 != 0:  # every 5th event ties the previous timestamp
+                ts = ts + np.timedelta64(int(rng.integers(30, 300)), "s")
+            rows.append((eid, ts, uid))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    return df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+
+
+def _oracle(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("events", df)
+    out = con.execute(
+        "WITH flagged AS ("
+        "  SELECT user_id, event_id, ts, "
+        f"  CASE WHEN ts - lag(ts) OVER w > INTERVAL {GAP_MIN} MINUTE "
+        "       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "numbered AS ("
+        "  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, "
+        "  event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "MIN(ts) AS session_start, MAX(ts) AS session_end "
+        "FROM numbered GROUP BY user_id, session_id"
+    ).df()
+    con.close()
+    return out
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["session_start"] = df["session_start"].astype("datetime64[us]")
+    df["session_end"] = df["session_end"].astype("datetime64[us]")
+    for c in ("user_id", "session_id", "n_events"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["user_id", "session_id"], ignore_index=True)[
+        ["user_id", "session_id", "n_events", "session_start", "session_end"]
+    ]
+
+
+def test_bounded_sessionize_matches_plain_and_oracle(ray_session, tmp_path):
+    df = _skew_frame()
+    sf = _write_events(tmp_path, df)
+    plain = _canon(sessionize(sf, gap_minutes=GAP_MIN).to_pandas())
+    bounded = _canon(
+        sessionize(sf, gap_minutes=GAP_MIN, max_rows_per_task=150).to_pandas()
+    )
+    oracle = _canon(_oracle(df))
+    pd.testing.assert_frame_equal(plain, oracle)
+    pd.testing.assert_frame_equal(bounded, oracle)
+    # sanity: the heavy user really did exceed the bound (escape hatch live)
+    assert (df["user_id"] == 1).sum() > 150
+
+
+def test_bounded_sessionize_chain_merge_single_session(ray_session, tmp_path):
+    """One user, every gap < GAP_MIN, bound forces ~20 chunks: every chunk's
+    single session must chain-merge into exactly one final session."""
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    n = 1000
+    ts = t0 + np.arange(n) * np.timedelta64(60, "s")
+    df = pd.DataFrame(
+        {"event_id": np.arange(n), "ts": ts, "user_id": np.int64(5)}
+    )
+    sf = _write_events(tmp_path, df)
+    got = _canon(
+        sessionize(sf, gap_minutes=GAP_MIN, max_rows_per_task=50).to_pandas()
+    )
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (
+        int(r["n_events"]) == n
+        and r["session_start"] == pd.Timestamp(ts[0])
+        and r["session_end"] == pd.Timestamp(ts[-1])
+        and int(r["session_id"]) == 1
+    )
+
+
+def test_bounded_sessionize_no_heavy_users_falls_back(ray_session, tmp_path):
+    df = _skew_frame()
+    sf = _write_events(tmp_path, df)
+    hi = _canon(
+        sessionize(sf, gap_minutes=GAP_MIN, max_rows_per_task=10**6).to_pandas()
+    )
+    pd.testing.assert_frame_equal(hi, _canon(_oracle(df)))
+
+
+@pytest.mark.parametrize("bound", [1, 7, 100])
+def test_plan_chunks_respects_bound(bound):
+    rng = np.random.default_rng(bound)
+    buckets = [(int(b), int(rng.integers(1, 12))) for b in rng.choice(500, 60, False)]
+    cuts = _plan_chunks(buckets, bound)
+    assert cuts == sorted(set(cuts))
+    # replay the packing: no chunk exceeds the bound unless it is a single
+    # bucket bigger than the bound (the unsplittable-tie case)
+    edges = sorted(cuts) + [10**9]
+    sizes: list[list[int]] = [[] for _ in edges]
+    for b, c in sorted(buckets):
+        sizes[np.searchsorted(sorted(cuts), b, side="right")].append(c)
+    for chunk in sizes:
+        assert not chunk or sum(chunk) <= bound or len(chunk) == 1
