@@ -82,6 +82,8 @@ def cmd_compact(a) -> int:
     lake = LakeTable.open(a.lake_dir)
     if a.tombstone_lateness_us is not None:
         res = lake.compact_tombstones(allowed_lateness_us=a.tombstone_lateness_us)
+    elif a.string_stats:
+        res = lake.compact_for_string_stats()
     else:
         res = lake.compact(min_files=a.min_files)
     print(json.dumps(res))
@@ -435,6 +437,18 @@ def cmd_analyze(a) -> int:
             "recover numeric/timestamp bounds from footers with zero data "
             "IO; `compact` records exact bounds for every eligible column"
         )
+    from .pipelines.cdc import string_stats_gaps
+
+    sgaps = string_stats_gaps(m)
+    n_sgap = sum(len(v) for v in sgaps.values())
+    if n_sgap:
+        recs.append(
+            f"{n_sgap} data files in {len(sgaps)} buckets have no STRING "
+            "column statistics (pre-stats or footer-backfilled — footer "
+            "string bounds may be truncated, so backfill skips them) — "
+            "run `compact --string-stats` to rewrite exactly those buckets "
+            "and re-enable file skipping on string search columns"
+        )
     report = {
         "lake": a.lake_dir,
         "format": m.data["format"],
@@ -450,6 +464,7 @@ def cmd_analyze(a) -> int:
         # can never be skipped by lookup/search — compact() re-records them
         "stats_files": n_stats,
         "data_files": n_files,
+        "string_stats_gap_files": n_sgap,
         "recommendations": recs,
     }
     if a.format == "json":
@@ -571,6 +586,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("lake_dir")
     c.add_argument("--min-files", type=int, default=2)
     c.add_argument("--tombstone-lateness-us", type=int, default=None)
+    c.add_argument(
+        "--string-stats",
+        action="store_true",
+        help="compact only buckets whose files lack string column stats "
+        "(no-stats or footer-backfilled), recording exact string bounds",
+    )
     c.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("split", help="rewrite the lake at k*n buckets")

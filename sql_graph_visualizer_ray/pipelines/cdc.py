@@ -228,6 +228,31 @@ def _stats_reject(colstats, op: str, value_enc) -> bool:
     return False  # contains / unknown op: stats cannot prune
 
 
+def string_stats_gaps(manifest) -> dict[int, list[str]]:
+    """Manifest-only gap scan (see ``LakeTable.string_stats_gaps``): bucket
+    -> live files whose stats never attempted string bounds. Usable by the
+    CLI ``analyze`` report without opening a lake or a Ray session."""
+    lake_cols = lake_schema(manifest.payload_schema)
+    names = [n for n in lake_cols.names if n not in _STAT_SKIP]
+    prio = [n for n in ("conv_id", "turn_idx", "ts") if n in names]
+    ordered = prio + [n for n in names if n not in prio]
+    has_string = any(
+        pa.types.is_string(lake_cols.field(n).type)
+        or pa.types.is_large_string(lake_cols.field(n).type)
+        for n in ordered[: _stat_max_columns()]
+    )
+    if not has_string:
+        return {}
+    gaps: dict[int, list[str]] = {}
+    for key, entry in manifest.data["buckets"].items():
+        stats = entry.get("stats") or {}
+        footer = set(entry.get("footer_stats") or [])
+        bad = [r for r in entry["files"] if r not in stats or r in footer]
+        if bad:
+            gaps[int(key)] = bad
+    return gaps
+
+
 def _footer_stats(path: str) -> dict[str, list]:
     """Per-column [min, max] recovered from a parquet file's FOOTER
     row-group statistics — zero data IO, for backfilling stats on files
@@ -1345,11 +1370,45 @@ class LakeTable:
         os.makedirs(staging, exist_ok=True)
         self._publish_version_dir(staging, new_version)
         for key, per_file in updates.items():
-            m.data["buckets"][key].setdefault("stats", {}).update(per_file)
+            entry = m.data["buckets"][key]
+            entry.setdefault("stats", {}).update(per_file)
+            # mark footer-sourced entries: their string columns were never
+            # ATTEMPTED (footer string bounds may be truncated), so they are
+            # rewrite candidates for ``compact_for_string_stats`` — unlike
+            # write-time stats, where a missing string column means
+            # attempted-and-ineligible. The marker self-clears when a
+            # compaction replaces the bucket entry.
+            fl = set(entry.get("footer_stats") or [])
+            fl.update(per_file)
+            entry["footer_stats"] = sorted(fl)
         m.data["version"] = new_version
         m.append_history({"version": new_version, "stats_backfill": added})
         m.save_atomic(self.path)
         return {"files_backfilled": added}
+
+    def string_stats_gaps(self) -> dict[int, list[str]]:
+        """Per bucket, the live files whose statistics never ATTEMPTED
+        string bounds: files with no stats entry at all, plus files whose
+        stats came from the footer backfill (``backfill_stats`` skips
+        strings — parquet writers may silently truncate string bounds).
+        Files written by the data path (apply/compact) that merely LACK a
+        string column's bounds were attempted-and-ineligible (over-cap
+        width, unencodable) and are NOT gaps — rewriting them records
+        nothing new. Empty when no stat-eligible string column sits inside
+        the stat-column priority cap (a rewrite could add nothing)."""
+        return string_stats_gaps(self.manifest)
+
+    def compact_for_string_stats(self) -> dict:
+        """Targeted compaction of exactly the buckets ``string_stats_gaps``
+        flags, with ``min_files=1`` so even single-file buckets rewrite —
+        the rewrite (write-time ``_column_stats``), not the merge, is the
+        point: it records the exact string bounds the zero-IO footer
+        backfill deliberately leaves out, re-enabling file skipping for
+        ``search``/``lookup`` on string key columns."""
+        gaps = self.string_stats_gaps()
+        if not gaps:
+            return {"compacted_buckets": 0, "files_merged": 0}
+        return self.compact(min_files=1, buckets=sorted(gaps))
 
     def compact_tombstones(self, *, allowed_lateness_us: int) -> dict:
         """Drop tombstones the lateness watermark has passed (full compaction
