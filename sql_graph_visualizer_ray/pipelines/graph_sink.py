@@ -78,6 +78,24 @@ def _edge_events(
     )
 
 
+def _degree_agg(group_col: str):
+    """Per-bucket degree aggregate for ``EdgeLake.degree_view`` — a
+    module-level factory (the view ships it to Ray tasks) producing the
+    (node_id, degree) shape from either lake orientation."""
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate([(group_col, "count")])
+        out = pa.table(
+            {
+                "node_id": g.column(group_col).cast(pa.int64()),
+                "degree": g.column(f"{group_col}_count").cast(pa.int64()),
+            }
+        )
+        return out.take(pc.sort_indices(out, sort_keys=[("node_id", "ascending")]))
+
+    return agg
+
+
 class EdgeLake:
     """Edge lake table: ``ingest`` relationship-rule outputs per epoch,
     ``read_edges`` streams the merged live edge set.
@@ -369,6 +387,40 @@ class EdgeLake:
                 sort_keys=[("source_id", "ascending"), ("target_id", "ascending")],
             )
         )
+
+    def degree_view(self, direction: str = "out"):
+        """Incremental degree-per-node materialized view over the edge lake
+        — the graph-analytics generalization of the transcripts lake's
+        turns-per-conv view (``BucketAggView``): after a delta commit, a
+        ``refresh()`` recomputes ONLY the buckets the commit touched.
+
+        ``out`` aggregates the forward lake by ``source_id`` (bucket-local:
+        the forward lake hash-partitions on source_id, so one node's
+        outgoing edges live in exactly one bucket). ``in`` aggregates the
+        REVERSE lake by ``target_id`` — without the reverse index an
+        in-degree per-bucket aggregate would emit partial rows for the same
+        target across buckets, so it requires ``reverse_index=True``.
+
+        Output schema: (node_id int64, degree int64). Reference analogue:
+        degree is what the reference's visualization sizes nodes by, but it
+        recomputes it per request from Neo4j
+        (``/root/reference/internal/interfaces/graphql/schema.resolvers.go``);
+        here it is a persisted, incrementally-maintained table."""
+        from .views import BucketAggView
+
+        if direction == "out":
+            return BucketAggView(self.lake, "degree_out", _degree_agg("source_id"))
+        if direction == "in":
+            if self.reverse is None:
+                raise ValueError(
+                    "degree_view('in') needs reverse_index=True — in-degree "
+                    "is only bucket-local on the reverse (target-keyed) lake"
+                )
+            self._reverse_ready()  # same divergence guard as serving reads
+            return BucketAggView(
+                self.reverse, "degree_in", _degree_agg("target_id")
+            )
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
 
     def read_edges(self) -> rd.Dataset:
         """Streaming live-edge view: (source_id, target_id, relation_type,

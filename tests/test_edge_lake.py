@@ -2,6 +2,7 @@
 (source, target), epoch fencing, kill-and-resume across instances."""
 
 import pandas as pd
+import pytest
 import pyarrow as pa
 
 import ray.data as rd
@@ -459,3 +460,84 @@ def test_edge_ingest_auto_management_bounds_files(ray_session, tmp_path):
     # compactions/splits with the full incoming set intact
     d = lk.neighbors(1, direction="in").to_pandas()
     assert set(zip(d.source_id, d.target_id)) == {(s, 1) for s in range(12)}
+
+
+def test_edge_degree_view_incremental_vs_duckdb(ray_session, tmp_path):
+    """Degree-per-node as an INCREMENTAL materialized view over the edge
+    lake (VERDICT r4 item 8): out-degree on the forward lake, in-degree on
+    the reverse lake, both matching a DuckDB LWW + GROUP BY oracle across
+    two delta commits — and the second refresh recomputes only the buckets
+    the second commit touched."""
+    import duckdb
+    import numpy as np
+
+    from sql_graph_visualizer_ray.stages.partitioning import bucket_of
+
+    path = str(tmp_path / "edges")
+    lake = EdgeLake(path, num_buckets=4, reverse_index=True)
+
+    def with_epoch(rows, ep):
+        return [{**r, "epoch": ep} for r in rows]
+
+    rows0 = [e(s, t) for s in range(1, 21) for t in (100 + s, 200 + (s % 5))]
+    lake.ingest(edges_ds(rows0), epoch=0)
+    vout, vin = lake.degree_view("out"), lake.degree_view("in")
+    r0 = vout.refresh()
+    assert r0["recomputed"] > 0 and r0["reused"] == 0
+    vin.refresh()
+
+    def oracle(all_rows):
+        con = duckdb.connect()
+        con.register("edges", pd.DataFrame(all_rows))
+        q = (
+            "WITH ranked AS (SELECT *, row_number() OVER ("
+            "  PARTITION BY source_id, target_id ORDER BY epoch DESC) rn "
+            "  FROM edges), "
+            "live AS (SELECT * FROM ranked WHERE rn = 1 AND op = 'I') "
+            "SELECT {col} AS node_id, COUNT(*) AS degree FROM live GROUP BY 1"
+        )
+        out = con.execute(q.format(col="source_id")).df()
+        inn = con.execute(q.format(col="target_id")).df()
+        con.close()
+        return out, inn
+
+    def canon(df):
+        return (
+            df.astype({"node_id": "int64", "degree": "int64"})
+            .sort_values("node_id", ignore_index=True)
+        )
+
+    want_out, want_in = oracle(with_epoch(rows0, 0))
+    pd.testing.assert_frame_equal(canon(vout.read().to_pandas()), canon(want_out))
+    pd.testing.assert_frame_equal(canon(vin.read().to_pandas()), canon(want_in))
+
+    # epoch 1 touches ONE forward bucket: all its sources hash to the same
+    # bucket, so the out-view must reuse every other populated bucket
+    pool = np.arange(1, 21)
+    bks = bucket_of(pool, np.zeros(20), 4)
+    target_bucket = int(bks[0])
+    hot = [int(s) for s, b in zip(pool, bks) if int(b) == target_bucket]
+    assert len(hot) >= 2
+    rows1 = (
+        [e(hot[0], 100 + hot[0], op="D")]  # drop one edge
+        + [e(hot[1], 100 + hot[1], rel="LIKES")]  # overwrite (degree same)
+        + [e(s, 900 + s) for s in hot]  # one new edge per hot source
+    )
+    lake.ingest(edges_ds(rows1), epoch=1)
+
+    populated = len(lake.lake.manifest.data["buckets"])
+    r1 = vout.refresh()
+    assert r1 == {"recomputed": 1, "reused": populated - 1}
+    vin.refresh()
+
+    want_out, want_in = oracle(with_epoch(rows0, 0) + with_epoch(rows1, 1))
+    pd.testing.assert_frame_equal(canon(vout.read().to_pandas()), canon(want_out))
+    pd.testing.assert_frame_equal(canon(vin.read().to_pandas()), canon(want_in))
+
+    # guard rails: 'in' without a reverse index refuses with guidance
+    solo = EdgeLake(str(tmp_path / "noidx"), num_buckets=2)
+    solo.ingest(edges_ds([e(1, 2)]), epoch=0)
+    with pytest.raises(ValueError, match="reverse_index=True"):
+        solo.degree_view("in")
+    with pytest.raises(ValueError, match="'out' or 'in'"):
+        lake.degree_view("sideways")
