@@ -2090,6 +2090,26 @@ class LakeTable:
             if phys_col not in m.payload_schema.names:
                 raise KeyError(f"unknown column {column!r}")
             col_type = m.payload_schema.field(phys_col).type
+            # an ISO string against a timestamp column: parse it up front —
+            # the scanner filter otherwise raises (Arrow has no
+            # equal(timestamp, string) kernel) even though the stats encode
+            # below handles it. Comparison ops only: ``contains`` matches on
+            # the STRINGIFIED column and must keep the raw string.
+            if (
+                pa.types.is_timestamp(col_type)
+                and isinstance(value, str)
+                and op != "contains"
+            ):
+                try:
+                    value = (
+                        pc.cast(pa.array([value], pa.string()), col_type)[0]
+                        .as_py()
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError) as e:
+                    raise ValueError(
+                        f"cannot parse {value!r} as {col_type} for "
+                        f"column {column!r}: {e}"
+                    ) from e
             # encode the QUERY value into the stats' comparison domain
             # (timestamps -> int64 micros); the stored-bound string cap
             # does NOT apply here — a long query string compares fine

@@ -110,6 +110,19 @@ def test_search_endpoints_match_primitives(served):
     assert st == 200 and len(out2["rows"]) == want2.num_rows > 0
     assert len(out2["rows"]) < len(out["rows"])
 
+    # a TIMESTAMP predicate arrives as an ISO string over HTTP — search
+    # parses it to the column type (Arrow has no equal(timestamp, string)
+    # kernel; regression: this 500'd before the cast)
+    ts = lake.head(1).to_pylist()[0]["ts"]
+    st, out3 = _get(f"{srv.url}/where?col=ts&op===&value={ts.isoformat()}")
+    want3 = lake.search_where([("ts", "==", ts)])
+    assert st == 200 and len(out3["rows"]) == want3.num_rows > 0
+    # the direct API accepts the ISO string too now (same parse)
+    assert lake.search_where([("ts", "==", ts.isoformat())]).equals(want3)
+    # garbage timestamp strings are a client error, not a server crash
+    st, err = _get_err(f"{srv.url}/where?col=ts&op===&value=not-a-time")
+    assert st == 400 and "error" in err
+
 
 def test_edge_endpoints_match_primitives(served):
     srv, _, edges, _ = served
