@@ -308,12 +308,19 @@ def cmd_serve(a) -> int:
 
 def cmd_backfill_stats(a) -> int:
     """Record column statistics for pre-stats files from parquet footers —
-    zero data IO, publishes a metadata-only commit (no Ray session)."""
+    zero data IO, publishes a metadata-only commit (no Ray session).
+    ``--strings`` follows up with the string-bounds pass (column-pruned
+    data read of exactly the gap files, still no rewrite); it runs AFTER
+    the footer pass because ``backfill_stats`` skips files that already
+    carry a stats entry."""
     from .pipelines.cdc import CommitConflictError, LakeTable
 
     lake = LakeTable.open(a.lake_dir)
     try:
         r = lake.commit_with_retry(lambda lk: lk.backfill_stats())
+        if a.strings:
+            r2 = lake.commit_with_retry(lambda lk: lk.backfill_string_stats())
+            r = {"footer": r, "strings": r2}
     except CommitConflictError as e:
         print(str(e), file=sys.stderr)
         return 1
@@ -445,9 +452,12 @@ def cmd_analyze(a) -> int:
         recs.append(
             f"{n_sgap} data files in {len(sgaps)} buckets have no STRING "
             "column statistics (pre-stats or footer-backfilled — footer "
-            "string bounds may be truncated, so backfill skips them) — "
-            "run `compact --string-stats` to rewrite exactly those buckets "
-            "and re-enable file skipping on string search columns"
+            "string bounds may be truncated, so the footer pass skips "
+            "them) — run `backfill-stats --strings` (column-pruned read of "
+            "exactly those files, no rewrite: keeps each delta file's "
+            "narrow string range prunable) or `compact --string-stats` "
+            "when folding those buckets' delta files is wanted anyway "
+            "(note: merging UNIONS string ranges)"
         )
     report = {
         "lake": a.lake_dir,
@@ -675,6 +685,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="record file statistics from parquet footers (no data IO)",
     )
     bf.add_argument("lake_dir")
+    bf.add_argument(
+        "--strings",
+        action="store_true",
+        help="also record exact string bounds for gap files (column-pruned "
+        "data read, no rewrite — preserves per-file range locality)",
+    )
     bf.set_defaults(fn=cmd_backfill_stats)
 
     sn = sub.add_parser("snapshot", help="time-travel read of a commit's state")

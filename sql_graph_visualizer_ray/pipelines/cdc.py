@@ -1386,6 +1386,76 @@ class LakeTable:
         m.save_atomic(self.path)
         return {"files_backfilled": added}
 
+    def backfill_string_stats(self) -> dict:
+        """Record exact STRING column bounds for the live files
+        ``string_stats_gaps`` flags, by reading ONLY those files' string
+        columns (column-pruned scan: data IO ~ the gap files' string bytes,
+        no rewrite). This preserves the per-commit file layout — and with
+        it the range locality that makes string stats prune at all: a
+        time/entity-ordered ingest gives each delta file a NARROW string
+        range, whereas ``compact_for_string_stats`` folds a bucket's delta
+        files into one and thereby UNIONS their ranges (hash bucketing
+        mixes commits, so the merged file's range is usually full and
+        prunes nothing). Measured in tools/bench_string_stats.py. Width/
+        encodability rules match the write-time path (``_column_stats``
+        cap semantics); a file whose string columns are all over-cap still
+        counts as ATTEMPTED (its footer marker clears — a rewrite could
+        record nothing more). Published as a metadata-only commit exactly
+        like ``backfill_stats``."""
+        self._check_writable()
+        m = self.manifest
+        gaps = self.string_stats_gaps()
+        if not gaps:
+            return {"files_backfilled": 0}
+        lake_cols = lake_schema(m.payload_schema)
+        names = [n for n in lake_cols.names if n not in _STAT_SKIP]
+        prio = [n for n in ("conv_id", "turn_idx", "ts") if n in names]
+        ordered = prio + [n for n in names if n not in prio]
+        str_cols = [
+            n
+            for n in ordered[: _stat_max_columns()]
+            if pa.types.is_string(lake_cols.field(n).type)
+            or pa.types.is_large_string(lake_cols.field(n).type)
+        ]
+        updates: dict[str, dict[str, dict]] = {}
+        for bk, rels in gaps.items():
+            key = str(bk)
+            for rel in rels:
+                path = os.path.join(self.path, rel)
+                have = pq.read_schema(path).names
+                cols = [c for c in str_cols if c in have]
+                st: dict[str, list] = {}
+                if cols:
+                    st = _column_stats(pq.read_table(path, columns=cols))
+                updates.setdefault(key, {})[rel] = st
+        import uuid as _uuid
+
+        new_version = m.version + 1
+        staging = os.path.join(
+            self.path, "_staging", f"v{new_version}-{_uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(staging, exist_ok=True)
+        self._publish_version_dir(staging, new_version)
+        n_files = 0
+        for key, per_file in updates.items():
+            entry = m.data["buckets"][key]
+            stats = entry.setdefault("stats", {})
+            footer = set(entry.get("footer_stats") or [])
+            for rel, st in per_file.items():
+                stats.setdefault(rel, {}).update(st)
+                footer.discard(rel)  # strings now attempted
+                n_files += 1
+            if footer:
+                entry["footer_stats"] = sorted(footer)
+            else:
+                entry.pop("footer_stats", None)
+        m.data["version"] = new_version
+        m.append_history(
+            {"version": new_version, "stats_backfill": n_files, "strings": True}
+        )
+        m.save_atomic(self.path)
+        return {"files_backfilled": n_files}
+
     def string_stats_gaps(self) -> dict[int, list[str]]:
         """Per bucket, the live files whose statistics never ATTEMPTED
         string bounds: files with no stats entry at all, plus files whose

@@ -507,3 +507,62 @@ def test_string_stats_gap_targeted_compact(tmp_path, ray_session):
         # strings requires excluding it, so assert against the real order:
         # conv_id (string) sits inside any cap >= 1, gaps stay flagged
         assert sorted(string_stats_gaps(lk.manifest)) == [0, 1]
+
+
+def test_string_stats_backfill_preserves_layout(lake):
+    """`backfill_string_stats`: exact string bounds recorded by a
+    column-pruned read of exactly the gap files — no rewrite, so each
+    delta file keeps its NARROW string range (the thing
+    compact_for_string_stats destroys by unioning ranges on merge).
+    After it, a conv-range search prunes to the matching delta file."""
+    import shutil
+
+    dst = lake.path + "-sbackfill"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    for b in lk.manifest.data["buckets"].values():
+        b.pop("stats", None)
+    lk.manifest.save_atomic(dst)
+    lk = LakeTable.open(dst)
+    baseline = lk.search("conv_id", ">=", "b000").to_pandas()
+
+    assert lk.backfill_stats()["files_backfilled"] == 2  # numeric/ts only
+    assert sum(len(v) for v in lk.string_stats_gaps().values()) == 2
+    v0 = lk.manifest.version
+    r = lk.backfill_string_stats()
+    assert r["files_backfilled"] == 2
+    assert lk.manifest.version == v0 + 1  # metadata-only commit
+    assert lk.string_stats_gaps() == {}
+
+    # string bounds now exact — identical to the original write-time ones
+    orig = lake.manifest.file_stats(lake.path)
+    by_tail = lambda d: {  # noqa: E731
+        "/".join(p.rsplit("/", 3)[-3:]): s for p, s in d.items()
+    }
+    ofs = by_tail(orig)
+    for tail, st in by_tail(lk.manifest.file_stats(dst)).items():
+        assert st["conv_id"] == ofs[tail]["conv_id"]
+        assert st["turn_idx"] == ofs[tail]["turn_idx"]  # footer pass kept
+
+    # the per-file range locality survives: phase 1 scans ONE of the two
+    # delta files for a b-range predicate (both files live in ONE bucket,
+    # so this is pure string-stats pruning, not bucket routing)
+    import pyarrow.dataset as pads
+
+    calls = []
+    real = pads.dataset
+
+    def spy(paths, *a, **kw):
+        calls.append(list(paths))
+        return real(paths, *a, **kw)
+
+    with mock.patch.object(pads, "dataset", side_effect=spy):
+        got = lk.search("conv_id", ">=", "b000").to_pandas()
+    assert len(calls[0]) == 1 and "v2" in calls[0][0]
+    assert got.equals(baseline)
+
+    # idempotent: nothing left to record, no version bump
+    v1 = lk.manifest.version
+    assert lk.backfill_string_stats() == {"files_backfilled": 0}
+    assert lk.manifest.version == v1
