@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -70,6 +71,46 @@ def _parse_value(raw: str):
         except ValueError:
             continue
     return raw
+
+
+class _RouteMetrics:
+    """Per-route request counters + a bounded latency window (last
+    ``window`` samples per route) — lock-guarded, cheap enough to sit on
+    every request. Quantiles are computed at snapshot time, not on the
+    hot path."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self._window = window
+        self._count: dict[str, int] = {}
+        self._lat: dict[str, deque] = {}
+
+    def record(self, route: str, ms: float) -> None:
+        with self._lock:
+            self._count[route] = self._count.get(route, 0) + 1
+            d = self._lat.get(route)
+            if d is None:
+                d = self._lat[route] = deque(maxlen=self._window)
+            d.append(ms)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = {r: sorted(d) for r, d in self._lat.items()}
+            count = dict(self._count)
+
+        def q(xs, p):
+            return round(xs[min(len(xs) - 1, int(p * len(xs)))], 2)
+
+        return {
+            r: {
+                "count": count[r],
+                "window": len(xs),
+                "p50_ms": q(xs, 0.50),
+                "p95_ms": q(xs, 0.95),
+                "max_ms": round(xs[-1], 2),
+            }
+            for r, xs in lat.items()
+        }
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -115,7 +156,19 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         q = parse_qs(url.query)
         parts = [p for p in url.path.split("/") if p]
+        route = f"/{parts[0]}" if parts else "/"
+        t0 = time.perf_counter()
         try:
+            return self._dispatch(url, q, parts)
+        finally:
+            self.server.metrics.record(
+                route, (time.perf_counter() - t0) * 1000.0
+            )
+
+    def _dispatch(self, url, q, parts):
+        try:
+            if url.path == "/metrics":
+                return self._send(200, self._metrics())
             if url.path == "/config":
                 return self._send(200, self._config())
             if url.path == "/graph":
@@ -143,6 +196,28 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(404, {"error": str(e)})
         except RuntimeError as e:
             return self._send(409, {"error": str(e)})
+
+    def _metrics(self) -> dict:
+        """Serving observability — the engine-side analogue of the
+        reference's realtime performance monitor
+        (``/root/reference/internal/application/services/benchmark/
+        realtime_performance_monitor.go:287-480``, which samples query
+        latency and raises threshold alerts). Here: per-route request
+        counts + latency quantiles over a bounded in-memory window, plus
+        the lake's cumulative lineage counters — everything a poller needs
+        to alert on (p95 regression, error ratio, tombstone growth)."""
+        m = self.lake.manifest
+        return {
+            "routes": self.server.metrics.snapshot(),
+            "lake": {
+                "version": m.version,
+                "applied_epoch": m.applied_epoch,
+                "counters": m.data["counters"],
+                "data_files": sum(
+                    len(b["files"]) for b in m.data["buckets"].values()
+                ),
+            },
+        }
 
     def _config(self) -> dict:
         m = self.lake.manifest
@@ -324,6 +399,7 @@ class GraphServer:
         self._httpd.lake = self.lake
         self._httpd.edges = self.edges
         self._httpd.log = (lambda msg: None) if quiet else print
+        self._httpd.metrics = _RouteMetrics()
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )

@@ -199,3 +199,30 @@ def test_bad_requests(served):
     assert st == 404
     st, err = _get_err(srv.url + "/where?col=not_a_column&op==&value=1")
     assert st == 400 and "not_a_column" in err["error"]
+
+
+def test_metrics_endpoint(served):
+    """/metrics: per-route counts + latency quantiles over a bounded
+    window plus the lake's lineage counters — the engine-side analogue of
+    the reference's realtime performance monitor (K6/A4)."""
+    srv, lake, _, _ = served
+    # generate some traffic on two routes
+    some = lake.head(1).to_pylist()[0]["conv_id"]
+    for _ in range(5):
+        _get(f"{srv.url}/node/{some}")
+    _get(srv.url + "/config")
+
+    st, m = _get(srv.url + "/metrics")
+    assert st == 200
+    node = m["routes"]["/node"]
+    assert node["count"] >= 5 and node["window"] >= 5
+    assert 0 <= node["p50_ms"] <= node["p95_ms"] <= node["max_ms"]
+    assert m["routes"]["/config"]["count"] >= 1
+    assert m["lake"]["counters"]["raw_events"] > 0
+    assert m["lake"]["data_files"] > 0
+    # errors are counted too (the finally-block records every dispatch);
+    # delta-based: other tests in this module share the server
+    before = m["routes"].get("/nope", {}).get("count", 0)
+    _get_err(srv.url + "/nope")
+    st, m2 = _get(srv.url + "/metrics")
+    assert m2["routes"]["/nope"]["count"] == before + 1
