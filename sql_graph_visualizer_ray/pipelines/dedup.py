@@ -30,7 +30,7 @@ import ray.data as rd
 from ..stages.actors import taskify
 from ray.data.aggregate import Count
 
-from .relational import read_table
+from .relational import arrow_out, read_table
 
 
 def _md5_64(s: str) -> int:
@@ -82,7 +82,7 @@ def exact_dedup_groups(sf_dir: str) -> rd.Dataset:
         )
 
     return (
-        ds.map_batches(add_hash, batch_format="pandas")
+        ds.map_batches(arrow_out(add_hash), batch_format="pandas")
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
     )
@@ -471,7 +471,7 @@ def _mine_candidates_skew_safe(
 
     mined = (
         bands_ds.groupby("_part")
-        .map_groups(mine_or_route, batch_format="pandas")
+        .map_groups(arrow_out(mine_or_route), batch_format="pandas")
         .materialize()
     )
     cold = mined.filter(expr="doc_b >= 0").select_columns(["doc_a", "doc_b"])
@@ -644,7 +644,7 @@ def minhash_lsh_pairs(
             )
     elif candidates is None:
         candidates = _mine_candidates_skew_safe(
-            docs.map_batches(band_rows, batch_format="pandas"),
+            docs.map_batches(arrow_out(band_rows), batch_format="pandas"),
             bucket_cap=bucket_cap,
         )
 

@@ -21,7 +21,12 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 # NUM_PARTS / with_hash_part live in relational (shared with
 # cooccurrence_pairs); re-exported here for the window operators' callers
-from .relational import NUM_PARTS, read_table, with_hash_part  # noqa: F401
+from .relational import (  # noqa: F401
+    NUM_PARTS,
+    arrow_out,
+    read_table,
+    with_hash_part,
+)
 
 #: combiner-stage batch size. Ray's map_batches default is 1024 rows, which
 #: defeats per-batch pre-aggregation on a big table (a groupby over ~#keys
@@ -136,7 +141,7 @@ def _sessionize_bounded(
         )
 
     stats = (
-        ds.map_batches(partial_stats, batch_format="pandas", batch_size=B)
+        ds.map_batches(arrow_out(partial_stats), batch_format="pandas", batch_size=B)
         .groupby("user_id")
         .aggregate(
             Sum("n", alias_name="n"),
@@ -194,7 +199,7 @@ def _sessionize_bounded(
         return out.rename(columns={"size": "n"}).astype("int64")
 
     hist = (
-        ds.map_batches(partial_hist, batch_format="pandas", batch_size=B)
+        ds.map_batches(arrow_out(partial_hist), batch_format="pandas", batch_size=B)
         .groupby(["user_id", "bucket"])
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
@@ -254,7 +259,7 @@ def _sessionize_bounded(
     # pass both consume them, and without the pin each consumer would
     # re-execute the event read + sort exchange from scratch
     sess = (
-        ds.map_batches(assign, batch_format="pandas", batch_size=B)
+        ds.map_batches(arrow_out(assign), batch_format="pandas", batch_size=B)
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
         .materialize()
@@ -390,7 +395,7 @@ def tumbling_window_counts(sf_dir: str) -> rd.Dataset:
         return out
 
     partials = read_table(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
-        partial, batch_format="pandas", batch_size=COMBINE_BATCH
+        arrow_out(partial), batch_format="pandas", batch_size=COMBINE_BATCH
     )
     agg = partials.groupby(["hour", "event_type"]).aggregate(
         Sum("partial_n", alias_name="n_events")
@@ -429,7 +434,7 @@ def user_activity_summary(sf_dir: str, *, min_events: int = 5) -> rd.Dataset:
 
     ds = read_table(
         sf_dir, "events", columns=["user_id", "event_id", "ts", "value"]
-    ).map_batches(to_cents, batch_format="pandas", batch_size=COMBINE_BATCH)
+    ).map_batches(arrow_out(to_cents), batch_format="pandas", batch_size=COMBINE_BATCH)
     agg = ds.groupby("user_id").aggregate(
         Count(alias_name="n_events"),
         Min("ts", alias_name="first_ts"),
@@ -622,7 +627,9 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
 
     return (
         ev.map_batches(
-            batch_distinct, batch_format="pandas", batch_size=COMBINE_BATCH
+            arrow_out(batch_distinct),
+            batch_format="pandas",
+            batch_size=COMBINE_BATCH,
         )
         .groupby("event_type")
         .map_groups(group_count, batch_format="pandas")

@@ -30,6 +30,7 @@ from . import dedup, events, multimodal, similarity
 from .cdc import replay
 from .relational import (
     apply_node_rule,
+    arrow_out,
     apply_relationship_rule,
     broadcast_join,
     cooccurrence_pairs,
@@ -320,7 +321,7 @@ def agg_orders_having(sf_dir: str) -> rd.Dataset:
         )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        partial, batch_format="pandas"
+        arrow_out(partial), batch_format="pandas"
     )
     agg = ds.groupby("o_custkey").aggregate(
         Sum("n_orders", alias_name="n_orders"),
@@ -344,7 +345,7 @@ def topk_customers(sf_dir: str) -> pa.Table:
         )
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        cents, batch_format="pandas"
+        arrow_out(cents), batch_format="pandas"
     )
     agg = orders.groupby("o_custkey").aggregate(
         Sum("total_cents", alias_name="spend_cents")
@@ -1339,7 +1340,7 @@ def text_token_histogram(sf_dir: str, *, bin_width: int = 10) -> rd.Dataset:
         return out.reset_index().astype({"token_bin": "int64", "partial_n": "int64"})
 
     agg = (
-        counts.map_batches(partial, batch_format="pandas")
+        counts.map_batches(arrow_out(partial), batch_format="pandas")
         .groupby("token_bin")
         .aggregate(Sum("partial_n", alias_name="n_docs"))
     )
@@ -1408,7 +1409,7 @@ def events_distinct_users_hll(sf_dir: str, *, p: int = 12) -> rd.Dataset:
         )
 
     return (
-        ev.map_batches(partial, batch_format="pandas")
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
         .groupby("event_type")
         .map_groups(final, batch_format="pandas")
     )
@@ -1438,7 +1439,7 @@ def text_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
         )
 
     df_tbl = (
-        docs.map_batches(df_partial, batch_format="pandas")
+        docs.map_batches(arrow_out(df_partial), batch_format="pandas")
         .groupby("term")
         .aggregate(Sum("partial_df", alias_name="df"))
         .to_pandas()
@@ -1686,7 +1687,9 @@ def docs_partitioned_by_lang(sf_dir: str) -> rd.Dataset:
             .reset_index()
         )
 
-    agg = back.map_batches(partial, batch_format="pandas").groupby("lang").aggregate(
+    agg = back.map_batches(arrow_out(partial), batch_format="pandas").groupby(
+        "lang"
+    ).aggregate(
         Sum("partial_n", alias_name="n_docs")
     )
 

@@ -469,6 +469,24 @@ def lookup_by_keys(
 NUM_PARTS = 64
 
 
+def arrow_out(fn):
+    """Wrap a pandas-in/pandas-out batch fn so the BLOCK it emits is Arrow.
+
+    Any map stage whose output feeds an AllToAll (``groupby``/``sort``)
+    must emit Arrow blocks: Ray's sort shuffle over pandas blocks pays a
+    measured ~1.2 s PER BLOCK fixed cost (46-block aggregate of 92k tiny
+    rows: 58.7 s with pandas blocks, 4.0 s with Arrow — BASELINE.md round
+    5), which dwarfs the actual data movement. The fn keeps its pandas
+    vectorization; only the handoff format changes."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(b):
+        return pa.Table.from_pandas(fn(b), preserve_index=False)
+
+    return wrapped
+
+
 def with_hash_part(
     ds: rd.Dataset, col: str, num_parts: int = NUM_PARTS
 ) -> rd.Dataset:
