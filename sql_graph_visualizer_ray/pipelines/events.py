@@ -406,10 +406,16 @@ def tumbling_window_counts(sf_dir: str) -> rd.Dataset:
 def last_event_per_user(sf_dir: str) -> rd.Dataset:
     """D1 generalized to the events table: last-writer-wins per user by
     (ts, event_id) — the reference's duplicate-key overwrite
-    (``graph_aggregate.go:46-51``) as a coarse-partitioned keep-last (one
-    sort + drop_duplicates per partition, vectorized over all its users)."""
+    (``graph_aggregate.go:46-51``).
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+    Keep-last is an ASSOCIATIVE reduction (the max row under the (ts,
+    event_id) order), so unlike the windowed operators it needs no
+    partition-holds-the-whole-key assumption: a per-batch keep-last
+    reduces each batch to <= #users rows, then a small per-key fold picks
+    the winner of winners. Skew-immune by construction — a user owning
+    half the corpus just contributes one partial row per batch."""
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         out = g.drop_duplicates("user_id", keep="last")
         return out[["event_id", "ts", "user_id", "event_type", "value"]]
@@ -417,28 +423,46 @@ def last_event_per_user(sf_dir: str) -> rd.Dataset:
     ds = read_table(
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
+    partials = ds.map_batches(
+        arrow_out(keep_last), batch_format="pandas", batch_size=COMBINE_BATCH
+    )
     return (
-        with_hash_part(ds, "user_id")
+        with_hash_part(partials, "user_id")
         .groupby("_part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(keep_last, batch_format="pandas")
     )
 
 
 def user_activity_summary(sf_dir: str, *, min_events: int = 5) -> rd.Dataset:
     """Grouped aggregate + HAVING (A1): per-user event count, first/last ts,
-    integer-cents value sum; HAVING n_events >= min_events."""
+    integer-cents value sum; HAVING n_events >= min_events.
 
-    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+    Combiner-first: every piece is associative (count = sum of partial
+    counts, min/max/sum fold), so the per-batch partial reduces each batch
+    to <= #distinct-users rows BEFORE the shuffle — the exchange moves
+    partials, not events, and a mega-user costs nothing extra (partial
+    merge is a reduction, no single task ever holds one user's raw rows)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(value_cents=np.round(b["value"] * 100).astype("int64"))
-        return b[["user_id", "event_id", "ts", "value_cents"]]
+        # dropna=False: SQL GROUP BY keeps a NULL group (same reason as the
+        # tumbling-window combiner)
+        return b.groupby(
+            "user_id", sort=False, as_index=False, dropna=False
+        ).agg(
+            n_events=("event_id", "size"),
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            value_cents=("value_cents", "sum"),
+        )
 
     ds = read_table(
         sf_dir, "events", columns=["user_id", "event_id", "ts", "value"]
-    ).map_batches(arrow_out(to_cents), batch_format="pandas", batch_size=COMBINE_BATCH)
+    ).map_batches(arrow_out(partial), batch_format="pandas", batch_size=COMBINE_BATCH)
     agg = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_events"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
+        Sum("n_events", alias_name="n_events"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
         Sum("value_cents", alias_name="value_cents"),
     )
     return agg.filter(expr=f"n_events >= {min_events}")
