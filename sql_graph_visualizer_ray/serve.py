@@ -17,7 +17,19 @@ viz click-to-expand                    GET /neighbors/<id>    EdgeLake.neighbors
 viz k-hop expand                       GET /expand?seeds=     EdgeLake.expand
 ``graphUpdates`` subscription          GET /updates?after=    changes_table long-poll
 ``config``                             GET /config            manifest snapshot
+whole Query root (GraphQL syntax)      POST /graphql          execute_graphql
+observability (perf monitor analogue)  GET /metrics           _RouteMetrics
 =====================================  =====================  ===================
+
+``POST /graphql`` additionally speaks the reference's ACTUAL query
+language for the whole ``Query`` root (``schema.graphqls:36-53``): a
+dependency-free parser for the subset the schema needs (named operations,
+variables, aliases, inline args; sub-selections accepted and full objects
+returned), executing each top-level field against the primitives above
+and answering ``{"data": ..., "errors": [...]}`` per the GraphQL wire
+contract — ``Node`` as ``{id,label,properties}`` and ``Relationship`` as
+``{from,to,type,properties}`` with ``properties`` a JSON string, exactly
+the reference's wire types (``schema.graphqls:4-16``).
 
 Design: a stdlib ``ThreadingHTTPServer`` — no Ray session anywhere on a
 request path. Every read rides the keyed / manifest-stats-pruned serving
@@ -71,6 +83,201 @@ def _parse_value(raw: str):
         except ValueError:
             continue
     return raw
+
+
+_GQL_TOKEN = None  # compiled lazily (regex import cost off the module path)
+
+
+def _gql_tokens(src: str) -> list[str]:
+    """Tokenize the GraphQL query subset: names, $vars, strings, numbers,
+    punctuation. Comments (#...) and commas are insignificant per spec."""
+    global _GQL_TOKEN
+    import re
+
+    if _GQL_TOKEN is None:
+        _GQL_TOKEN = re.compile(
+            r'"(?:[^"\\]|\\.)*"|\$?[_A-Za-z][_0-9A-Za-z]*'
+            r"|-?\d+(?:\.\d+)?|[{}():,!\[\]=@]|\#[^\n]*"
+        )
+    return [t for t in _GQL_TOKEN.findall(src) if not t.startswith("#") and t != ","]
+
+
+def parse_graphql(src: str, variables: dict | None = None) -> list[dict]:
+    """Parse the reference's Query-root subset
+    (``/root/reference/schema/schema.graphqls:36-53``): an optional
+    ``query Name($v: T)`` header, then one selection set of top-level
+    fields with optional ``(name: value)`` args and optional (ignored)
+    sub-selections. Returns ``[{"field", "alias", "args"}]``. Values:
+    strings, ints, floats, and ``$variables``."""
+    variables = variables or {}
+    toks = _gql_tokens(src)
+    i = 0
+
+    def peek():
+        return toks[i] if i < len(toks) else None
+
+    def eat(expected=None):
+        nonlocal i
+        if i >= len(toks):
+            raise ValueError("unexpected end of query")
+        t = toks[i]
+        if expected is not None and t != expected:
+            raise ValueError(f"expected {expected!r}, got {t!r}")
+        i += 1
+        return t
+
+    if peek() == "query":
+        eat()
+        if peek() not in ("{", "("):
+            eat()  # operation name
+        if peek() == "(":  # variable definitions: skip to matching ')'
+            depth = 0
+            while True:
+                t = eat()
+                depth += t == "("
+                depth -= t == ")"
+                if depth == 0:
+                    break
+    elif peek() in ("mutation", "subscription"):
+        raise ValueError(f"only query operations are supported, got {peek()!r}")
+
+    def value(tok):
+        if tok.startswith('"'):
+            return json.loads(tok)
+        if tok.startswith("$"):
+            name = tok[1:]
+            if name not in variables:
+                raise ValueError(f"missing variable ${name}")
+            return variables[name]
+        try:
+            return int(tok)
+        except ValueError:
+            pass
+        try:
+            return float(tok)
+        except ValueError:
+            return tok  # enum/bool-ish name
+
+    eat("{")
+    fields = []
+    while peek() != "}":
+        name = eat()
+        if not name[0].isalpha() and name[0] != "_":
+            raise ValueError(f"expected a field name, got {name!r}")
+        alias = None
+        if peek() == ":":
+            eat()
+            alias, name = name, eat()
+        args = {}
+        if peek() == "(":
+            eat()
+            while peek() != ")":
+                k = eat()
+                eat(":")
+                args[k] = value(eat())
+            eat(")")
+        if peek() == "{":  # sub-selection: skip — full objects are returned
+            depth = 0
+            while True:
+                t = eat()
+                depth += t == "{"
+                depth -= t == "}"
+                if depth == 0:
+                    break
+        fields.append({"field": name, "alias": alias or name, "args": args})
+    return fields
+
+
+def execute_graphql(
+    lake, edges, src: str, variables: dict | None = None, *, limit: int = 1000
+) -> dict:
+    """Execute the reference's Query root against the lake primitives:
+    ``graph`` -> bounded head, ``node(id)`` -> keyed lookup,
+    ``nodesByType(type)`` -> predicate search on the lake's type-ish
+    column, ``searchNodes(query)`` -> ``search_any``,
+    ``relationshipsByType(type)`` -> edge-lake search, ``config`` ->
+    manifest snapshot. Nodes/relationships take the schema's wire shape:
+    ``{id,label,properties}`` / ``{from,to,type,properties}`` with
+    ``properties`` a JSON string (``schema.graphqls:4-16``)."""
+    m = lake.manifest
+    keys = list(m.key_columns)
+    label_col = next(
+        (c for c in ("node_type", "label", "role") if c in m.payload_schema.names),
+        None,
+    )
+
+    def node_of(row: dict) -> dict:
+        rid = ":".join(str(row[k]) for k in keys if k in row)
+        return {
+            "id": rid,
+            "label": str(row.get(label_col, "Node")) if label_col else "Node",
+            "properties": json.dumps(row, default=_json_default),
+        }
+
+    def rel_of(row: dict) -> dict:
+        return {
+            "from": str(row["source_id"]),
+            "to": str(row["target_id"]),
+            "type": row.get("relation_type", ""),
+            "properties": json.dumps(row, default=_json_default),
+        }
+
+    def need_edges():
+        if edges is None:
+            raise LookupError("this server has no edge lake")
+        return edges
+
+    def run(field: str, args: dict):
+        if field == "graph":
+            nodes = [node_of(r) for r in _rows(lake.head(limit))]
+            rels = (
+                [rel_of(r) for r in _rows(edges.lake.head(limit))]
+                if edges is not None
+                else []
+            )
+            return {"nodes": nodes, "relationships": rels}
+        if field == "node":
+            key_type = m.payload_schema.field(keys[0]).type
+            kid = pa.scalar(_parse_value(str(args["id"])), key_type).as_py()
+            t = lake.lookup([kid])
+            rows = _rows(t)
+            return node_of(rows[0]) if rows else None
+        if field == "nodesByType":
+            if label_col is None:
+                raise ValueError(
+                    "lake has no type-ish column (node_type/label/role)"
+                )
+            t = lake.search(label_col, "=", args["type"], max_result_keys=limit)
+            return [node_of(r) for r in _rows(t)]
+        if field == "searchNodes":
+            t = lake.search_any(str(args["query"]), max_result_keys=limit)
+            return [node_of(r) for r in _rows(t)]
+        if field == "relationshipsByType":
+            t = need_edges().lake.search(
+                "relation_type", "=", args["type"], max_result_keys=limit
+            )
+            return [rel_of(r) for r in _rows(t)]
+        if field == "config":
+            return {
+                "neo4j": {
+                    "uri": f"lake://{lake.path}",
+                    "username": "",
+                    "password": "",
+                }
+            }
+        raise ValueError(f"unknown Query field {field!r}")
+
+    data, errors = {}, []
+    for f in parse_graphql(src, variables):
+        try:
+            data[f["alias"]] = run(f["field"], f["args"])
+        except (ValueError, KeyError, LookupError, RuntimeError) as e:
+            data[f["alias"]] = None
+            errors.append({"message": str(e), "path": [f["alias"]]})
+    out: dict = {"data": data}
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 class _RouteMetrics:
@@ -163,6 +370,29 @@ class _Handler(BaseHTTPRequestHandler):
         finally:
             self.server.metrics.record(
                 route, (time.perf_counter() - t0) * 1000.0
+            )
+
+    def do_POST(self):  # noqa: N802 (stdlib handler contract)
+        t0 = time.perf_counter()
+        try:
+            if urlparse(self.path).path != "/graphql":
+                return self._send(404, {"error": f"no POST route {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                src = body["query"]
+            except (ValueError, KeyError) as e:
+                return self._send(400, {"errors": [{"message": f"bad request: {e}"}]})
+            try:
+                out = execute_graphql(
+                    self.lake, self.edges, src, body.get("variables")
+                )
+            except ValueError as e:  # parse error: whole request malformed
+                return self._send(400, {"errors": [{"message": str(e)}]})
+            return self._send(200, out)
+        finally:
+            self.server.metrics.record(
+                "/graphql", (time.perf_counter() - t0) * 1000.0
             )
 
     def _dispatch(self, url, q, parts):

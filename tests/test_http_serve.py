@@ -226,3 +226,100 @@ def test_metrics_endpoint(served):
     _get_err(srv.url + "/nope")
     st, m2 = _get(srv.url + "/metrics")
     assert m2["routes"]["/nope"]["count"] == before + 1
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_graphql_endpoint(served):
+    """POST /graphql speaks the reference's Query root
+    (schema.graphqls:36-53): graph / node(id) / searchNodes(query) /
+    relationshipsByType(type) / nodesByType(type) / config, with Node and
+    Relationship in the schema's wire shape ({id,label,properties} /
+    {from,to,type,properties}, properties = JSON string)."""
+    srv, lake, edges, _ = served
+    lake.reload()  # an earlier test commits via a second writer instance
+    conv = lake.final_table().column("conv_id")[0].as_py()
+
+    st, out = _post(srv.url + "/graphql", {"query": "{ graph { nodes relationships } }"})
+    assert st == 200 and "errors" not in out
+    g = out["data"]["graph"]
+    assert g["nodes"] and g["relationships"]
+    n0 = g["nodes"][0]
+    assert set(n0) == {"id", "label", "properties"}
+    assert json.loads(n0["properties"])["conv_id"]
+    r0 = g["relationships"][0]
+    assert set(r0) == {"from", "to", "type", "properties"}
+
+    # node(id) via a variable, plus an alias
+    st, out = _post(
+        srv.url + "/graphql",
+        {
+            "query": 'query N($id: ID!) { me: node(id: $id) { id label } }',
+            "variables": {"id": conv},
+        },
+    )
+    assert st == 200
+    me = out["data"]["me"]
+    assert me["id"].startswith(f"{conv}:")
+    want = lake.lookup([conv]).to_pylist()[0]
+    assert json.loads(me["properties"])["text"] == want["text"]
+
+    # searchNodes matches search_any; nodesByType matches search(role=)
+    sample = lake.head(5).to_pylist()
+    term = next(
+        w for r in sample for w in (r["text"] or "").split() if len(w) >= 4
+    )
+    st, out = _post(
+        srv.url + "/graphql", {"query": f'{{ searchNodes(query: "{term}") }}'}
+    )
+    assert st == 200
+    assert len(out["data"]["searchNodes"]) == lake.search_any(term).num_rows > 0
+
+    st, out = _post(
+        srv.url + "/graphql", {"query": '{ nodesByType(type: "user") }'}
+    )
+    assert len(out["data"]["nodesByType"]) == (
+        lake.search_where([("role", "=", "user")]).num_rows
+    )
+    assert all(n["label"] == "user" for n in out["data"]["nodesByType"])
+
+    st, out = _post(
+        srv.url + "/graphql",
+        {"query": '{ relationshipsByType(type: "KNOWS") config { neo4j } }'},
+    )
+    rels = out["data"]["relationshipsByType"]
+    assert len(rels) == 20 and rels[0]["type"] == "KNOWS"
+    assert out["data"]["config"]["neo4j"]["uri"].startswith("lake://")
+
+    # per-field execution errors are GraphQL-shaped, not transport errors
+    st, out = _post(
+        srv.url + "/graphql", {"query": '{ node(id: "missing_xyz") nope }'}
+    )
+    assert st == 200
+    assert out["data"]["node"] is None  # no live rows -> null node
+    assert out["data"]["nope"] is None
+    assert any("nope" in e["path"] for e in out["errors"])
+
+    # malformed query / unsupported operation -> 400
+    st, out = _post(srv.url + "/graphql", {"query": "{ graph"})
+    assert st == 400 and out["errors"]
+    st, out = _post(srv.url + "/graphql", {"query": "mutation { transformData }"})
+    assert st == 400 and "only query" in out["errors"][0]["message"]
+    st, out = _post(srv.url + "/graphql", {"nope": 1})
+    assert st == 400
+
+    # /graphql shows up in /metrics like every other route
+    st, mt = _get(srv.url + "/metrics")
+    assert mt["routes"]["/graphql"]["count"] >= 7
