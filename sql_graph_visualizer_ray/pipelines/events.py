@@ -121,17 +121,22 @@ def _plan_chunks(buckets: list[tuple[int, int]], bound: int) -> list[int]:
     return cuts
 
 
-def _sessionize_bounded(
-    ds: rd.Dataset, gap: np.timedelta64, bound: int
-) -> rd.Dataset:
-    """Skew-safe sessionize: heavy users are time-split into bounded chunks,
-    sessionized per chunk, and seam-merged exactly (see ``sessionize``).
+def _heavy_chunk_plan(ds: rd.Dataset, bound: int):
+    """Plan bounded time-chunks for mega keys — the shared machinery of the
+    bounded keyed-window operators (``sessionize``, as-of attribution).
 
-    Three pruned passes over (event_id, ts, user_id) — re-reading a pruned
-    projection streams and beats materializing the corpus at 100 TB. Pass A
-    and B are combiner-first: per-batch partials, then a groupby whose output
-    is one row per user (A) / per fine bucket of a heavy user (B)."""
-    gap_td = pd.Timedelta(gap)
+    Pass A (combiner): per-user counts; heavy = count > ``bound``
+    (pigeonhole: at most total_rows / bound such users). Pass B
+    (combiner): fine time histogram over ONLY the heavy users' events,
+    greedy-packed (``_plan_chunks``) into contiguous ts-range chunks of at
+    most ``bound`` rows. Returns ``None`` when no user exceeds the bound,
+    else ``(assign, part_to_chunk)``: ``assign`` is a pandas-batch fn
+    adding ``_part`` (light users hash into 0..NUM_PARTS-1; each heavy
+    (user, chunk) gets its own part id >= NUM_PARTS), and
+    ``part_to_chunk`` maps those ids back to (user_id, chunk_idx). Chunk
+    boundaries fall between distinct timestamps, so equal-ts ties never
+    split (> bound events at ONE timestamp stay in one task — the
+    documented unsplittable-tie limit)."""
     B = COMBINE_BATCH
 
     # ---- pass A: per-user counts (combiner), heavy = count > bound --------
@@ -149,17 +154,9 @@ def _sessionize_bounded(
             Max("ts_hi", alias_name="ts_hi"),
         )
     )
-    # pigeonhole-small: at most total_rows / bound heavy users
     heavy = stats.filter(expr=f"n > {bound}").take_all()
     if not heavy:
-        def per_part(g: pd.DataFrame) -> pd.DataFrame:
-            return _sessions_frame(g, gap)
-
-        return (
-            with_hash_part(ds, "user_id")
-            .groupby("_part")
-            .map_groups(per_part, batch_format="pandas")
-        )
+        return None
 
     def _us(t) -> int:
         return int(pd.Timestamp(t).value // 1000)
@@ -224,7 +221,7 @@ def _sessionize_bounded(
             part_to_chunk[next_part + c] = (uid, c)
         next_part += len(cut_buckets) + 1
 
-    # ---- pass C: partition light users by hash, heavy by (user, chunk) ----
+    # partition light users by hash, heavy by (user, chunk)
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(np.asarray(b["user_id"].to_numpy()))
         part = (h % NUM_PARTS).astype("int64")
@@ -237,6 +234,31 @@ def _sessionize_bounded(
                     cuts, ts_us[m], side="right"
                 )
         return b.assign(_part=part)
+
+    return assign, part_to_chunk
+
+
+def _sessionize_bounded(
+    ds: rd.Dataset, gap: np.timedelta64, bound: int
+) -> rd.Dataset:
+    """Skew-safe sessionize: heavy users are time-split into bounded chunks
+    (``_heavy_chunk_plan``), sessionized per chunk, and seam-merged exactly
+    (see ``sessionize``). Re-reading the pruned (event_id, ts, user_id)
+    projection per pass streams and beats materializing the corpus at
+    100 TB."""
+    gap_td = pd.Timedelta(gap)
+    B = COMBINE_BATCH
+    plan = _heavy_chunk_plan(ds, bound)
+    if plan is None:
+        def per_part(g: pd.DataFrame) -> pd.DataFrame:
+            return _sessions_frame(g, gap)
+
+        return (
+            with_hash_part(ds, "user_id")
+            .groupby("_part")
+            .map_groups(per_part, batch_format="pandas")
+        )
+    assign, part_to_chunk = plan
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         pval = int(g["_part"].iloc[0])
@@ -468,7 +490,66 @@ def user_activity_summary(sf_dir: str, *, min_events: int = 5) -> rd.Dataset:
     return agg.filter(expr=f"n_events >= {min_events}")
 
 
-def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
+ASOF_COLS = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+
+
+def _asof_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized as-of join over one partition's (possibly many) users:
+    one ``pd.merge_asof(..., by="user_id")`` pass (backward = last right
+    row with ts <= left ts; right side sorted (ts, event_id) makes the
+    tie-break deterministic: latest ts wins, then highest event_id)."""
+    p = (
+        g[g["event_type"] == "purchase"]
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    c = (
+        g[g["event_type"] == "click"]
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    if p.empty:
+        return pd.DataFrame(
+            {
+                "purchase_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                "click_id": pd.Series([], dtype="int64"),
+                "click_ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    if c.empty:
+        joined = p.assign(click_id=np.int64(-1), click_ts=pd.Timestamp(0))
+    else:
+        joined = pd.merge_asof(
+            p,
+            c[["ts", "event_id", "user_id"]].rename(
+                columns={"ts": "click_ts", "event_id": "click_id"}
+            ),
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+        )
+        # sentinel instead of NULL: purchases with no prior click get
+        # (click_id=-1, epoch ts) on BOTH engine and oracle sides, so the
+        # value-hash comparison never depends on NULL string renderings
+        joined["click_id"] = joined["click_id"].fillna(-1)
+        joined["click_ts"] = joined["click_ts"].fillna(pd.Timestamp(0))
+    return pd.DataFrame(
+        {
+            "purchase_id": joined["event_id"].astype("int64"),
+            "user_id": joined["user_id"].astype("int64"),
+            "purchase_ts": joined["ts"].astype("datetime64[us]"),
+            "click_id": joined["click_id"].astype("int64"),
+            "click_ts": joined["click_ts"].astype("datetime64[us]"),
+        }
+    )
+
+
+def asof_purchase_attribution(
+    sf_dir: str, *, max_rows_per_task: int | None = None
+) -> rd.Dataset:
     """As-of join: each 'purchase' event attributed to the user's most recent
     'click' at-or-before it. A custom operator Ray Data lacks, built as
     groupby(user).map_groups with pandas merge_asof — the as-of window is
@@ -477,72 +558,115 @@ def asof_purchase_attribution(sf_dir: str) -> rd.Dataset:
 
     Output: (purchase_id, user_id, purchase_ts, click_id, click_ts).
 
-    Coarse-partitioned: one ``pd.merge_asof(..., by="user_id")`` per
-    partition handles ALL of its users in a single vectorized pass (the
-    backward direction picks the last right row with ts <= left ts; sorting
-    the right side by (ts, event_id) makes the tie-break deterministic and
-    identical to the oracle's ORDER BY cts DESC, cid DESC).
-    """
+    ``max_rows_per_task`` is the mega-key escape hatch (same plan machinery
+    as the bounded ``sessionize``): a heavy user is time-split into bounded
+    chunks, each chunk as-of joins locally, and the ONLY cross-chunk state
+    a purchase can need is the latest click of the PRECEDING chunks — one
+    (click_id, click_ts) per chunk, prefix-scanned on the driver
+    (pigeonhole-bounded) and substituted into the chunk's locally-unmatched
+    purchases. Exact: a click in the same chunk always beats any earlier
+    chunk's click (chunks are disjoint ascending ts ranges)."""
     from .relational import read_table
 
     ev = read_table(
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
     ).filter(expr="event_type == 'purchase' or event_type == 'click'")
+    if max_rows_per_task is None:
+        return (
+            with_hash_part(ev, "user_id")
+            .groupby("_part")
+            .map_groups(_asof_frame, batch_format="pandas")
+        )
+    return _asof_bounded(ev, int(max_rows_per_task))
+
+
+def _asof_bounded(ev: rd.Dataset, bound: int) -> rd.Dataset:
+    """Skew-safe as-of attribution (see ``asof_purchase_attribution``)."""
+    B = COMBINE_BATCH
+    plan = _heavy_chunk_plan(ev, bound)
+    if plan is None:
+        return (
+            with_hash_part(ev, "user_id")
+            .groupby("_part")
+            .map_groups(_asof_frame, batch_format="pandas")
+        )
+    assign, part_to_chunk = plan
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        p = (
-            g[g["event_type"] == "purchase"]
-            .sort_values(["ts", "event_id"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        c = (
-            g[g["event_type"] == "click"]
-            .sort_values(["ts", "event_id"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        if p.empty:
-            return pd.DataFrame(
-                {
-                    "purchase_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
-                    "click_id": pd.Series([], dtype="int64"),
-                    "click_ts": pd.Series([], dtype="datetime64[us]"),
-                }
-            )
-        if c.empty:
-            joined = p.assign(click_id=np.int64(-1), click_ts=pd.Timestamp(0))
+        pval = int(g["_part"].iloc[0])
+        out = _asof_frame(g)
+        if pval < NUM_PARTS:
+            return out.assign(chunk_idx=np.int64(-1))
+        uid, chunk = part_to_chunk[pval]
+        out = out.assign(chunk_idx=np.int64(chunk))
+        # sidecar row (purchase_id = -2): this chunk's LAST click — the
+        # carry-in candidate for later chunks; -1 marks a clickless chunk
+        c = g[g["event_type"] == "click"]
+        if len(c):
+            last = c.sort_values(["ts", "event_id"]).iloc[-1]
+            cid, cts = np.int64(last["event_id"]), pd.Timestamp(last["ts"])
         else:
-            joined = pd.merge_asof(
-                p,
-                c[["ts", "event_id", "user_id"]].rename(
-                    columns={"ts": "click_ts", "event_id": "click_id"}
-                ),
-                left_on="ts",
-                right_on="click_ts",
-                by="user_id",
-                direction="backward",
-            )
-            # sentinel instead of NULL: purchases with no prior click get
-            # (click_id=-1, epoch ts) on BOTH engine and oracle sides, so the
-            # value-hash comparison never depends on NULL string renderings
-            joined["click_id"] = joined["click_id"].fillna(-1)
-            joined["click_ts"] = joined["click_ts"].fillna(pd.Timestamp(0))
-        return pd.DataFrame(
+            cid, cts = np.int64(-1), pd.Timestamp(0)
+        side = pd.DataFrame(
             {
-                "purchase_id": joined["event_id"].astype("int64"),
-                "user_id": joined["user_id"].astype("int64"),
-                "purchase_ts": joined["ts"].astype("datetime64[us]"),
-                "click_id": joined["click_id"].astype("int64"),
-                "click_ts": joined["click_ts"].astype("datetime64[us]"),
+                "purchase_id": [np.int64(-2)],
+                "user_id": [np.int64(uid)],
+                "purchase_ts": [pd.Timestamp(0)],
+                "click_id": [cid],
+                "click_ts": [cts],
+                "chunk_idx": [np.int64(chunk)],
             }
-        )
+        ).astype({"purchase_ts": "datetime64[us]", "click_ts": "datetime64[us]"})
+        return pd.concat([out, side], ignore_index=True)
 
-    return (
-        with_hash_part(ev, "user_id")
+    # attribution rows are output-sized: materialize ONCE for the sidecar
+    # extraction and the final substitution pass (same rationale as the
+    # bounded sessionize's session-level pin)
+    joined = (
+        ev.map_batches(arrow_out(assign), batch_format="pandas", batch_size=B)
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
+        .materialize()
     )
+
+    def sidecars(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["purchase_id"] == -2]
+
+    last_click: dict[tuple[int, int], tuple] = {}
+    for r in joined.map_batches(
+        sidecars, batch_format="pandas", batch_size=B
+    ).take_all():
+        last_click[(int(r["user_id"]), int(r["chunk_idx"]))] = (
+            int(r["click_id"]),
+            pd.Timestamp(r["click_ts"]),
+        )
+    # prefix scan per user: carry[(u, c)] = latest click of chunks < c.
+    # Chunks are ascending disjoint ts ranges, so the carry-in is simply
+    # the last click of the most recent preceding chunk that has one.
+    carry: dict[tuple[int, int], tuple] = {}
+    for uid in sorted({u for u, _ in last_click}):
+        best = (-1, pd.Timestamp(0))
+        for c in sorted(c for u, c in last_click if u == uid):
+            carry[(uid, c)] = best
+            cid, cts = last_click[(uid, c)]
+            if cid != -1:
+                best = (cid, cts)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["purchase_id"] != -2]
+        m = (b["chunk_idx"] >= 0) & (b["click_id"] == -1)
+        if m.any():
+            sub = b.loc[m]
+            keys = list(zip(sub["user_id"].astype(int), sub["chunk_idx"].astype(int)))
+            fills = [carry.get(k, (-1, pd.Timestamp(0))) for k in keys]
+            b = b.copy()
+            b.loc[m, "click_id"] = np.array([f[0] for f in fills], dtype="int64")
+            b.loc[m, "click_ts"] = pd.Series(
+                [f[1] for f in fills], index=sub.index, dtype="datetime64[us]"
+            )
+        return b[ASOF_COLS]
+
+    return joined.map_batches(finalize, batch_format="pandas", batch_size=B)
 
 
 def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Dataset:

@@ -432,14 +432,15 @@ def schema_discovery(sf_dir: str) -> pa.Table:
 
 def build_queries() -> dict:
     """name -> callable(sf_dir). ORDER MATTERS: the driver's correctness gate
-    checks the FIRST 50 entries only. There are 54 oracle-backed queries;
-    all 54 run with full value-hash oracles in the builder's own sweep
-    (tools/check_queries.py), and the four at positions 51-54 —
+    checks the FIRST 50 entries only. There are 55 oracle-backed queries;
+    all 55 run with full value-hash oracles in the builder's own sweep
+    (tools/check_queries.py), and the five at positions 51-55 —
     ``count_all_tables`` and ``sample_orders_mod`` (operator families
     stay driver-gated via ``estimate_table_sizes`` and
     ``docs_sample_per_lang``), ``events_sessionize_bounded`` (same
     oracle as the gated ``events_sessionize``, skew path pinned by
-    tests/test_events_skew.py), and ``edge_degree_view`` (incremental
+    tests/test_events_skew.py), ``events_asof_bounded`` (same oracle as
+    the gated ``events_asof_attribution``), and ``edge_degree_view`` (incremental
     view refresh pinned by tests/test_edge_lake.py) — ride on that
     sweep plus pytest.
     The rows-only entries (approximation algorithms with no SQL-expressible
@@ -520,6 +521,7 @@ def build_queries() -> dict:
         "count_all_tables": count_all_tables,
         "sample_orders_mod": sample_orders_mod,
         "events_sessionize_bounded": _events_sessionize_bounded,
+        "events_asof_bounded": _events_asof_bounded,
         "edge_degree_view": edge_degree_view,
         # --- rows-only (approximations; pytest oracles) --------------------
         "events_distinct_users_hll": events_distinct_users_hll,
@@ -577,6 +579,7 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     # the bounded (mega-key escape hatch) sessionize must produce the exact
     # same result as the plain one — same oracle, different physical plan
     d["events_sessionize_bounded"] = d["events_sessionize"]
+    d["events_asof_bounded"] = d["events_asof_attribution"]
     d["edge_degree_view"] = (
         "SELECT CAST(c_nationkey AS BIGINT) AS node_id, "
         "COUNT(*) AS degree FROM customer "
@@ -957,6 +960,15 @@ def join_order_geo(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def _events_asof_bounded(sf_dir: str) -> rd.Dataset:
+    """``events.asof_purchase_attribution`` with the mega-key escape hatch
+    forced live: bound 15 < the max per-user click+purchase count at every
+    test sf (32-40), so heavy users go through the time-chunk split with
+    driver prefix-scanned click carry-ins. Must be value-identical to the
+    plain ``events_asof_attribution``."""
+    return events.asof_purchase_attribution(sf_dir, max_rows_per_task=15)
 
 
 def _events_sessionize_bounded(sf_dir: str) -> rd.Dataset:

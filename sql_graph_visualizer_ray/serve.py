@@ -139,7 +139,11 @@ def parse_graphql(src: str, variables: dict | None = None) -> list[dict]:
                 if depth == 0:
                     break
     elif peek() in ("mutation", "subscription"):
-        raise ValueError(f"only query operations are supported, got {peek()!r}")
+        raise ValueError(
+            f"only query operations are supported, got {peek()!r} — the "
+            "graphUpdates subscription is served as a long-poll: "
+            "GET /updates?after=<version>&wait=<s>"
+        )
 
     def value(tok):
         if tok.startswith('"'):

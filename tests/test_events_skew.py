@@ -153,3 +153,95 @@ def test_plan_chunks_respects_bound(bound):
         sizes[np.searchsorted(sorted(cuts), b, side="right")].append(c)
     for chunk in sizes:
         assert not chunk or sum(chunk) <= bound or len(chunk) == 1
+
+
+def _asof_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("events", df)
+    out = con.execute(
+        "WITH p AS (SELECT event_id, ts, user_id FROM events "
+        "           WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id, ts, user_id FROM events "
+        "      WHERE event_type = 'click') "
+        "SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, "
+        "COALESCE(pick.cid, -1) AS click_id, "
+        "COALESCE(pick.cts, TIMESTAMP '1970-01-01') AS click_ts "
+        "FROM p LEFT JOIN LATERAL ("
+        "  SELECT c.event_id AS cid, c.ts AS cts FROM c "
+        "  WHERE c.user_id = p.user_id AND c.ts <= p.ts "
+        "  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) pick ON TRUE"
+    ).df()
+    con.close()
+    return out
+
+
+def _asof_canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in ("purchase_ts", "click_ts"):
+        df[c] = df[c].astype("datetime64[us]")
+    for c in ("purchase_id", "user_id", "click_id"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("purchase_id", ignore_index=True)[
+        ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+    ]
+
+
+def test_bounded_asof_matches_plain_and_oracle(ray_session, tmp_path):
+    """Mega-user as-of: user 1 owns most of the corpus with clicks SPARSE
+    (one click per ~150 events), so with bound=200 most chunks have no
+    click at all and an attribution must walk several chunk seams back to
+    the carry-in click — plus a purchase BEFORE any click (sentinel), a
+    click-ts tie (highest event_id wins), and light users as control."""
+    rng = np.random.default_rng(17)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    ts = t0
+    # heavy user 1: purchase at index 0 (no prior click ever -> sentinel)
+    for i in range(3000):
+        ts = ts + np.timedelta64(int(rng.integers(30, 200)), "s")
+        kind = "click" if (i % 150 == 100) else "purchase"
+        rows.append((i, ts, 1, kind))
+    # a click-ts TIE for the heavy user: two clicks at one timestamp
+    tie_ts = ts + np.timedelta64(60, "s")
+    rows.append((4000, tie_ts, 1, "click"))
+    rows.append((4001, tie_ts, 1, "click"))
+    rows.append((4002, tie_ts + np.timedelta64(5, "s"), 1, "purchase"))
+    # light users
+    eid = 5000
+    for uid in range(2, 30):
+        ts2 = t0 + np.timedelta64(int(rng.integers(0, 3600)), "s")
+        for j in range(20):
+            ts2 = ts2 + np.timedelta64(int(rng.integers(60, 900)), "s")
+            rows.append((eid, ts2, uid, "click" if j % 3 else "purchase"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(df["event_id"], pa.int64()),
+                "ts": pa.array(df["ts"].astype("datetime64[us]")),
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    from sql_graph_visualizer_ray.pipelines.events import (
+        asof_purchase_attribution,
+    )
+
+    plain = _asof_canon(asof_purchase_attribution(str(d)).to_pandas())
+    bounded = _asof_canon(
+        asof_purchase_attribution(str(d), max_rows_per_task=200).to_pandas()
+    )
+    oracle = _asof_canon(_asof_oracle(df))
+    pd.testing.assert_frame_equal(plain, oracle)
+    pd.testing.assert_frame_equal(bounded, oracle)
+    # the adversarial shapes actually occurred
+    assert (oracle["click_id"] == -1).any()  # pre-first-click sentinel
+    tie_row = oracle[oracle["purchase_id"] == 4002].iloc[0]
+    assert int(tie_row["click_id"]) == 4001  # ts tie -> highest event_id
