@@ -121,9 +121,22 @@ def _plan_chunks(buckets: list[tuple[int, int]], bound: int) -> list[int]:
     return cuts
 
 
-def _heavy_chunk_plan(ds: rd.Dataset, bound: int):
+def _heavy_chunk_plan(ds: rd.Dataset, bound: int, *, spill_us: int = 0, spill_mask=None):
     """Plan bounded time-chunks for mega keys — the shared machinery of the
-    bounded keyed-window operators (``sessionize``, as-of attribution).
+    bounded keyed-window operators (``sessionize``, as-of attribution,
+    range join).
+
+    ``spill_us``/``spill_mask`` implement OVERLAP chunking for bounded-
+    lookback joins: rows selected by ``spill_mask(batch) -> bool mask``
+    (e.g. the clicks of a range join) are DUPLICATED into every later
+    chunk whose range intersects ``(ts, ts + spill_us]``, so a window
+    crossing a chunk seam still sees its left-side rows locally. The
+    duplication factor is ``spill_us / chunk_ts_width + 1`` — bounded in
+    practice (chunks hold ``bound`` rows, so a chunk narrower than the
+    window means the window itself covers > bound rows of that user);
+    output stays duplicate-free as long as the operator emits results
+    where the NON-spilled side lives (each such row is in exactly one
+    chunk).
 
     Pass A (combiner): per-user counts; heavy = count > ``bound``
     (pigeonhole: at most total_rows / bound such users). Pass B
@@ -227,13 +240,40 @@ def _heavy_chunk_plan(ds: rd.Dataset, bound: int):
         part = (h % NUM_PARTS).astype("int64")
         u = b["user_id"].to_numpy()
         ts_us = b["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        spill = (
+            np.asarray(spill_mask(b), dtype=bool)
+            if spill_us and spill_mask is not None
+            else None
+        )
+        extra: list[pd.DataFrame] = []
         for uid, cuts in cuts_map.items():  # few heavy users by pigeonhole
             m = u == uid
-            if m.any():
-                part[m] = part_base[uid] + np.searchsorted(
-                    cuts, ts_us[m], side="right"
+            if not m.any():
+                continue
+            part[m] = part_base[uid] + np.searchsorted(
+                cuts, ts_us[m], side="right"
+            )
+            if spill is None or len(cuts) == 0:
+                continue
+            sm = m & spill
+            if not sm.any():
+                continue
+            idx = np.flatnonzero(sm)
+            t = ts_us[idx]
+            k0 = np.searchsorted(cuts, t, side="right")
+            k1 = np.searchsorted(cuts, t + np.int64(spill_us), side="right")
+            for off in range(1, int((k1 - k0).max() or 0) + 1):
+                mm = k1 >= k0 + off
+                if not mm.any():
+                    break
+                dup = b.iloc[idx[mm]].assign(
+                    _part=(part_base[uid] + k0[mm] + off).astype("int64")
                 )
-        return b.assign(_part=part)
+                extra.append(dup)
+        out = b.assign(_part=part)
+        if extra:
+            out = pd.concat([out, *extra], ignore_index=True)
+        return out
 
     return assign, part_to_chunk
 
@@ -669,7 +709,12 @@ def _asof_bounded(ev: rd.Dataset, bound: int) -> rd.Dataset:
     return joined.map_batches(finalize, batch_format="pandas", batch_size=B)
 
 
-def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Dataset:
+def range_join_click_errors(
+    sf_dir: str,
+    *,
+    window_minutes: int = 5,
+    max_rows_per_task: int | None = None,
+) -> rd.Dataset:
     """Range (interval) join: every 'error' within ``window_minutes`` AFTER a
     'click' by the same user. Like the as-of join, the interval predicate is
     partition-local by user — per-group numpy searchsorted finds each
@@ -682,6 +727,14 @@ def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Datas
     with ``span`` wide enough that windows never cross users — so a single
     pair of searchsorted calls finds every click's error window for every
     user in the partition at once.
+
+    ``max_rows_per_task`` is the mega-key escape hatch, here via OVERLAP
+    chunking (``_heavy_chunk_plan(spill_us=window)``): a heavy user's
+    events are time-split into bounded chunks and the CLICKS within one
+    window of a chunk seam are duplicated into the chunks their window
+    reaches, so every (click, error) pair is computable where the error
+    lives — each error is in exactly one chunk, so the output is
+    duplicate-free with NO seam merge at all.
     """
     from .relational import read_table
 
@@ -747,6 +800,24 @@ def range_join_click_errors(sf_dir: str, *, window_minutes: int = 5) -> rd.Datas
             }
         )
 
+    if max_rows_per_task is not None:
+        plan = _heavy_chunk_plan(
+            ev,
+            int(max_rows_per_task),
+            spill_us=int(win_us),
+            spill_mask=lambda b: (b["event_type"] == "click").to_numpy(),
+        )
+        if plan is not None:
+            assign, _ = plan
+            return (
+                ev.map_batches(
+                    arrow_out(assign),
+                    batch_format="pandas",
+                    batch_size=COMBINE_BATCH,
+                )
+                .groupby("_part")
+                .map_groups(per_part, batch_format="pandas")
+            )
     return (
         with_hash_part(ev, "user_id")
         .groupby("_part")

@@ -432,15 +432,15 @@ def schema_discovery(sf_dir: str) -> pa.Table:
 
 def build_queries() -> dict:
     """name -> callable(sf_dir). ORDER MATTERS: the driver's correctness gate
-    checks the FIRST 50 entries only. There are 55 oracle-backed queries;
-    all 55 run with full value-hash oracles in the builder's own sweep
-    (tools/check_queries.py), and the five at positions 51-55 —
+    checks the FIRST 50 entries only. There are 56 oracle-backed queries;
+    all 56 run with full value-hash oracles in the builder's own sweep
+    (tools/check_queries.py), and the six at positions 51-56 —
     ``count_all_tables`` and ``sample_orders_mod`` (operator families
     stay driver-gated via ``estimate_table_sizes`` and
     ``docs_sample_per_lang``), ``events_sessionize_bounded`` (same
     oracle as the gated ``events_sessionize``, skew path pinned by
-    tests/test_events_skew.py), ``events_asof_bounded`` (same oracle as
-    the gated ``events_asof_attribution``), and ``edge_degree_view`` (incremental
+    tests/test_events_skew.py), ``events_asof_bounded`` / ``events_range_bounded`` (same oracles as
+    the gated plain variants), and ``edge_degree_view`` (incremental
     view refresh pinned by tests/test_edge_lake.py) — ride on that
     sweep plus pytest.
     The rows-only entries (approximation algorithms with no SQL-expressible
@@ -522,6 +522,7 @@ def build_queries() -> dict:
         "sample_orders_mod": sample_orders_mod,
         "events_sessionize_bounded": _events_sessionize_bounded,
         "events_asof_bounded": _events_asof_bounded,
+        "events_range_bounded": _events_range_bounded,
         "edge_degree_view": edge_degree_view,
         # --- rows-only (approximations; pytest oracles) --------------------
         "events_distinct_users_hll": events_distinct_users_hll,
@@ -580,6 +581,7 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     # same result as the plain one — same oracle, different physical plan
     d["events_sessionize_bounded"] = d["events_sessionize"]
     d["events_asof_bounded"] = d["events_asof_attribution"]
+    d["events_range_bounded"] = d["events_range_join"]
     d["edge_degree_view"] = (
         "SELECT CAST(c_nationkey AS BIGINT) AS node_id, "
         "COUNT(*) AS degree FROM customer "
@@ -969,6 +971,15 @@ def _events_asof_bounded(sf_dir: str) -> rd.Dataset:
     driver prefix-scanned click carry-ins. Must be value-identical to the
     plain ``events_asof_attribution``."""
     return events.asof_purchase_attribution(sf_dir, max_rows_per_task=15)
+
+
+def _events_range_bounded(sf_dir: str) -> rd.Dataset:
+    """``events.range_join_click_errors`` with the mega-key escape hatch
+    forced live (bound 15): heavy users chunk with window-width OVERLAP —
+    seam-adjacent clicks duplicate into the chunks their window reaches,
+    output emitted where the error lives so it stays duplicate-free. Must
+    be value-identical to the plain ``events_range_join``."""
+    return events.range_join_click_errors(sf_dir, max_rows_per_task=15)
 
 
 def _events_sessionize_bounded(sf_dir: str) -> rd.Dataset:

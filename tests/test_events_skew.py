@@ -245,3 +245,80 @@ def test_bounded_asof_matches_plain_and_oracle(ray_session, tmp_path):
     assert (oracle["click_id"] == -1).any()  # pre-first-click sentinel
     tie_row = oracle[oracle["purchase_id"] == 4002].iloc[0]
     assert int(tie_row["click_id"]) == 4001  # ts tie -> highest event_id
+
+
+def test_bounded_range_join_matches_plain_and_oracle(ray_session, tmp_path):
+    """Mega-user range join with OVERLAP chunking: user 1's events are so
+    dense (every ~20 s) that a 10-minute window spans several 25-row
+    chunks — seam-adjacent clicks must duplicate into later chunks for
+    their cross-seam (click, error) pairs to be found, and the output must
+    still be duplicate-free."""
+    rng = np.random.default_rng(23)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    ts = t0
+    for i in range(3000):
+        ts = ts + np.timedelta64(int(rng.integers(5, 40)), "s")
+        rows.append((i, ts, 1, "click" if i % 4 else "error"))
+    eid = 5000
+    for uid in range(2, 20):
+        ts2 = t0 + np.timedelta64(int(rng.integers(0, 3600)), "s")
+        for j in range(30):
+            ts2 = ts2 + np.timedelta64(int(rng.integers(30, 600)), "s")
+            rows.append((eid, ts2, uid, "click" if j % 3 else "error"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(df["event_id"], pa.int64()),
+                "ts": pa.array(df["ts"].astype("datetime64[us]")),
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    from sql_graph_visualizer_ray.pipelines.events import (
+        range_join_click_errors,
+    )
+
+    W = 10
+
+    def canon(x: pd.DataFrame) -> pd.DataFrame:
+        x = x.copy()
+        for c in x.columns:
+            x[c] = x[c].astype("int64")
+        return x.sort_values(
+            ["click_id", "error_id"], ignore_index=True
+        )[["click_id", "error_id", "user_id", "gap_us"]]
+
+    plain = canon(range_join_click_errors(str(d), window_minutes=W).to_pandas())
+    bounded = canon(
+        range_join_click_errors(
+            str(d), window_minutes=W, max_rows_per_task=25
+        ).to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    oracle = canon(
+        con.execute(
+            "SELECT c.event_id AS click_id, e.event_id AS error_id, "
+            "c.user_id, CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us "
+            "FROM events c JOIN events e ON c.user_id = e.user_id "
+            "AND c.event_type = 'click' AND e.event_type = 'error' "
+            f"AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL {W} MINUTE"
+        ).df()
+    )
+    con.close()
+    # no duplicate pairs from the overlap duplication
+    assert not bounded.duplicated(["click_id", "error_id"]).any()
+    pd.testing.assert_frame_equal(plain, oracle)
+    pd.testing.assert_frame_equal(bounded, oracle)
+    # density check: the window really does span multiple 25-row chunks
+    heavy = df[df["user_id"] == 1].sort_values("ts")
+    med_gap = heavy["ts"].diff().dt.total_seconds().median()
+    assert med_gap * 25 < W * 60  # window wider than a chunk
