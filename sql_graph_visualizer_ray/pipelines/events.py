@@ -826,30 +826,45 @@ def range_join_click_errors(
 
 
 def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
-    """A1 COUNT(DISTINCT): distinct users per event type, pre-reduced inside
-    each batch (drop_duplicates) so the shuffle moves (type, user) pairs at
-    most once per batch, then an exact per-group nunique."""
+    """A1 COUNT(DISTINCT): distinct users per event type, exact and
+    skew-proof in two stages. Stage 1 dedups (type, user) pairs inside each
+    batch, then hash-partitions by the COMPOSITE (type, user) — a pair's
+    duplicates all land in one part, and a hot type spreads over all parts
+    instead of one task holding its whole distinct set (the nunique-per-
+    group shape this replaces). Stage 2 dedups within the part and emits
+    per-type partial counts (<= #types rows); the final groupby sums
+    partials. No task ever holds more than ~|distinct pairs| / NUM_PARTS
+    rows regardless of type skew."""
     from .relational import read_table
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
 
     def batch_distinct(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates(ignore_index=True)
+        b = b.drop_duplicates(ignore_index=True)
+        h = pd.util.hash_pandas_object(
+            b[["event_type", "user_id"]], index=False
+        ).to_numpy()
+        return b.assign(_part=(h % NUM_PARTS).astype("int64"))
 
-    def group_count(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_users": np.array([g["user_id"].nunique()], dtype="int64"),
-            }
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "partial_n"})
         )
+        out["partial_n"] = out["partial_n"].astype("int64")
+        return out
 
-    return (
+    partials = (
         ev.map_batches(
             arrow_out(batch_distinct),
             batch_format="pandas",
             batch_size=COMBINE_BATCH,
         )
-        .groupby("event_type")
-        .map_groups(group_count, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(arrow_out(part_counts), batch_format="pandas")
+    )
+    return partials.groupby("event_type").aggregate(
+        Sum("partial_n", alias_name="n_users")
     )
