@@ -1039,8 +1039,26 @@ def window_rank_orders(sf_dir: str) -> rd.Dataset:
         ).astype("int64")
         return out[["o_custkey", "o_orderkey", "rank", "price_cents"]]
 
+    def partial_top2(b: pd.DataFrame) -> pd.DataFrame:
+        # top-k per key is ASSOCIATIVE: keeping each batch's top-2 per
+        # customer before the exchange bounds both the shuffle volume and
+        # the final task size (a mega-customer contributes 2 rows per
+        # batch, never its whole order history to one task)
+        b = b.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        return b[b.groupby("o_custkey", sort=False).cumcount() < 2]
+
+    partials = orders.map_batches(
+        arrow_out(partial_top2),
+        batch_format="pandas",
+        batch_size=events.COMBINE_BATCH,
+    )
     return (
-        events.with_hash_part(orders, "o_custkey")
+        events.with_hash_part(partials, "o_custkey")
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
     )
@@ -1340,8 +1358,16 @@ def docs_sample_per_lang(sf_dir: str, *, per_group: int = 20) -> rd.Dataset:
         out = g[keep]
         return out[["doc_id", "lang"]].astype({"doc_id": "int64"})
 
+    # first-k per stratum is ASSOCIATIVE: the per-batch partial caps the
+    # exchange at per_group x #langs rows per batch, and a giant stratum
+    # never lands whole in one task
+    partials = ds.map_batches(
+        arrow_out(per_part),
+        batch_format="pandas",
+        batch_size=events.COMBINE_BATCH,
+    )
     return (
-        events.with_hash_part(ds, "lang", num_parts=16)
+        events.with_hash_part(partials, "lang", num_parts=16)
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
     )
