@@ -353,10 +353,36 @@ def synthesize_decodable_payloads(sf_dir: str) -> rd.Dataset:
     )
 
 
+def audio_spectral_features(samples: np.ndarray, rate: int) -> tuple[float, float]:
+    """Real DSP over decoded PCM (numpy rfft, no audio libs): the dominant
+    frequency (argmax magnitude bin, DC excluded) and the spectral centroid
+    (magnitude-weighted mean frequency), both in Hz — the two scalars an
+    audio-curation pipeline thresholds on (tone vs noise vs silence)."""
+    mono = samples.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n = len(mono)
+    if n < 2:
+        return 0.0, 0.0
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    dom = float(freqs[1 + int(np.argmax(mag[1:]))]) if len(mag) > 1 else 0.0
+    tot = float(mag[1:].sum())
+    cent = float((freqs[1:] * mag[1:]).sum() / tot) if tot > 0 else 0.0
+    return dom, cent
+
+
 class RealFeatureExtractor:
-    """Actor-pool extraction over REALLY-decoded payloads (PPM/BMP/WAV):
-    per-payload shape and value statistics — the layout a production
-    extractor emits, with the decode step live instead of stubbed."""
+    """Actor-pool extraction over REALLY-decoded payloads (PPM/BMP/PNG/WAV):
+    per-payload shape and value statistics, plus REAL spectral features for
+    audio (numpy rfft — dominant frequency + spectral centroid; NaN for
+    images) — the layout a production extractor emits, with the decode and
+    DSP steps live instead of stubbed."""
+
+    #: sample rate ``encode_wav`` writes; a general extractor would read it
+    #: from the WAV header — kept fixed here because ``real_decode`` returns
+    #: raw samples (documented contract) and every synthesized payload uses it
+    WAV_RATE = 8000
 
     def __init__(self):
         self.decode = real_decode  # model/codec init happens once per actor
@@ -366,7 +392,7 @@ class RealFeatureExtractor:
             "doc_id": t.column("doc_id"),
             "media_type": t.column("media_type"),
         }
-        n_vals, means, stds = [], [], []
+        n_vals, means, stds, doms, cents = [], [], [], [], []
         for p, m in zip(
             t.column("payload").to_pylist(), t.column("media_type").to_pylist()
         ):
@@ -374,9 +400,17 @@ class RealFeatureExtractor:
             n_vals.append(arr.size)
             means.append(float(arr.astype(np.float64).mean()))
             stds.append(float(arr.astype(np.float64).std()))
+            if m == "audio/wav":
+                dom, cent = audio_spectral_features(arr, self.WAV_RATE)
+            else:
+                dom = cent = float("nan")
+            doms.append(dom)
+            cents.append(cent)
         out["n_values"] = pa.array(n_vals, pa.int64())
         out["mean"] = pa.array(means, pa.float64())
         out["std"] = pa.array(stds, pa.float64())
+        out["dominant_hz"] = pa.array(doms, pa.float64())
+        out["spectral_centroid_hz"] = pa.array(cents, pa.float64())
         return pa.table(out)
 
 

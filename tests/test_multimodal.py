@@ -168,3 +168,28 @@ def test_decode_features_match_numpy_oracle(ray_session):
         "image/bmp",
         "image/png",
     }
+
+
+def test_audio_spectral_features_ground_truth(ray_session):
+    """The synthesized WAV tones have a KNOWN frequency ((doc_id % 13)+1
+    cycles over 64 samples at 8 kHz), so the FFT's dominant bin is an
+    exact ground-truth oracle: dominant_hz == cycles * rate / n. Images
+    carry NaN spectral columns."""
+    sf = "/root/testdata/sf0.001"
+    got = (
+        decode_features(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    wav = got[got.media_type == "audio/wav"]
+    assert len(wav) > 0
+    for _, r in wav.iterrows():
+        cycles = (int(r.doc_id) % 13) + 1
+        expect_hz = cycles * 8000 / 64.0
+        assert r.dominant_hz == pytest.approx(expect_hz), int(r.doc_id)
+        # a pure tone's centroid sits near its frequency (spectral leakage
+        # from the finite window pulls it slightly; same-bin sanity)
+        assert abs(r.spectral_centroid_hz - expect_hz) < 8000 / 64.0
+    img = got[got.media_type != "audio/wav"]
+    assert img.dominant_hz.isna().all() and img.spectral_centroid_hz.isna().all()
