@@ -322,3 +322,44 @@ def test_bounded_range_join_matches_plain_and_oracle(ray_session, tmp_path):
     heavy = df[df["user_id"] == 1].sort_values("ts")
     med_gap = heavy["ts"].diff().dt.total_seconds().median()
     assert med_gap * 25 < W * 60  # window wider than a chunk
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+# small ts domain -> heavy tie pressure; tiny bounds -> many chunks; the
+# chunk planner, seam merger, and renumberer all get hammered with shapes
+# a hand fixture wouldn't think of
+_streams = hst.lists(
+    hst.tuples(hst.integers(1, 3), hst.integers(0, 120)),  # (user, ts seconds)
+    min_size=5,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_streams, bound=hst.sampled_from([3, 5, 8]))
+def test_bounded_sessionize_property(ray_session, tmp_path_factory, stream, bound):
+    """Property: for ANY event stream and ANY bound, the bounded sessionize
+    equals the plain one (which is oracle-pinned elsewhere). gap=1 minute
+    over a 2-minute ts domain forces both session breaks and chain merges
+    across chunk seams."""
+    d = tmp_path_factory.mktemp("hyp")
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(stream), dtype=np.int64),
+            "ts": [t0 + np.timedelta64(s, "s") for _, s in stream],
+            "user_id": np.array([u for u, _ in stream], dtype=np.int64),
+        }
+    )
+    sf = _write_events(d, df)
+    plain = _canon(sessionize(sf, gap_minutes=1).to_pandas())
+    bounded = _canon(
+        sessionize(sf, gap_minutes=1, max_rows_per_task=bound).to_pandas()
+    )
+    pd.testing.assert_frame_equal(bounded, plain)
