@@ -175,7 +175,18 @@ def _asof_oracle(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+ASOF_EMPTY = {
+    "purchase_id": "int64",
+    "user_id": "int64",
+    "purchase_ts": "datetime64[us]",
+    "click_id": "int64",
+    "click_ts": "datetime64[us]",
+}
+
+
 def _asof_canon(df: pd.DataFrame) -> pd.DataFrame:
+    if len(df.columns) == 0:  # Ray to_pandas of an all-empty dataset
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in ASOF_EMPTY.items()})
     df = df.copy()
     for c in ("purchase_ts", "click_ts"):
         df[c] = df[c].astype("datetime64[us]")
@@ -362,4 +373,100 @@ def test_bounded_sessionize_property(ray_session, tmp_path_factory, stream, boun
     bounded = _canon(
         sessionize(sf, gap_minutes=1, max_rows_per_task=bound).to_pandas()
     )
+    pd.testing.assert_frame_equal(bounded, plain)
+
+
+_typed_streams = hst.lists(
+    hst.tuples(
+        hst.integers(1, 2),  # user
+        hst.integers(0, 90),  # ts seconds
+        hst.sampled_from(["click", "purchase", "error"]),
+    ),
+    min_size=5,
+    max_size=50,
+)
+
+
+def _write_typed(tmp_path, stream) -> tuple[str, pd.DataFrame]:
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(stream), dtype=np.int64),
+            "ts": [t0 + np.timedelta64(s, "s") for _, s, _ in stream],
+            "user_id": np.array([u for u, _, _ in stream], dtype=np.int64),
+            "event_type": [k for _, _, k in stream],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(df["event_id"], pa.int64()),
+                "ts": pa.array(df["ts"].astype("datetime64[us]")),
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d), df
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_typed_streams, bound=hst.sampled_from([3, 6]))
+def test_bounded_asof_property(ray_session, tmp_path_factory, stream, bound):
+    """Property: bounded as-of == plain as-of for any stream/bound — ties,
+    clickless chunks, multi-seam carry-ins included."""
+    from sql_graph_visualizer_ray.pipelines.events import (
+        asof_purchase_attribution,
+    )
+
+    sf, _ = _write_typed(tmp_path_factory.mktemp("hyp_asof"), stream)
+    plain = _asof_canon(asof_purchase_attribution(sf).to_pandas())
+    bounded = _asof_canon(
+        asof_purchase_attribution(sf, max_rows_per_task=bound).to_pandas()
+    )
+    pd.testing.assert_frame_equal(bounded, plain)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stream=_typed_streams, bound=hst.sampled_from([3, 6]))
+def test_bounded_range_join_property(ray_session, tmp_path_factory, stream, bound):
+    """Property: bounded (overlap-chunked) range join == plain for any
+    stream/bound — the 1-minute window over a 90-second domain guarantees
+    windows wider than chunks, i.e. multi-chunk click spill."""
+    from sql_graph_visualizer_ray.pipelines.events import (
+        range_join_click_errors,
+    )
+
+    def canon(x: pd.DataFrame) -> pd.DataFrame:
+        if len(x.columns) == 0:  # Ray to_pandas of an all-empty dataset
+            x = pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("click_id", "error_id", "user_id", "gap_us")}
+            )
+        x = x.copy()
+        for c in x.columns:
+            x[c] = x[c].astype("int64")
+        return x.sort_values(
+            ["click_id", "error_id"], ignore_index=True
+        ).reset_index(drop=True)
+
+    sf, _ = _write_typed(tmp_path_factory.mktemp("hyp_rj"), stream)
+    plain = canon(range_join_click_errors(sf, window_minutes=1).to_pandas())
+    bounded = canon(
+        range_join_click_errors(
+            sf, window_minutes=1, max_rows_per_task=bound
+        ).to_pandas()
+    )
+    assert not bounded.duplicated(["click_id", "error_id"]).any()
     pd.testing.assert_frame_equal(bounded, plain)
