@@ -7,7 +7,14 @@ Windows are COARSE-partitioned: the Ray exchange moves ``hash(user) % P``
 partitions (one Python dispatch per partition, not per key), and the window
 logic inside each partition is vectorized numpy/pandas across ALL of the
 partition's users at once. The partitioning assumption (all of a key's
-events co-located) is exactly the engine's conv_id bucketing assumption.
+events co-located) is exactly the engine's conv_id bucketing assumption —
+and every operator that relies on it carries a ``max_rows_per_task``
+escape hatch (``_heavy_chunk_plan``) for keys that outgrow one task:
+sessionize time-chunks + exact seam merge, the as-of join time-chunks +
+driver prefix-scanned carry-ins, the range join time-chunks with
+window-width overlap. Operators whose kernel is associative (last-per-key,
+per-key aggregates, distinct counts, top-k) need no hatch at all: they
+pre-reduce per batch, so no task ever holds a key's full history.
 """
 
 from __future__ import annotations
