@@ -713,7 +713,7 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--edges", default=None, help="edge lake dir for "
                     "/relationships /neighbors /expand")
     sv.add_argument("--host", default="127.0.0.1")
-    sv.add_argument("--port", type=int, default=8265)
+    sv.add_argument("--port", type=int, default=8465)  # 8265 is Ray dashboard
     sv.set_defaults(fn=cmd_serve)
 
     an = sub.add_parser("analyze", help="lake report (json|yaml|summary)")

@@ -1420,6 +1420,7 @@ class LakeTable:
         updates: dict[str, dict[str, dict]] = {}
         for bk, rels in gaps.items():
             key = str(bk)
+            entry_stats = self.manifest.data["buckets"][key].get("stats") or {}
             for rel in rels:
                 path = os.path.join(self.path, rel)
                 have = pq.read_schema(path).names
@@ -1427,6 +1428,14 @@ class LakeTable:
                 st: dict[str, list] = {}
                 if cols:
                     st = _column_stats(pq.read_table(path, columns=cols))
+                if rel not in entry_stats:
+                    # the file was never footer-backfilled: fold in the
+                    # numeric/timestamp footer bounds NOW (zero data IO).
+                    # Otherwise a string-first ordering would leave a
+                    # string-only stats entry that ``backfill_stats``
+                    # permanently skips (it treats any existing entry as
+                    # complete), silently disabling numeric file skipping.
+                    st = {**_footer_stats(path), **st}
                 updates.setdefault(key, {})[rel] = st
         import uuid as _uuid
 

@@ -491,8 +491,8 @@ def with_hash_part(
     ds: rd.Dataset, col: str, num_parts: int = NUM_PARTS
 ) -> rd.Dataset:
     """Append ``_part = stable_hash(col) % num_parts`` — the coarse exchange
-    key for keyed windows and per-group pair mining (shared by the events
-    windows and ``cooccurrence_pairs``)."""
+    key for keyed windows and partial-count folds (shared by the events
+    windows and several aggregation pipelines)."""
 
     def add(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -518,9 +518,14 @@ def cooccurrence_pairs(
     """All (item_a < item_b) pairs sharing a group, counted across groups.
 
     SKEW SAFETY: a group with k items emits k*(k-1)/2 pairs, so a hot group
-    would pin its whole O(k^2) triangle on one task. Pass 1 scans per-group
-    distinct-item counts (tiny output: only groups past ``group_cap``
-    reach the driver). Pass 2 routes rows: normal groups take the coarse
+    would pin its whole O(k^2) triangle on one task. Pass 1 counts per-group
+    distinct items with the composite-key shape of
+    ``events.distinct_users_per_type``: per-batch (group, item) dedup, a
+    hash exchange on the COMPOSITE pair (a hot group's items spread over
+    ALL parts — no single task ever holds its raw row set), per-part
+    partial counts, then a skew-free sum (each group contributes at most
+    ``num_parts`` partial rows). Only groups past ``group_cap`` reach the
+    driver. Pass 2 routes rows: normal groups take the coarse
     hash-partition path (per-group vectorized triangles inside a pandas
     groupby, every group <= group_cap items); each HOT group's items hash
     into C = ceil(k/group_cap) sub-chunks and every chunk PAIR (i <= j)
@@ -539,17 +544,33 @@ def cooccurrence_pairs(
     sel = ds.select_columns([group_col, item_col])
 
     # ---- pass 1: hot groups (distinct items > group_cap) ----
-    def oversized(g: pd.DataFrame) -> pd.DataFrame:
-        n = g.groupby(group_col, sort=False)[item_col].nunique()
-        n = n[n > group_cap]
-        return pd.DataFrame(
-            {group_col: n.index.to_numpy(), "n_items": n.to_numpy("int64")}
+    def batch_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(ignore_index=True)
+        h = pd.util.hash_pandas_object(b[[group_col, item_col]], index=False)
+        return b.assign(_part=(h.to_numpy() % num_parts).astype("int64"))
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates([group_col, item_col])
+            .groupby(group_col, sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "partial_n"})
         )
+        out["partial_n"] = out["partial_n"].astype("int64")
+        return out
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_items"), pa.scalar(group_cap)))
+
+    from ray.data.aggregate import Sum
 
     hot_rows = (
-        with_hash_part(sel, group_col, num_parts)
+        sel.map_batches(arrow_out(batch_distinct), batch_format="pandas")
         .groupby("_part")
-        .map_groups(oversized, batch_format="pandas")
+        .map_groups(arrow_out(part_counts), batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("partial_n", alias_name="n_items"))
+        .map_batches(keep_hot, batch_format="pyarrow")
         .take_all()  # only the over-cap groups — small by construction
     )
     hot_id_map = {r[group_col]: i for i, r in enumerate(hot_rows)}

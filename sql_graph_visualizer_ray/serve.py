@@ -47,6 +47,7 @@ client-side.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from collections import deque
@@ -55,7 +56,8 @@ from urllib.parse import parse_qs, unquote, urlparse
 
 import pyarrow as pa
 
-from .pipelines.cdc import LakeTable
+from .pipelines.cdc import CANONICAL_KEYS, LakeTable
+from .state.manifest import MANIFEST_NAME, Manifest
 
 _MAX_LIMIT = 10_000  # serving-path row cap; batch reads use read_final
 
@@ -83,6 +85,22 @@ def _parse_value(raw: str):
         except ValueError:
             continue
     return raw
+
+
+def _typed_value(raw, typ: pa.DataType):
+    """Coerce a client-supplied scalar to a stored column's type. String
+    columns keep the raw text VERBATIM — eager int-parsing would make
+    numeric-looking string keys like ``"00012"`` unreachable (int 12 can
+    never equal the stored string). Conversion failures surface as
+    ``ValueError`` (-> HTTP 400 / a GraphQL error entry), never an Arrow
+    exception escaping the handler: ``pa.ArrowTypeError`` subclasses
+    ``TypeError``, which the per-field/except chains do not catch."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return str(raw)
+    try:
+        return pa.scalar(_parse_value(str(raw)), typ).as_py()
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, OverflowError) as e:
+        raise ValueError(f"value {raw!r} does not fit column type {typ}") from e
 
 
 _GQL_TOKEN = None  # compiled lazily (regex import cost off the module path)
@@ -241,8 +259,8 @@ def execute_graphql(
             )
             return {"nodes": nodes, "relationships": rels}
         if field == "node":
-            key_type = m.payload_schema.field(keys[0]).type
-            kid = pa.scalar(_parse_value(str(args["id"])), key_type).as_py()
+            key_type = m.payload_schema.field("conv_id").type
+            kid = _typed_value(args["id"], key_type)
             t = lake.lookup([kid])
             rows = _rows(t)
             return node_of(rows[0]) if rows else None
@@ -284,11 +302,34 @@ def execute_graphql(
     return out
 
 
+# the served route vocabulary — metrics keys are clamped to this set so an
+# unknown-path scanner cannot grow server memory one dict entry (plus a
+# 1024-slot deque) per random URL segment
+_KNOWN_ROUTES = frozenset(
+    {
+        "/",
+        "/metrics",
+        "/config",
+        "/graph",
+        "/node",
+        "/nodes",
+        "/search",
+        "/where",
+        "/relationships",
+        "/neighbors",
+        "/expand",
+        "/updates",
+        "/graphql",
+    }
+)
+
+
 class _RouteMetrics:
     """Per-route request counters + a bounded latency window (last
     ``window`` samples per route) — lock-guarded, cheap enough to sit on
     every request. Quantiles are computed at snapshot time, not on the
-    hot path."""
+    hot path. Keys are bounded: anything outside ``_KNOWN_ROUTES`` (404
+    fodder, port scanners) shares the one ``/_other`` slot."""
 
     def __init__(self, window: int = 1024):
         self._lock = threading.Lock()
@@ -297,6 +338,8 @@ class _RouteMetrics:
         self._lat: dict[str, deque] = {}
 
     def record(self, route: str, ms: float) -> None:
+        if route not in _KNOWN_ROUTES:
+            route = "/_other"
         with self._lock:
             self._count[route] = self._count.get(route, 0) + 1
             d = self._lat.get(route)
@@ -326,6 +369,7 @@ class _RouteMetrics:
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "sgvray/1"
+    _lake_view: LakeTable | None = None
 
     # -- plumbing -------------------------------------------------------
     def log_message(self, fmt, *args):  # route through the server hook
@@ -341,7 +385,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     @property
     def lake(self) -> LakeTable:
-        return self.server.lake
+        """The lake view PINNED for this request: LakeTable methods
+        dereference ``self.manifest`` several times per call, so a refresh
+        landing mid-request on a shared mutable table could mix two
+        manifest versions in one read (ThreadingHTTPServer runs handlers
+        concurrently). Each request takes one immutable snapshot up front;
+        ``do_GET``/``do_POST`` reset the pin per request (keep-alive
+        connections reuse the handler object)."""
+        view = self._lake_view
+        if view is None:
+            view = self._lake_view = self.server.lake_view()
+        return view
 
     @property
     def edges(self):
@@ -355,15 +409,14 @@ class _Handler(BaseHTTPRequestHandler):
         return self.edges
 
     def _key(self, raw: str):
-        """Path id segment -> the key column's stored type."""
+        """Path id segment -> the key column's stored type (string keys
+        keep the raw text, so ids like "00012" stay reachable)."""
         key_type = self.lake.manifest.payload_schema.field("conv_id").type
-        try:
-            return pa.scalar(_parse_value(unquote(raw)), key_type).as_py()
-        except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
-            raise ValueError(f"id {raw!r} does not fit key type {key_type}") from e
+        return _typed_value(unquote(raw), key_type)
 
     # -- routes -----------------------------------------------------------
     def do_GET(self):  # noqa: N802 (stdlib handler contract)
+        self._lake_view = None  # fresh snapshot per request (keep-alive)
         url = urlparse(self.path)
         q = parse_qs(url.query)
         parts = [p for p in url.path.split("/") if p]
@@ -377,6 +430,7 @@ class _Handler(BaseHTTPRequestHandler):
             )
 
     def do_POST(self):  # noqa: N802 (stdlib handler contract)
+        self._lake_view = None  # fresh snapshot per request (keep-alive)
         t0 = time.perf_counter()
         try:
             if urlparse(self.path).path != "/graphql":
@@ -525,8 +579,26 @@ class _Handler(BaseHTTPRequestHandler):
         cols, ops, vals = q.get("col", []), q.get("op", []), q.get("value", [])
         if not cols or not (len(cols) == len(ops) == len(vals)):
             raise ValueError("need matching col=/op=/value= triples")
+        m = self.lake.manifest
+        ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
+
+        def coerce(c: str, op: str, v: str):
+            # schema-aware: a string column's value stays the raw text
+            # (GET /where?col=conv_id&value=00012 must compare the STRING
+            # "00012", not int 12); ``contains`` matches on the stringified
+            # column, so its value is always raw; timestamp ISO strings are
+            # parsed by search_where itself. Everything else int/float-folds.
+            phys = ren_in.get(c, c)
+            if op == "contains":
+                return v
+            if phys in m.payload_schema.names:
+                typ = m.payload_schema.field(phys).type
+                if not (pa.types.is_timestamp(typ)):
+                    return _typed_value(v, typ)
+            return _parse_value(v)
+
         preds = [
-            (c, op, _parse_value(v)) for c, op, v in zip(cols, ops, vals)
+            (c, op, coerce(c, op, v)) for c, op, v in zip(cols, ops, vals)
         ]
         t = self.lake.search_where(
             preds,
@@ -570,22 +642,25 @@ class _Handler(BaseHTTPRequestHandler):
         client advances its own cursor to the returned ``cursor``.
         Unservable positions (rewrite commit / compacted-away feed) return
         409 with the resync point — same loud contract as
-        ``ChangeFeedCursor.poll``."""
+        ``ChangeFeedCursor.poll``. Each probe takes a fresh immutable view
+        via ``lake_view()`` (a stat per iteration, a JSON parse only when
+        the manifest actually changed) — it never mutates the lake other
+        handlers are reading mid-request."""
         after = int(q.get("after", [-1])[0])
         wait = min(float(q.get("wait", [0])[0]), 30.0)
         deadline = time.monotonic() + wait
         while True:
-            self.lake.reload()
-            v = next(iter(self.lake.data_commits_after(after)), None)
+            lake = self._lake_view = self.server.lake_view()
+            v = next(iter(lake.data_commits_after(after)), None)
             if v is not None:
                 try:
-                    t = self.lake.changes_table(v)
+                    t = lake.changes_table(v)
                 except KeyError as e:
                     return self._send(
                         409,
                         {
                             "error": str(e),
-                            "resync_to": self.lake.manifest.version,
+                            "resync_to": lake.manifest.version,
                             "hint": "read a full snapshot at resync_to and "
                             "continue with after=resync_to",
                         },
@@ -615,8 +690,9 @@ class GraphServer:
         port: int = 0,
         quiet: bool = True,
     ):
-        import os
-
+        self._lake_path = lake_path
+        self._mlock = threading.Lock()
+        self._mtoken = None
         self.lake = LakeTable.open(lake_path)
         self.edges = None
         if edges_path is not None:
@@ -630,13 +706,38 @@ class GraphServer:
             )
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.daemon_threads = True
-        self._httpd.lake = self.lake
+        self._httpd.lake_view = self.lake_view
         self._httpd.edges = self.edges
         self._httpd.log = (lambda msg: None) if quiet else print
         self._httpd.metrics = _RouteMetrics()
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    def lake_view(self) -> LakeTable:
+        """An immutable view of the lake at its CURRENT committed version.
+
+        Freshness is stat-guarded: reload and re-parse MANIFEST.json only
+        when its (mtime_ns, size, ino) token changed — N idle ``/updates``
+        long-pollers cost N stats per 100 ms, not N full JSON parses.
+        Correctness: the returned table is ``readonly`` and its Manifest
+        object is never mutated after publication (a refresh swaps in a
+        NEW LakeTable), so a handler that pinned a view mid-request keeps
+        reading one consistent version even while this method rolls the
+        shared pointer forward."""
+        p = os.path.join(self._lake_path, MANIFEST_NAME)
+        try:
+            st = os.stat(p)
+            token = (st.st_mtime_ns, st.st_size, st.st_ino)
+        except FileNotFoundError:
+            token = None
+        with self._mlock:
+            if token != self._mtoken:
+                m = Manifest.load(self._lake_path)
+                if m is not None:
+                    self.lake = LakeTable(self._lake_path, m, readonly=True)
+                self._mtoken = token
+            return self.lake
 
     @property
     def url(self) -> str:
@@ -663,7 +764,7 @@ def serve(
     *,
     edges_path: str | None = None,
     host: str = "127.0.0.1",
-    port: int = 8265,
+    port: int = 8465,  # not 8265 — the Ray dashboard default
 ) -> None:
     """Blocking entry point (the ``cli serve`` verb)."""
     s = GraphServer(

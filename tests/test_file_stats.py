@@ -566,3 +566,53 @@ def test_string_stats_backfill_preserves_layout(lake):
     v1 = lk.manifest.version
     assert lk.backfill_string_stats() == {"files_backfilled": 0}
     assert lk.manifest.version == v1
+
+
+def test_string_backfill_first_still_allows_numeric_backfill(lake):
+    """Ordering independence (round-5 review finding): a library caller
+    who runs ``backfill_string_stats()`` BEFORE ``backfill_stats()`` must
+    not permanently lose the numeric/timestamp bounds — the string pass
+    folds in the footer bounds for files that had no stats entry at all,
+    so either ordering converges to the same complete per-file stats."""
+    import shutil
+
+    dst = lake.path + "-sfirst"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(lake.path, dst)
+    lk = LakeTable.open(dst)
+    for b in lk.manifest.data["buckets"].values():
+        b.pop("stats", None)
+        b.pop("footer_stats", None)
+    lk.manifest.save_atomic(dst)
+    lk = LakeTable.open(dst)
+
+    # string pass FIRST: records exact string bounds AND the zero-IO
+    # footer numeric/timestamp bounds for the never-stat-ed files
+    assert lk.backfill_string_stats()["files_backfilled"] == 2
+    for st in lk.manifest.file_stats(dst).values():
+        assert "conv_id" in st  # exact string bounds
+        assert "turn_idx" in st and "ts" in st  # footer numerics folded in
+
+    # the numeric pass afterwards finds nothing missing (not silently
+    # blocked — genuinely complete), and no gap detector fires
+    assert lk.backfill_stats() == {"files_backfilled": 0}
+    assert lk.string_stats_gaps() == {}
+
+    # stats equal the reference ordering (numeric first, then strings)
+    dst2 = lake.path + "-nfirst"
+    shutil.rmtree(dst2, ignore_errors=True)
+    shutil.copytree(lake.path, dst2)
+    lk2 = LakeTable.open(dst2)
+    for b in lk2.manifest.data["buckets"].values():
+        b.pop("stats", None)
+        b.pop("footer_stats", None)
+    lk2.manifest.save_atomic(dst2)
+    lk2 = LakeTable.open(dst2)
+    assert lk2.backfill_stats()["files_backfilled"] == 2
+    assert lk2.backfill_string_stats()["files_backfilled"] == 2
+    by_tail = lambda d: {  # noqa: E731
+        "/".join(p.rsplit("/", 3)[-3:]): s for p, s in d.items()
+    }
+    assert by_tail(lk.manifest.file_stats(dst)) == by_tail(
+        lk2.manifest.file_stats(dst2)
+    )

@@ -220,12 +220,16 @@ def test_metrics_endpoint(served):
     assert m["routes"]["/config"]["count"] >= 1
     assert m["lake"]["counters"]["raw_events"] > 0
     assert m["lake"]["data_files"] > 0
-    # errors are counted too (the finally-block records every dispatch);
+    # errors are counted too (the finally-block records every dispatch) —
+    # but unknown paths are CLAMPED to one shared "/_other" slot so a
+    # scanner cannot grow server memory one route entry per random URL.
     # delta-based: other tests in this module share the server
-    before = m["routes"].get("/nope", {}).get("count", 0)
-    _get_err(srv.url + "/nope")
+    before = m["routes"].get("/_other", {}).get("count", 0)
+    for i in range(5):
+        _get_err(f"{srv.url}/nope_{i}")
     st, m2 = _get(srv.url + "/metrics")
-    assert m2["routes"]["/nope"]["count"] == before + 1
+    assert m2["routes"]["/_other"]["count"] == before + 5
+    assert not any(r.startswith("/nope") for r in m2["routes"])
 
 
 def _post(url: str, payload: dict):
@@ -323,3 +327,91 @@ def test_graphql_endpoint(served):
     # /graphql shows up in /metrics like every other route
     st, mt = _get(srv.url + "/metrics")
     assert mt["routes"]["/graphql"]["count"] >= 7
+
+
+def test_numeric_looking_string_keys(ray_session, tmp_path):
+    """Round-5 review findings: a STRING key column whose values look
+    numeric ("00012") must stay reachable — /node must not int-fold the
+    id, /where must compare the raw string, and GraphQL ``node(id: 12)``
+    must answer GraphQL-shaped JSON (the old eager int-cast raised
+    pa.ArrowTypeError out of the handler and dropped the connection)."""
+    import pyarrow as pa
+
+    lake = LakeTable.open(str(tmp_path / "numlake"), num_buckets=4)
+    sch = lake.manifest.payload_schema
+    ev = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": ["I", "I"],
+            "conv_id": pa.array(["00012", "7"]).cast(sch.field("conv_id").type),
+            "turn_idx": pa.array([0, 0]).cast(sch.field("turn_idx").type),
+            "role": ["user", "user"],
+            "text": ["padded id", "short id"],
+            "tool": pa.array([None, None], sch.field("tool").type),
+            "ts": pa.array([10**12, 10**12 + 1], pa.timestamp("us")),
+        }
+    )
+    lake.apply_dataset(rd.from_arrow(ev), epoch=0)
+    with GraphServer(str(tmp_path / "numlake")) as srv:
+        st, out = _get(srv.url + "/node/00012")
+        assert st == 200 and out["rows"][0]["text"] == "padded id"
+        st, out = _get(srv.url + "/node/7")
+        assert st == 200 and out["rows"][0]["text"] == "short id"
+        # /where compares the raw STRING "00012", not int 12
+        st, out = _get(srv.url + "/where?col=conv_id&op==&value=00012")
+        assert st == 200 and len(out["rows"]) == 1
+        assert out["rows"][0]["conv_id"] == "00012"
+        # a non-numeric value against an int column is a clean 400
+        st, err = _get_err(srv.url + "/where?col=turn_idx&op==&value=abc")
+        assert st == 400 and "abc" in err["error"]
+        # GraphQL int-literal id: string key keeps str(12) = "12" -> no
+        # row -> null node, a valid GraphQL answer (never a dropped
+        # connection / unhandled ArrowTypeError)
+        st, out = _post(srv.url + "/graphql", {"query": "{ node(id: 12) }"})
+        assert st == 200 and out["data"]["node"] is None
+        st, out = _post(
+            srv.url + "/graphql", {"query": '{ node(id: "00012") }'}
+        )
+        assert st == 200 and out["data"]["node"]["id"].startswith("00012:")
+
+
+def test_lake_view_snapshot_semantics(served):
+    """lake_view(): unchanged manifest -> the SAME pinned object (stat
+    fast-path: no JSON re-parse on the 10 Hz long-poll loop); a new commit
+    -> a NEW readonly view, while previously pinned views keep serving
+    their own version (handlers can never mix two manifest versions in
+    one request)."""
+    import pyarrow as pa
+
+    srv, lake, _, _ = served
+    v1 = srv.lake_view()
+    assert srv.lake_view() is v1  # token unchanged: fast path
+    ver = v1.manifest.version
+
+    writer = LakeTable.open(lake.path)
+    sch = writer.manifest.payload_schema
+    ev = pa.table(
+        {
+            "lsn": pa.array([10**13], pa.int64()),
+            "op": ["I"],
+            "conv_id": pa.array(["view_semantics_conv"]).cast(
+                sch.field("conv_id").type
+            ),
+            "turn_idx": pa.array([0]).cast(sch.field("turn_idx").type),
+            "role": ["user"],
+            "text": ["lake view pin test"],
+            "tool": pa.array([None], sch.field("tool").type),
+            "ts": pa.array([2 * 10**15], pa.timestamp("us")),
+        }
+    )
+    writer.apply_dataset(
+        rd.from_arrow(ev), epoch=writer.manifest.applied_epoch + 1
+    )
+
+    v2 = srv.lake_view()
+    assert v2 is not v1 and v2.manifest.version > ver
+    assert v1.manifest.version == ver  # the pinned view was never mutated
+    assert v2.readonly  # serving views cannot commit
+    # and the HTTP surface sees the new row through the refreshed view
+    st, out = _get(srv.url + "/node/view_semantics_conv")
+    assert st == 200 and out["rows"][0]["text"] == "lake view pin test"
