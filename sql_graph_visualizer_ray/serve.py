@@ -370,6 +370,7 @@ class _RouteMetrics:
 class _Handler(BaseHTTPRequestHandler):
     server_version = "sgvray/1"
     _lake_view: LakeTable | None = None
+    _edges_pin = None
 
     # -- plumbing -------------------------------------------------------
     def log_message(self, fmt, *args):  # route through the server hook
@@ -399,7 +400,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     @property
     def edges(self):
-        return self.server.edges
+        """The edge-lake view pinned for this request (see ``lake``).
+        ``None`` stays None cheaply: no-edge servers skip the stat."""
+        view = self._edges_pin
+        if view is None:
+            view = self._edges_pin = self.server.edges_view()
+        return view
 
     def _need_edges(self):
         if self.edges is None:
@@ -416,7 +422,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- routes -----------------------------------------------------------
     def do_GET(self):  # noqa: N802 (stdlib handler contract)
-        self._lake_view = None  # fresh snapshot per request (keep-alive)
+        self._lake_view = None  # fresh snapshots per request (keep-alive)
+        self._edges_pin = None
         url = urlparse(self.path)
         q = parse_qs(url.query)
         parts = [p for p in url.path.split("/") if p]
@@ -430,7 +437,8 @@ class _Handler(BaseHTTPRequestHandler):
             )
 
     def do_POST(self):  # noqa: N802 (stdlib handler contract)
-        self._lake_view = None  # fresh snapshot per request (keep-alive)
+        self._lake_view = None  # fresh snapshots per request (keep-alive)
+        self._edges_pin = None
         t0 = time.perf_counter()
         try:
             if urlparse(self.path).path != "/graphql":
@@ -694,20 +702,14 @@ class GraphServer:
         self._mlock = threading.Lock()
         self._mtoken = None
         self.lake = LakeTable.open(lake_path)
-        self.edges = None
-        if edges_path is not None:
-            from .pipelines.graph_sink import EdgeLake
-
-            nb = LakeTable.open(edges_path).manifest.num_buckets
-            self.edges = EdgeLake(
-                edges_path,
-                num_buckets=nb,
-                reverse_index=os.path.isdir(edges_path.rstrip("/") + "_rev"),
-            )
+        self._edges_path = edges_path
+        self._elock = threading.Lock()
+        self._etoken = ()  # never a valid token: first view always builds
+        self.edges = self.edges_view()
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.daemon_threads = True
         self._httpd.lake_view = self.lake_view
-        self._httpd.edges = self.edges
+        self._httpd.edges_view = self.edges_view
         self._httpd.log = (lambda msg: None) if quiet else print
         self._httpd.metrics = _RouteMetrics()
         self._thread = threading.Thread(
@@ -738,6 +740,35 @@ class GraphServer:
                     self.lake = LakeTable(self._lake_path, m, readonly=True)
                 self._mtoken = token
             return self.lake
+
+    def edges_view(self):
+        """Per-request EdgeLake view, stat-guarded like ``lake_view`` —
+        the forward and reverse manifests together form the change token,
+        so new edge commits (and a reverse index appearing later) become
+        visible without a server restart, while a handler that pinned a
+        view keeps one consistent EdgeLake for its whole request."""
+        if self._edges_path is None:
+            return None
+        toks = []
+        for d in (self._edges_path, self._edges_path.rstrip("/") + "_rev"):
+            try:
+                st = os.stat(os.path.join(d, MANIFEST_NAME))
+                toks.append((st.st_mtime_ns, st.st_size, st.st_ino))
+            except FileNotFoundError:
+                toks.append(None)
+        token = tuple(toks)
+        with self._elock:
+            if token != self._etoken:
+                from .pipelines.graph_sink import EdgeLake
+
+                nb = LakeTable.open(self._edges_path).manifest.num_buckets
+                self.edges = EdgeLake(
+                    self._edges_path,
+                    num_buckets=nb,
+                    reverse_index=toks[1] is not None,
+                )
+                self._etoken = token
+            return self.edges
 
     @property
     def url(self) -> str:

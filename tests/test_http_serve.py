@@ -415,3 +415,25 @@ def test_lake_view_snapshot_semantics(served):
     # and the HTTP surface sees the new row through the refreshed view
     st, out = _get(srv.url + "/node/view_semantics_conv")
     assert st == 200 and out["rows"][0]["text"] == "lake view pin test"
+
+
+def test_edges_view_refresh(served):
+    """Edge commits after server start become visible without a restart:
+    edges_view() stat-guards the forward+reverse manifests exactly like
+    lake_view(), so /relationships serves the new epoch's edges."""
+    srv, _, edges, _ = served
+    st, out = _get(srv.url + "/relationships?type=LIKES")
+    assert st == 200 and out["rows"] == []
+
+    rows = [
+        {"source_id": 100 + i, "target_id": 200 + i,
+         "relation_type": "LIKES", "direction": "outgoing"}
+        for i in range(4)
+    ]
+    edges.ingest(rd.from_items(rows), epoch=edges.manifest.applied_epoch + 1)
+
+    st, out = _get(srv.url + "/relationships?type=LIKES")
+    assert st == 200 and len(out["rows"]) == 4
+    # and the refreshed reverse index serves incoming neighbors for them
+    st, out = _get(srv.url + "/neighbors/203?direction=in")
+    assert st == 200 and [r["source_id"] for r in out["rows"]] == [103]
