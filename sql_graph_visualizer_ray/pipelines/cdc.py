@@ -2110,9 +2110,13 @@ class LakeTable:
         1. candidate discovery — every bucket file is scanned with ONLY the
            key columns read; comparison ops push into the parquet scan so
            row-group statistics prune (key/sorted/low-cardinality columns
-           skip most groups); files lacking the column after schema
-           evolution are skipped outright (their rows are null there, and
-           any live match physically exists in a newer file).
+           skip most groups); files whose stats prove the column all-null
+           are skipped without a footer open. Files merely MISSING the
+           column after schema evolution are still scanned — the pinned
+           scan schema reads the column as null there and null never
+           matches, so correctness holds; they are not stats-skipped
+           because "no stats entry" cannot be distinguished from
+           "never backfilled" without opening the footer.
         2. the candidate (key, turn) pairs go through ``lookup`` (merged,
            key-pruned) and the predicate re-applies POST-merge, which also
            drops candidates whose matching version was superseded.
