@@ -306,6 +306,76 @@ def cmd_serve(a) -> int:
     return 0
 
 
+def cmd_monitor(a) -> int:
+    """Poll lake health (no Ray session): one JSON line per poll with the
+    manifest-derived sample + any threshold alerts — the pull-CLI face of
+    monitor.RealtimeMonitor (the reference pushes the same rounds over
+    WebSocket, realtime_performance_monitor.go:287-366)."""
+    from .monitor import AlertThresholds, monitor_jsonl
+
+    kw = {}
+    if a.max_commit_lag_s is not None:
+        kw["max_commit_lag_s"] = a.max_commit_lag_s
+    if a.max_delta_files is not None:
+        kw["max_delta_files_per_bucket"] = a.max_delta_files
+    if a.max_bucket_skew is not None:
+        kw["max_bucket_skew"] = a.max_bucket_skew
+    for line in monitor_jsonl(
+        a.lake_dir,
+        polls=a.polls,
+        interval_s=a.interval,
+        thresholds=AlertThresholds(**kw),
+    ):
+        print(line, flush=True)
+    return 0
+
+
+def cmd_benchmark(a) -> int:
+    """Run one registry benchmark synchronously and print its result —
+    the CLI face of monitor.BenchmarkService (benchmark_service.go:143-250;
+    'serving' is the sysbench oltp_point_select analogue, 'replay' measures
+    the CDC write path in events/s)."""
+    from .monitor import (
+        BenchmarkConfig,
+        BenchmarkService,
+        ReplayTool,
+        ServingProbeTool,
+    )
+    from .pipelines.cdc import LakeTable
+
+    svc = BenchmarkService(default_timeout_s=a.timeout)
+    if a.tool == "serving":
+        import pyarrow as pa
+
+        from .pipelines.cdc import CANONICAL_KEYS
+
+        lake = LakeTable.open(a.path)
+        if a.keys:
+            keys = a.keys.split(",")
+            key_type = lake.manifest.payload_schema.field(
+                CANONICAL_KEYS[0]
+            ).type
+            if pa.types.is_integer(key_type):
+                keys = [int(k) for k in keys]
+        else:  # sample a handful of live keys from the lake head
+            keys = lake.head(8).column(lake.key_columns[0]).to_pylist()
+        svc.register_tool(ServingProbeTool(a.path, keys))
+        rid = svc.execute_benchmark(
+            BenchmarkConfig(test_type="point_select", duration_s=a.duration),
+            "serving_probe",
+        )
+    else:  # replay
+        _ensure_ray(a.num_cpus)
+        svc.register_tool(ReplayTool(a.path, num_buckets=a.num_buckets))
+        rid = svc.execute_benchmark(
+            BenchmarkConfig(test_type="replay"), "cdc_replay"
+        )
+    svc.wait(rid, timeout=a.timeout + 30)
+    r = svc.get_result(rid)
+    print(json.dumps(r.to_dict()))
+    return 0 if r.status == "completed" else 1
+
+
 def cmd_backfill_stats(a) -> int:
     """Record column statistics for pre-stats files from parquet footers —
     zero data IO, publishes a metadata-only commit (no Ray session).
@@ -715,6 +785,33 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8465)  # 8265 is Ray dashboard
     sv.set_defaults(fn=cmd_serve)
+
+    mo = sub.add_parser(
+        "monitor",
+        help="poll lake health: manifest-derived metrics + threshold "
+        "alerts, one JSON line per poll (no Ray session)",
+    )
+    mo.add_argument("lake_dir")
+    mo.add_argument("--polls", type=int, default=1)
+    mo.add_argument("--interval", type=float, default=1.0)
+    mo.add_argument("--max-commit-lag-s", type=float, default=None)
+    mo.add_argument("--max-delta-files", type=int, default=None)
+    mo.add_argument("--max-bucket-skew", type=float, default=None)
+    mo.set_defaults(fn=cmd_monitor)
+
+    be = sub.add_parser(
+        "benchmark",
+        help="run a registry benchmark: 'serving' probes lookup latency "
+        "(no Ray), 'replay' measures CDC write throughput",
+    )
+    be.add_argument("tool", choices=["serving", "replay"])
+    be.add_argument("path", help="lake dir (serving) or changelog dir (replay)")
+    be.add_argument("--duration", type=float, default=5.0)
+    be.add_argument("--keys", default=None, help="comma-separated probe keys")
+    be.add_argument("--timeout", type=float, default=300.0)
+    be.add_argument("--num-buckets", type=int, default=16)
+    be.add_argument("--num-cpus", type=int, default=None)
+    be.set_defaults(fn=cmd_benchmark)
 
     an = sub.add_parser("analyze", help="lake report (json|yaml|summary)")
     an.add_argument("lake_dir")

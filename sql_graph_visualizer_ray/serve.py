@@ -319,6 +319,7 @@ _KNOWN_ROUTES = frozenset(
         "/neighbors",
         "/expand",
         "/updates",
+        "/monitor",
         "/graphql",
     }
 )
@@ -485,6 +486,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._expand(q)
             if url.path == "/updates":
                 return self._updates(q)
+            if url.path == "/monitor":
+                return self._send(200, self._monitor(q))
             return self._send(404, {"error": f"no route {url.path}"})
         except (ValueError, KeyError) as e:
             return self._send(400, {"error": str(e)})
@@ -514,6 +517,35 @@ class _Handler(BaseHTTPRequestHandler):
                 ),
             },
         }
+
+    def _monitor(self, q) -> dict:
+        """Lake-health snapshot + threshold alerts — the HTTP face of
+        ``monitor.RealtimeMonitor`` (the reference broadcasts the same
+        collect→metrics→alerts round over WebSocket,
+        ``realtime_performance_monitor.go:331-366``; pull-pollers here GET
+        this route instead). Thresholds are query params
+        (``?max_delta_files_per_bucket=8&max_bucket_skew=2``), so an
+        external alerter needs no engine config. Rate fields
+        (``events_per_sec``, ``commits_since_last``) are derived between
+        consecutive polls of THIS server's collector."""
+        from .monitor import AlertThresholds, check_alerts
+
+        sample = self.server.monitor_sample()
+        kw = {}
+        for name, cast in (
+            ("slow_probe_ms", float),
+            ("max_commit_lag_s", float),
+            ("max_delta_files_per_bucket", int),
+            ("max_bucket_skew", float),
+            ("max_tombstone_ratio", float),
+        ):
+            if name in q:
+                kw[name] = cast(q[name][0])
+        d = sample.to_dict()
+        d["alerts"] = [
+            a.to_dict() for a in check_alerts(sample, AlertThresholds(**kw))
+        ]
+        return d
 
     def _config(self) -> dict:
         m = self.lake.manifest
@@ -712,9 +744,26 @@ class GraphServer:
         self._httpd.edges_view = self.edges_view
         self._httpd.log = (lambda msg: None) if quiet else print
         self._httpd.metrics = _RouteMetrics()
+        self._httpd.monitor_sample = self._monitor_sample
+        self._collector = None  # built on first /monitor hit
+        self._clock = threading.Lock()
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    def _monitor_sample(self):
+        """One collector round for ``/monitor`` — serialized (the collector
+        keeps last-poll state for rate derivation; concurrent collects would
+        race it) and reusing the stat-guarded ``lake_view`` so an idle
+        poller pays a stat, not a manifest parse."""
+        from .monitor import LakeStatsCollector
+
+        with self._clock:
+            if self._collector is None:
+                self._collector = LakeStatsCollector(
+                    self._lake_path, view_fn=self.lake_view
+                )
+            return self._collector.collect()
 
     def lake_view(self) -> LakeTable:
         """An immutable view of the lake at its CURRENT committed version.

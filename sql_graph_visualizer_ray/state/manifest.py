@@ -21,6 +21,7 @@ import base64
 import json
 import os
 import shutil
+import time
 from typing import Any
 
 import pyarrow as pa
@@ -167,6 +168,10 @@ class Manifest:
     # Readers go through history_entry / history_after, never the raw list.
 
     def append_history(self, entry: dict) -> None:
+        # every commit is wall-clock stamped so monitors can compute commit
+        # lag / commit rate from history alone (monitor.LakeStatsCollector);
+        # stamped here, once, rather than at each of the five commit sites
+        entry.setdefault("wall_ts", round(time.time(), 3))
         self.data["history"].append(entry)
         self.data["history_total"] = int(self.data.get("history_total", 0)) + 1
 
