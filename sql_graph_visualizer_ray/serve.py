@@ -320,6 +320,7 @@ _KNOWN_ROUTES = frozenset(
         "/expand",
         "/updates",
         "/monitor",
+        "/api",
         "/graphql",
     }
 )
@@ -462,8 +463,30 @@ class _Handler(BaseHTTPRequestHandler):
                 "/graphql", (time.perf_counter() - t0) * 1000.0
             )
 
+    def _send_html(self, code: int, body: str) -> None:
+        data = body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def _dispatch(self, url, q, parts):
         try:
+            if url.path == "/":
+                # the reference's visualization page (viz server "/",
+                # cmd/main.go:444-447) — inline, CDN-free
+                from .viz import VIZ_HTML
+
+                return self._send_html(200, VIZ_HTML)
+            if url.path == "/api/graph":
+                # the reference's viz feed (cmd/main.go:393-430 wire shape)
+                from .viz import graph_payload
+
+                return self._send(
+                    200,
+                    graph_payload(self.lake, self.edges, self._limit(q)),
+                )
             if url.path == "/metrics":
                 return self._send(200, self._metrics())
             if url.path == "/config":

@@ -437,3 +437,39 @@ def test_edges_view_refresh(served):
     # and the refreshed reverse index serves incoming neighbors for them
     st, out = _get(srv.url + "/neighbors/203?direction=in")
     assert st == 200 and [r["source_id"] for r in out["rows"]] == [103]
+
+
+def test_viz_page_and_api_graph(served):
+    """The reference's visualization surface (viz server on :3000,
+    cmd/main.go:350-470): GET / serves the interactive page, GET
+    /api/graph exports the {nodes:[{id,label,properties}],
+    relationships:[{from,to,type,properties}]} wire shape."""
+    srv, lake, edges, _ = served
+    with urllib.request.urlopen(srv.url + "/", timeout=30) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        html = r.read().decode()
+    # the page carries its renderer inline (no CDN) and hits the feed
+    assert 'id="viz"' in html and "/api/graph" in html
+    assert 'id="search"' in html  # the reference page's node search box
+    assert "<script" in html and "cdn" not in html.lower()
+
+    st, g = _get(srv.url + "/api/graph?limit=30")
+    assert st == 200
+    assert set(g) == {"nodes", "relationships"}
+    key0 = lake.manifest.key_columns[0]
+    assert all(set(n) == {"id", "label", "properties"} for n in g["nodes"])
+    # one node per top-level key, id = str(key), turns folded as n_rows
+    head = lake.head(30).to_pylist()
+    want_ids = list(dict.fromkeys(str(r[key0]) for r in head))
+    assert [n["id"] for n in g["nodes"]] == want_ids
+    assert all(n["properties"]["n_rows"] >= 1 for n in g["nodes"])
+    # relationships come from the edge lake verbatim
+    assert all(
+        set(r) == {"from", "to", "type", "properties"}
+        for r in g["relationships"]
+    )
+    # module fixture is shared: other tests may have ingested more edges,
+    # so bound rather than pin (base fixture = 20, limit = 30)
+    assert 20 <= len(g["relationships"]) <= 30
+    assert any(r["type"] == "KNOWS" for r in g["relationships"])
