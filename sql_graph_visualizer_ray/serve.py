@@ -321,6 +321,8 @@ _KNOWN_ROUTES = frozenset(
         "/updates",
         "/monitor",
         "/api",
+        "/performance",
+        "/benchmarks",
         "/graphql",
     }
 )
@@ -441,6 +443,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802 (stdlib handler contract)
         self._lake_view = None  # fresh snapshots per request (keep-alive)
         self._edges_pin = None
+        parts = [p for p in urlparse(self.path).path.split("/") if p]
+        if parts[:1] == ["benchmarks"]:
+            t0 = time.perf_counter()
+            try:
+                return self._post_benchmarks(parts)
+            finally:
+                self.server.metrics.record(
+                    "/benchmarks", (time.perf_counter() - t0) * 1000.0
+                )
         t0 = time.perf_counter()
         try:
             if urlparse(self.path).path != "/graphql":
@@ -487,6 +498,33 @@ class _Handler(BaseHTTPRequestHandler):
                     200,
                     graph_payload(self.lake, self.edges, self._limit(q)),
                 )
+            if url.path == "/performance":
+                # the reference's performance dashboard page
+                # (cmd/main.go:440-443), fed by /monitor + /metrics +
+                # /benchmarks instead of a WebSocket
+                from .viz import DASHBOARD_HTML
+
+                return self._send_html(200, DASHBOARD_HTML)
+            if url.path == "/api/health":
+                return self._send(200, self._health())
+            if parts[:1] == ["benchmarks"]:
+                if len(parts) == 1:
+                    return self._send(
+                        200,
+                        {
+                            "runs": [
+                                r.to_dict()
+                                for r in self.server.bench_service().list_executions()
+                            ]
+                        },
+                    )
+                if len(parts) == 2:
+                    return self._send(
+                        200,
+                        self.server.bench_service()
+                        .get_result(parts[1])
+                        .to_dict(),
+                    )
             if url.path == "/metrics":
                 return self._send(200, self._metrics())
             if url.path == "/config":
@@ -539,6 +577,57 @@ class _Handler(BaseHTTPRequestHandler):
                     len(b["files"]) for b in m.data["buckets"].values()
                 ),
             },
+        }
+
+    def _post_benchmarks(self, parts) -> None:
+        """POST /benchmarks starts a serving-probe run (the dashboard's
+        Start button — the reference dashboard ships the buttons but its
+        backend benchmark tools are a TODO, ``cmd/main.go:671-673``; here
+        they work); POST /benchmarks/<id>/cancel stops one. Bounded: only
+        the no-Ray serving probe, duration clamped to 30 s, one concurrent
+        run — a dashboard control, not a load-test API."""
+        svc = self.server.bench_service()
+        try:
+            if len(parts) == 3 and parts[2] == "cancel":
+                if not svc.cancel(parts[1]):
+                    return self._send(404, {"error": f"no run {parts[1]}"})
+                return self._send(200, {"id": parts[1], "cancelled": True})
+            if len(parts) != 1:
+                return self._send(404, {"error": "POST /benchmarks or "
+                                                 "/benchmarks/<id>/cancel"})
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            from .monitor import BenchmarkConfig
+
+            cfg = BenchmarkConfig(
+                test_type=str(body.get("test_type", "point_select")),
+                duration_s=min(float(body.get("duration_s", 3.0)), 30.0),
+                params=dict(body.get("params", {})),
+            )
+            rid = svc.execute_benchmark(cfg, "serving_probe")
+            return self._send(202, {"id": rid, "status": "pending"})
+        except (ValueError, KeyError) as e:
+            return self._send(400, {"error": str(e)})
+        except RuntimeError as e:  # concurrency cap
+            return self._send(409, {"error": str(e)})
+
+    def _health(self) -> dict:
+        """GET /api/health — the reference's health probe
+        (``cmd/main.go:249-288``): overall status plus per-dependency
+        connectivity (its database/neo4j pings become the lake and edge
+        lake manifests here)."""
+        try:
+            m = self.lake.manifest
+            lake_status = f"connected (v{m.version})"
+            healthy = True
+        except Exception as e:
+            lake_status, healthy = f"error: {e}", False
+        return {
+            "status": "healthy" if healthy else "degraded",
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "uptime_s": round(time.time() - self.server.started_ts, 1),
+            "lake": lake_status,
+            "edges": "attached" if self.edges is not None else "none",
         }
 
     def _monitor(self, q) -> dict:
@@ -768,7 +857,10 @@ class GraphServer:
         self._httpd.log = (lambda msg: None) if quiet else print
         self._httpd.metrics = _RouteMetrics()
         self._httpd.monitor_sample = self._monitor_sample
+        self._httpd.bench_service = self._bench_service
+        self._httpd.started_ts = time.time()
         self._collector = None  # built on first /monitor hit
+        self._bench = None  # built on first /benchmarks hit
         self._clock = threading.Lock()
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
@@ -787,6 +879,23 @@ class GraphServer:
                     self._lake_path, view_fn=self.lake_view
                 )
             return self._collector.collect()
+
+    def _bench_service(self):
+        """The server's benchmark registry (dashboard Start/Stop buttons).
+        One serving-probe tool keyed off a sample of live keys, one
+        concurrent run, short timeout — dashboard-scale by construction."""
+        from .monitor import BenchmarkService, ServingProbeTool
+
+        with self._clock:
+            if self._bench is None:
+                lake = self.lake_view()
+                keys = lake.head(8).column(lake.key_columns[0]).to_pylist()
+                svc = BenchmarkService(
+                    max_concurrent=1, default_timeout_s=60.0
+                )
+                svc.register_tool(ServingProbeTool(self._lake_path, keys))
+                self._bench = svc
+            return self._bench
 
     def lake_view(self) -> LakeTable:
         """An immutable view of the lake at its CURRENT committed version.

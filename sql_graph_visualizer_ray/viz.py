@@ -29,7 +29,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
-__all__ = ["graph_payload", "VIZ_HTML"]
+__all__ = ["graph_payload", "VIZ_HTML", "DASHBOARD_HTML"]
 
 
 def graph_payload(lake, edges, limit: int = 100) -> dict:
@@ -237,6 +237,171 @@ document.getElementById("search").addEventListener("keydown", async ev=>{
   }
 });
 load();
+</script>
+</body>
+</html>
+"""
+
+
+# The dashboard mirrors internal/interfaces/web/templates/
+# performance_dashboard.html (metric tiles, alert panel, trends chart, top
+# queries list, benchmark start/stop) fed by polling /monitor + /metrics +
+# /benchmarks instead of the reference's WebSocket push — and its benchmark
+# buttons actually run (the reference ships the buttons with the backend
+# tools marked TODO, cmd/main.go:671-673).
+DASHBOARD_HTML = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="UTF-8">
+<title>Performance Dashboard</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:0;background:#f6f7f9;color:#222}
+ header{padding:12px 18px;background:#1d2733;color:#fff;display:flex;
+   align-items:center;gap:12px}
+ #connectionStatus{width:10px;height:10px;border-radius:50%;background:#888}
+ #connectionStatus.ok{background:#3fb950}
+ #connectionStatus.bad{background:#e5534b}
+ .tiles{display:grid;grid-template-columns:repeat(auto-fit,minmax(170px,1fr));
+   gap:10px;padding:14px 18px}
+ .tile{background:#fff;border:1px solid #e1e4e8;border-radius:8px;
+   padding:12px 14px}
+ .tile .v{font-size:22px;font-weight:600}
+ .tile .l{font-size:11px;color:#667;text-transform:uppercase}
+ section{margin:0 18px 14px;background:#fff;border:1px solid #e1e4e8;
+   border-radius:8px;padding:12px 14px}
+ h2{font-size:13px;margin:0 0 8px;color:#334}
+ table{width:100%;border-collapse:collapse;font-size:12px}
+ th,td{text-align:left;padding:4px 8px;border-bottom:1px solid #eef}
+ #alertPanel div{background:#fff3f2;border:1px solid #f0b5b1;border-radius:6px;
+   padding:6px 10px;margin:4px 0;font-size:12px}
+ #alertPanel .critical{background:#ffe0de;border-color:#e5534b}
+ button{padding:6px 12px;border:1px solid #99a;border-radius:5px;
+   background:#fff;cursor:pointer}
+ #spark{width:100%;height:70px}
+ #benchmarkResults{font-size:12px;margin-top:8px;white-space:pre}
+</style>
+</head>
+<body>
+<header>
+  <div id="connectionStatus"></div>
+  <b>Performance Dashboard</b>
+  <span id="systemStatusText" style="font-size:12px;color:#cdd">-</span>
+</header>
+<div class="tiles">
+  <div class="tile"><div class="v" id="qpsMetric">-</div><div class="l">events / s (ingest)</div></div>
+  <div class="tile"><div class="v" id="latencyMetric">-</div><div class="l">busiest route p95 ms</div></div>
+  <div class="tile"><div class="v" id="lagMetric">-</div><div class="l">commit lag s</div></div>
+  <div class="tile"><div class="v" id="rowsMetric">-</div><div class="l">live rows</div></div>
+  <div class="tile"><div class="v" id="deltaMetric">-</div><div class="l">max delta files</div></div>
+  <div class="tile"><div class="v" id="skewMetric">-</div><div class="l">bucket skew</div></div>
+</div>
+<section><h2>Ingest trend (events/s per poll)</h2><svg id="spark"></svg></section>
+<section><h2>Alerts</h2><div id="alertPanel">none</div></section>
+<section><h2>Top routes by p95</h2>
+  <table id="topQueriesList"><tr><th>route</th><th>count</th><th>p50 ms</th>
+  <th>p95 ms</th><th>max ms</th></tr></table></section>
+<section><h2>Benchmark (serving probe)</h2>
+  <button id="startBenchmark">Start</button>
+  <button id="stopBenchmark" disabled>Stop</button>
+  <span id="benchmarkStatus" style="font-size:12px;margin-left:8px">idle</span>
+  <div id="benchmarkResults"></div></section>
+<script>
+"use strict";
+const hist = [];
+let benchId = null, pollTimer = null;
+async function jget(u){ const r = await fetch(u); if(!r.ok) throw new Error(await r.text()); return r.json(); }
+function set(id, v){ document.getElementById(id).textContent = v; }
+
+function spark(){
+  const svg = document.getElementById("spark");
+  svg.replaceChildren();
+  if(hist.length < 2) return;
+  const W = svg.clientWidth || 800, H = 70, max = Math.max(...hist, 1);
+  const pts = hist.map((v,i)=>((i/(hist.length-1))*(W-8)+4)+","+(H-6-(v/max)*(H-14)));
+  const p = document.createElementNS("http://www.w3.org/2000/svg","polyline");
+  p.setAttribute("points", pts.join(" "));
+  p.setAttribute("fill","none"); p.setAttribute("stroke","#4a7dbd");
+  p.setAttribute("stroke-width","2");
+  svg.appendChild(p);
+}
+
+async function refresh(){
+  const dot = document.getElementById("connectionStatus");
+  try{
+    const [mon, met, health] = await Promise.all(
+      [jget("/monitor"), jget("/metrics"), jget("/api/health")]);
+    dot.className = "ok";
+    set("systemStatusText", health.status + " \\u00b7 lake " + health.lake +
+        " \\u00b7 up " + Math.round(health.uptime_s) + "s");
+    set("qpsMetric", mon.events_per_sec.toLocaleString());
+    set("lagMetric", mon.commit_lag_s == null ? "-" : mon.commit_lag_s.toFixed(1));
+    set("rowsMetric", mon.live_rows.toLocaleString());
+    set("deltaMetric", mon.max_delta_files);
+    set("skewMetric", mon.bucket_skew.toFixed(2));
+    hist.push(mon.events_per_sec); if(hist.length > 60) hist.shift();
+    spark();
+    const routes = Object.entries(met.routes||{})
+      .sort((a,b)=>b[1].p95_ms-a[1].p95_ms);
+    set("latencyMetric", routes.length ? routes[0][1].p95_ms.toFixed(1) : "-");
+    const tbl = document.getElementById("topQueriesList");
+    while(tbl.rows.length > 1) tbl.deleteRow(1);
+    for(const [r,s] of routes.slice(0,10)){
+      const tr = tbl.insertRow();
+      for(const v of [r, s.count, s.p50_ms, s.p95_ms, s.max_ms])
+        tr.insertCell().textContent = v;
+    }
+    const panel = document.getElementById("alertPanel");
+    panel.replaceChildren();
+    if(!mon.alerts.length) panel.textContent = "none";
+    for(const a of mon.alerts){
+      const d = document.createElement("div");
+      d.className = a.severity;
+      d.textContent = "["+a.severity+"] "+a.title+" \\u2014 "+a.description;
+      panel.appendChild(d);
+    }
+  }catch(e){ dot.className = "bad"; set("systemStatusText", String(e.message||e).slice(0,80)); }
+}
+
+async function pollBench(){
+  if(!benchId) return;
+  try{
+    const r = await jget("/benchmarks/" + benchId);
+    set("benchmarkStatus", r.status);
+    if(r.status === "completed" && r.metrics){
+      document.getElementById("benchmarkResults").textContent =
+        "qps "+r.metrics.queries_per_second+"  queries "+r.metrics.total_queries+
+        "  avg "+r.metrics.avg_latency_ms+"ms  p95 "+r.metrics.p95_latency_ms+
+        "ms  max "+r.metrics.max_latency_ms+"ms  errors "+r.metrics.errors;
+    }
+    if(r.status !== "pending" && r.status !== "running"){
+      benchId = null;
+      document.getElementById("startBenchmark").disabled = false;
+      document.getElementById("stopBenchmark").disabled = true;
+      return;
+    }
+  }catch(e){ set("benchmarkStatus", String(e.message||e).slice(0,60)); }
+  setTimeout(pollBench, 700);
+}
+
+document.getElementById("startBenchmark").addEventListener("click", async ()=>{
+  try{
+    const r = await fetch("/benchmarks", {method:"POST",
+      body: JSON.stringify({duration_s: 3.0})});
+    const out = await r.json();
+    if(!r.ok) throw new Error(out.error);
+    benchId = out.id;
+    document.getElementById("startBenchmark").disabled = true;
+    document.getElementById("stopBenchmark").disabled = false;
+    set("benchmarkStatus", out.status);
+    pollBench();
+  }catch(e){ set("benchmarkStatus", String(e.message||e).slice(0,60)); }
+});
+document.getElementById("stopBenchmark").addEventListener("click", async ()=>{
+  if(benchId) await fetch("/benchmarks/"+benchId+"/cancel", {method:"POST"});
+});
+
+refresh();
+pollTimer = setInterval(refresh, 2000);
 </script>
 </body>
 </html>

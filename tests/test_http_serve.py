@@ -473,3 +473,83 @@ def test_viz_page_and_api_graph(served):
     # so bound rather than pin (base fixture = 20, limit = 30)
     assert 20 <= len(g["relationships"]) <= 30
     assert any(r["type"] == "KNOWS" for r in g["relationships"])
+
+
+def test_health_and_performance_dashboard(served):
+    """GET /api/health (reference cmd/main.go:249-288) and GET /performance
+    (the dashboard page, cmd/main.go:440-443) — fed by /monitor, /metrics
+    and the /benchmarks REST routes."""
+    srv, lake, _, _ = served
+    st, h = _get(srv.url + "/api/health")
+    assert st == 200 and h["status"] == "healthy"
+    assert h["lake"].startswith("connected")
+    assert h["edges"] == "attached"
+    assert h["uptime_s"] >= 0
+
+    with urllib.request.urlopen(srv.url + "/performance", timeout=30) as r:
+        html = r.read().decode()
+        assert "text/html" in r.headers["Content-Type"]
+    for hook in ("qpsMetric", "alertPanel", "topQueriesList",
+                 "startBenchmark", "/monitor", "/metrics", "/benchmarks"):
+        assert hook in html
+    assert "cdn" not in html.lower()
+
+
+def test_benchmark_rest_lifecycle(served):
+    """POST /benchmarks starts a bounded serving-probe run; GET polls it to
+    completion; the concurrency cap returns 409; cancel works. (The
+    reference dashboard ships these buttons with the backend marked TODO —
+    here the registry is real.)"""
+    srv, lake, _, _ = served
+    import time as _time
+
+    def post(path, body=None):
+        req = urllib.request.Request(
+            srv.url + path,
+            data=json.dumps(body or {}).encode(),
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    st, out = post("/benchmarks", {"duration_s": 0.4})
+    assert st == 202 and out["status"] == "pending"
+    rid = out["id"]
+
+    # a second start while one runs hits the concurrency cap
+    st2, out2 = post("/benchmarks", {"duration_s": 5.0})
+    assert st2 == 409 and "concurrent" in out2["error"]
+
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        st, r = _get(f"{srv.url}/benchmarks/{rid}")
+        if r["status"] not in ("pending", "running"):
+            break
+        _time.sleep(0.1)
+    assert r["status"] == "completed"
+    assert r["metrics"]["total_queries"] > 0
+    assert r["metrics"]["errors"] == 0
+
+    # listing shows the run; unknown id is a client error
+    st, ls = _get(srv.url + "/benchmarks")
+    assert any(x["id"] == rid for x in ls["runs"])
+    st, err = _get_err(srv.url + "/benchmarks/nope")
+    assert st == 400 and "not found" in err["error"]
+
+    # cancel path: start a long run, stop it
+    st, out = post("/benchmarks", {"duration_s": 30.0})
+    assert st == 202
+    st, c = post(f"/benchmarks/{out['id']}/cancel")
+    assert st == 200 and c["cancelled"]
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        _, r = _get(f"{srv.url}/benchmarks/{out['id']}")
+        if r["status"] not in ("pending", "running"):
+            break
+        _time.sleep(0.1)
+    assert r["status"] == "cancelled"
+    st, c = post("/benchmarks/nope/cancel")
+    assert st == 404
