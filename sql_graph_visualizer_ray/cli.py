@@ -302,7 +302,13 @@ def cmd_serve(a) -> int:
     for the resolver-to-endpoint mapping."""
     from .serve import serve
 
-    serve(a.lake_dir, edges_path=a.edges, host=a.host, port=a.port)
+    serve(
+        a.lake_dir,
+        edges_path=a.edges,
+        host=a.host,
+        port=a.port,
+        transform_source=a.transform_source,
+    )
     return 0
 
 
@@ -784,6 +790,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "/relationships /neighbors /expand")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8465)  # 8265 is Ray dashboard
+    sv.add_argument("--transform-source", default=None,
+                    help="changelog dir that `mutation { transformData }` "
+                         "replays into the lake (detached cli run child)")
     sv.set_defaults(fn=cmd_serve)
 
     mo = sub.add_parser(

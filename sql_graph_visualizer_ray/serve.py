@@ -120,13 +120,15 @@ def _gql_tokens(src: str) -> list[str]:
     return [t for t in _GQL_TOKEN.findall(src) if not t.startswith("#") and t != ","]
 
 
-def parse_graphql(src: str, variables: dict | None = None) -> list[dict]:
-    """Parse the reference's Query-root subset
-    (``/root/reference/schema/schema.graphqls:36-53``): an optional
-    ``query Name($v: T)`` header, then one selection set of top-level
-    fields with optional ``(name: value)`` args and optional (ignored)
-    sub-selections. Returns ``[{"field", "alias", "args"}]``. Values:
-    strings, ints, floats, and ``$variables``."""
+def parse_graphql(
+    src: str, variables: dict | None = None
+) -> tuple[str, list[dict]]:
+    """Parse the reference's Query/Mutation-root subset
+    (``/root/reference/schema/schema.graphqls:36-61``): an optional
+    ``query|mutation Name($v: T)`` header, then one selection set of
+    top-level fields with optional ``(name: value)`` args and optional
+    (ignored) sub-selections. Returns ``(operation, [{"field", "alias",
+    "args"}])``. Values: strings, ints, floats, and ``$variables``."""
     variables = variables or {}
     toks = _gql_tokens(src)
     i = 0
@@ -144,8 +146,9 @@ def parse_graphql(src: str, variables: dict | None = None) -> list[dict]:
         i += 1
         return t
 
-    if peek() == "query":
-        eat()
+    op = "query"
+    if peek() in ("query", "mutation"):
+        op = eat()
         if peek() not in ("{", "("):
             eat()  # operation name
         if peek() == "(":  # variable definitions: skip to matching ')'
@@ -156,11 +159,11 @@ def parse_graphql(src: str, variables: dict | None = None) -> list[dict]:
                 depth -= t == ")"
                 if depth == 0:
                     break
-    elif peek() in ("mutation", "subscription"):
+    elif peek() == "subscription":
         raise ValueError(
-            f"only query operations are supported, got {peek()!r} — the "
-            "graphUpdates subscription is served as a long-poll: "
-            "GET /updates?after=<version>&wait=<s>"
+            "subscriptions are not served over POST — the graphUpdates "
+            "subscription is a long-poll: GET /updates?after=<version>"
+            "&wait=<s>"
         )
 
     def value(tok):
@@ -207,11 +210,17 @@ def parse_graphql(src: str, variables: dict | None = None) -> list[dict]:
                 if depth == 0:
                     break
         fields.append({"field": name, "alias": alias or name, "args": args})
-    return fields
+    return op, fields
 
 
 def execute_graphql(
-    lake, edges, src: str, variables: dict | None = None, *, limit: int = 1000
+    lake,
+    edges,
+    src: str,
+    variables: dict | None = None,
+    *,
+    limit: int = 1000,
+    transform=None,
 ) -> dict:
     """Execute the reference's Query root against the lake primitives:
     ``graph`` -> bounded head, ``node(id)`` -> keyed lookup,
@@ -289,10 +298,29 @@ def execute_graphql(
             }
         raise ValueError(f"unknown Query field {field!r}")
 
+    def run_mutation(field: str, args: dict):
+        # Mutation root (schema.graphqls:56-59). The reference's resolver
+        # is a stub that returns true without doing anything
+        # (schema.resolvers.go:17-22); here transformData actually kicks
+        # the ingest when the server is configured with a transform
+        # source — duplicate/concurrent triggers are safe because replay
+        # is epoch-fenced (applied epochs are skipped).
+        if field == "transformData":
+            if transform is None:
+                raise ValueError(
+                    "no transform source configured (start serve() with "
+                    "transform_source=) — transformData has nothing to run"
+                )
+            return bool(transform())
+        raise ValueError(f"unknown Mutation field {field!r}")
+
+    op, fields = parse_graphql(src, variables)
     data, errors = {}, []
-    for f in parse_graphql(src, variables):
+    for f in fields:
         try:
-            data[f["alias"]] = run(f["field"], f["args"])
+            data[f["alias"]] = (run_mutation if op == "mutation" else run)(
+                f["field"], f["args"]
+            )
         except (ValueError, KeyError, LookupError, RuntimeError) as e:
             data[f["alias"]] = None
             errors.append({"message": str(e), "path": [f["alias"]]})
@@ -464,7 +492,11 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(400, {"errors": [{"message": f"bad request: {e}"}]})
             try:
                 out = execute_graphql(
-                    self.lake, self.edges, src, body.get("variables")
+                    self.lake,
+                    self.edges,
+                    src,
+                    body.get("variables"),
+                    transform=self.server.transform,
                 )
             except ValueError as e:  # parse error: whole request malformed
                 return self._send(400, {"errors": [{"message": str(e)}]})
@@ -841,8 +873,10 @@ class GraphServer:
         host: str = "127.0.0.1",
         port: int = 0,
         quiet: bool = True,
+        transform_source: str | None = None,
     ):
         self._lake_path = lake_path
+        self._transform_source = transform_source
         self._mlock = threading.Lock()
         self._mtoken = None
         self.lake = LakeTable.open(lake_path)
@@ -858,6 +892,9 @@ class GraphServer:
         self._httpd.metrics = _RouteMetrics()
         self._httpd.monitor_sample = self._monitor_sample
         self._httpd.bench_service = self._bench_service
+        self._httpd.transform = (
+            self._run_transform if transform_source else None
+        )
         self._httpd.started_ts = time.time()
         self._collector = None  # built on first /monitor hit
         self._bench = None  # built on first /benchmarks hit
@@ -879,6 +916,32 @@ class GraphServer:
                     self._lake_path, view_fn=self.lake_view
                 )
             return self._collector.collect()
+
+    def _run_transform(self) -> bool:
+        """``mutation { transformData }`` backend: kick a detached replay
+        of the configured changelog into this lake (``cli run`` in a child
+        process — the serving process itself stays no-Ray). Returns True
+        once the child is launched; progress lands as ordinary commits, so
+        clients watch it through ``/updates`` or ``/monitor``. Safe to
+        spam: replay is epoch-fenced, a concurrent second child sees the
+        applied watermark (or loses the commit CAS) and no-ops."""
+        import subprocess
+        import sys as _sys
+
+        subprocess.Popen(
+            [
+                _sys.executable,
+                "-m",
+                "sql_graph_visualizer_ray.cli",
+                "run",
+                self._transform_source,
+                self._lake_path,
+            ],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        return True
 
     def _bench_service(self):
         """The server's benchmark registry (dashboard Start/Stop buttons).
@@ -977,10 +1040,16 @@ def serve(
     edges_path: str | None = None,
     host: str = "127.0.0.1",
     port: int = 8465,  # not 8265 — the Ray dashboard default
+    transform_source: str | None = None,
 ) -> None:
     """Blocking entry point (the ``cli serve`` verb)."""
     s = GraphServer(
-        lake_path, edges_path=edges_path, host=host, port=port, quiet=False
+        lake_path,
+        edges_path=edges_path,
+        host=host,
+        port=port,
+        quiet=False,
+        transform_source=transform_source,
     )
     print(f"serving {lake_path} on {s.url}")
     s.start()
