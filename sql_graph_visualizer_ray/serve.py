@@ -618,8 +618,10 @@ class _Handler(BaseHTTPRequestHandler):
         they work); POST /benchmarks/<id>/cancel stops one. Bounded: only
         the no-Ray serving probe, duration clamped to 30 s, one concurrent
         run — a dashboard control, not a load-test API."""
-        svc = self.server.bench_service()
         try:
+            # inside the try: an empty lake makes the probe tool
+            # unavailable, which must be a 409, not a dropped connection
+            svc = self.server.bench_service()
             if len(parts) == 3 and parts[2] == "cancel":
                 if not svc.cancel(parts[1]):
                     return self._send(404, {"error": f"no run {parts[1]}"})
@@ -928,6 +930,15 @@ class GraphServer:
         import subprocess
         import sys as _sys
 
+        # the child must import this package regardless of the server's
+        # cwd: prepend the package's parent to its PYTHONPATH
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = (
+            pkg_parent + os.pathsep + env["PYTHONPATH"]
+            if env.get("PYTHONPATH")
+            else pkg_parent
+        )
         subprocess.Popen(
             [
                 _sys.executable,
@@ -940,6 +951,7 @@ class GraphServer:
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
             start_new_session=True,
+            env=env,
         )
         return True
 

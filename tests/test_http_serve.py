@@ -602,3 +602,34 @@ def test_graphql_transform_data_mutation(ray_session, tmp_path_factory):
             srv.url + "/graphql", {"query": "mutation { transformData }"}
         )
         assert out["data"]["transformData"] is True
+
+
+def test_benchmarks_on_empty_lake_is_409(ray_session, tmp_path_factory):
+    """An empty lake has no probe keys: POST /benchmarks must answer 409
+    with the availability error, not drop the connection."""
+    import pyarrow as pa
+
+    root = tmp_path_factory.mktemp("empty_bench")
+    lake = LakeTable.open(str(root / "lake"), num_buckets=2)
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "lsn": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+    )
+    lake.apply_dataset(empty, epoch=0)
+    with GraphServer(str(root / "lake")) as srv:
+        req = urllib.request.Request(
+            srv.url + "/benchmarks", data=b"{}", method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                st, out = r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            st, out = e.code, json.loads(e.read())
+        assert st == 409 and "not available" in out["error"]
