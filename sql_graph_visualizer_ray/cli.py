@@ -103,7 +103,8 @@ def cmd_vacuum(a) -> int:
     from .state.manifest import vacuum
 
     lake = LakeTable.open(a.lake_dir)
-    print(json.dumps({"removed_versions": vacuum(a.lake_dir, lake.manifest)}))
+    n = vacuum(a.lake_dir, lake.manifest, min_age_s=a.min_age_s)
+    print(json.dumps({"removed_versions": n}))
     return 0
 
 
@@ -687,6 +688,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("vacuum", help="delete unreferenced version dirs")
     v.add_argument("lake_dir")
+    v.add_argument(
+        "--min-age-s",
+        type=float,
+        default=0.0,
+        dest="min_age_s",
+        help="retention window: keep de-referenced version dirs younger "
+        "than this many seconds (safe to run against a live server whose "
+        "pinned reads finish within the window); 0 = reclaim everything",
+    )
     v.set_defaults(fn=cmd_vacuum)
 
     ch = sub.add_parser("changes", help="export a commit's change feed")

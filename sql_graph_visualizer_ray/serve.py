@@ -551,12 +551,14 @@ class _Handler(BaseHTTPRequestHandler):
                         },
                     )
                 if len(parts) == 2:
-                    return self._send(
-                        200,
-                        self.server.bench_service()
-                        .get_result(parts[1])
-                        .to_dict(),
-                    )
+                    try:
+                        r = self.server.bench_service().get_result(parts[1])
+                    except KeyError as e:
+                        # unknown run id is a 404, not a bad request — plain
+                        # LookupError skips the (ValueError, KeyError) -> 400
+                        # clause below and lands on the 404 handler
+                        raise LookupError(str(e.args[0])) from None
+                    return self._send(200, r.to_dict())
             if url.path == "/metrics":
                 return self._send(200, self._metrics())
             if url.path == "/config":

@@ -374,24 +374,32 @@ def clean_uncommitted(lake_dir: str, committed_version: int) -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
-def vacuum(lake_dir: str, manifest: Manifest) -> int:
+def vacuum(lake_dir: str, manifest: Manifest, *, min_age_s: float = 0.0) -> int:
     """Remove version dirs no bucket references anymore. Returns count removed.
 
     With delta commits every version dir stays referenced until a compaction
     commit rewrites the buckets — run ``LakeTable.compact()`` first to
     de-reference old versions.
 
-    Snapshot-isolation caveat: a reader (``read_final``) pins the FILE LIST
-    of the manifest version it opened; commits never mutate published files
-    (new versions only), so concurrent commits are safe — but ``vacuum``
-    deletes de-referenced version dirs and must only run when no reader
-    still holds a pre-compaction snapshot (same contract as Iceberg/Delta
-    ``VACUUM`` retention)."""
+    Snapshot-isolation: a reader (``read_final``, a ``GraphServer``
+    request's pinned ``lake_view``, a ``snapshot()`` time-travel handle)
+    pins the FILE LIST of the manifest version it opened; commits never
+    mutate published files (new versions only), so concurrent commits are
+    safe — but ``vacuum`` deletes de-referenced version dirs, which breaks
+    any reader still holding a pre-compaction view. ``min_age_s`` is the
+    Iceberg/Delta-style retention window for exactly that interplay: a
+    version dir younger than the window is kept even when de-referenced,
+    so ``compact(); vacuum(min_age_s=W)`` can run on a live lake as long as
+    no pinned read (an HTTP request, a streaming ``read_final`` consumer)
+    outlives ``W`` seconds. The default 0.0 keeps the aggressive
+    reclaim-everything behavior for offline maintenance. Version dirs are
+    immutable after the staging rename, so dir mtime is the publish time."""
     live = {
         f.split("/", 1)[0]
         for b in manifest.data["buckets"].values()
         for f in b["files"]
     }
+    cutoff = time.time() - min_age_s
     removed = 0
     for name in os.listdir(lake_dir):
         if (
@@ -400,6 +408,13 @@ def vacuum(lake_dir: str, manifest: Manifest) -> int:
             and int(name[1:]) <= manifest.version
             and name not in live
         ):
-            shutil.rmtree(os.path.join(lake_dir, name), ignore_errors=True)
+            path = os.path.join(lake_dir, name)
+            if min_age_s > 0:
+                try:
+                    if os.path.getmtime(path) > cutoff:
+                        continue  # inside the retention window
+                except OSError:
+                    continue  # raced with another vacuum
+            shutil.rmtree(path, ignore_errors=True)
             removed += 1
     return removed

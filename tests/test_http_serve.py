@@ -537,11 +537,11 @@ def test_benchmark_rest_lifecycle(served):
     assert r["metrics"]["total_queries"] > 0
     assert r["metrics"]["errors"] == 0
 
-    # listing shows the run; unknown id is a client error
+    # listing shows the run; an unknown id is a 404 (resource not found)
     st, ls = _get(srv.url + "/benchmarks")
     assert any(x["id"] == rid for x in ls["runs"])
     st, err = _get_err(srv.url + "/benchmarks/nope")
-    assert st == 400 and "not found" in err["error"]
+    assert st == 404 and "not found" in err["error"]
 
     # cancel path: start a long run, stop it
     st, out = post("/benchmarks", {"duration_s": 30.0})

@@ -49,6 +49,24 @@ def test_snapshots_survive_compaction_until_vacuum(clog, tmp_path):
         lake.snapshot(v_old)
 
 
+def test_vacuum_retention_window(clog, tmp_path):
+    """``vacuum(min_age_s=W)`` keeps de-referenced version dirs younger than
+    the window — the knob that makes compact+vacuum safe to run against a
+    live server whose pinned per-request reads finish within W."""
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8, epochs_per_commit=1)
+    v_old = 2
+    want_old = canonical(lake.final_table(version=v_old))
+    lake.compact()
+    # everything was published seconds ago: a 1-hour window reclaims nothing
+    assert vacuum(lake.path, lake.manifest, min_age_s=3600.0) == 0
+    # the pre-compaction snapshot is still fully readable through the window
+    assert canonical(lake.final_table(version=v_old)).equals(want_old)
+    # window elapsed (0 = reclaim everything): same dirs now go
+    assert vacuum(lake.path, lake.manifest) > 0
+    with pytest.raises(KeyError, match="vacuum"):
+        lake.snapshot(v_old)
+
+
 def test_snapshot_is_readonly_and_split_safe(clog, tmp_path):
     lake = replay(clog, str(tmp_path / "lake"), num_buckets=4, epochs_per_commit=2)
     v_pre = lake.manifest.version
