@@ -604,6 +604,75 @@ def test_graphql_transform_data_mutation(ray_session, tmp_path_factory):
         assert out["data"]["transformData"] is True
 
 
+def test_serve_during_ingest_compact_vacuum(ray_session, tmp_path_factory):
+    """Serving stays fully available while the maintenance loop runs ON the
+    same lake: epoch ingest, compaction, and retention-window vacuum all
+    land mid-hammer, and not one request fails. The retention window is the
+    load-bearing piece — each request pins the manifest version it opened,
+    and ``vacuum(min_age_s=W)`` guarantees the pinned version's files
+    outlive the request (aggressive ``vacuum()`` would yank de-referenced
+    dirs out from under in-flight reads; test_time_travel pins that
+    counterfactual at the library level)."""
+    from sql_graph_visualizer_ray.state.manifest import vacuum
+
+    root = tmp_path_factory.mktemp("serve_maint")
+    clog = materialize(
+        "serve_maint",
+        ChangelogSpec(n_events=8000, n_convs=150, n_epochs=4, seed=7),
+    )
+    lake = LakeTable.open(str(root / "lake"), num_buckets=8)
+    assert lake.apply(clog, max_epochs=1)["epochs"] == 1
+
+    keys = [
+        r["conv_id"] for r in lake.head(8, columns=["conv_id"]).to_pylist()
+    ]
+    failures: list[str] = []
+    per_thread_versions: list[list[int]] = [[] for _ in range(3)]
+    stop = threading.Event()
+
+    def hammer(url: str, slot: list[int]):
+        i = 0
+        while not stop.is_set():
+            k = keys[i % len(keys)]
+            i += 1
+            try:
+                st, out = _get(f"{url}/node/{k}")
+                if st != 200 or not out["rows"]:
+                    failures.append(f"node {k}: {st} {out}")
+                st, cfg = _get(url + "/config")
+                if st != 200:
+                    failures.append(f"config: {st}")
+                slot.append(cfg["version"])
+            except Exception as e:  # noqa: BLE001 — record, don't die
+                failures.append(repr(e))
+
+    with GraphServer(str(root / "lake")) as srv:
+        threads = [
+            threading.Thread(target=hammer, args=(srv.url, slot), daemon=True)
+            for slot in per_thread_versions
+        ]
+        for t in threads:
+            t.start()
+        # the maintenance loop a production lake runs: ingest the remaining
+        # epochs one commit at a time, compacting + vacuuming between them
+        while lake.apply(clog, max_epochs=1)["epochs"]:
+            lake.compact()
+            vacuum(lake.path, lake.manifest, min_age_s=3600.0)
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        # the server converges on the head version once maintenance settles
+        st, cfg = _get(srv.url + "/config")
+        assert st == 200 and cfg["version"] == lake.manifest.version
+
+    assert not failures, failures[:5]
+    for slot in per_thread_versions:
+        assert slot, "hammer thread made no requests"
+        # each client observes committed versions monotonically (no request
+        # ever reads a torn or rolled-back manifest)
+        assert slot == sorted(slot)
+
+
 def test_benchmarks_on_empty_lake_is_409(ray_session, tmp_path_factory):
     """An empty lake has no probe keys: POST /benchmarks must answer 409
     with the availability error, not drop the connection."""
