@@ -693,9 +693,11 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.0,
         dest="min_age_s",
-        help="retention window: keep de-referenced version dirs younger "
-        "than this many seconds (safe to run against a live server whose "
-        "pinned reads finish within the window); 0 = reclaim everything",
+        help="retention window in seconds, measured from when a vacuum "
+        "pass FIRST saw the dir de-referenced (run vacuum periodically: "
+        "one pass starts the clocks, a later pass reclaims) — safe on a "
+        "live server whose pinned reads finish within the window; "
+        "0 = reclaim everything immediately",
     )
     v.set_defaults(fn=cmd_vacuum)
 

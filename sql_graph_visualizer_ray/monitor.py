@@ -209,18 +209,22 @@ class LakeStatsCollector:
         mean_rows = live_rows / len(rows) if rows else 0.0
         skew = (max(rows) / mean_rows) if rows and mean_rows > 0 else 1.0
 
-        # rate window: everything committed after the last-seen version
+        # rate window: everything committed after the last-seen version.
+        # The FIRST poll is the baseline — it reports 0/0 (standard rate-
+        # collector semantics) rather than the lake's whole retained
+        # history, which would spike every alerting consumer on collector
+        # restart and walk the full (possibly archived) history for it.
         commits, events = 0, 0
         last_wall: float | None = None
-        since = self._last_version if self._last_version is not None else 0
-        for h in m.history_after(self.lake_dir, since):
-            wall = h.get("wall_ts")
-            if wall is not None:
-                last_wall = float(wall)
-            if "events_in" not in h:  # compaction/backfill commits: no events
-                continue
-            commits += 1
-            events += int(h.get("events_in", 0))
+        if self._last_version is not None:
+            for h in m.history_after(self.lake_dir, self._last_version):
+                wall = h.get("wall_ts")
+                if wall is not None:
+                    last_wall = float(wall)
+                if "events_in" not in h:  # compaction/backfill: no events
+                    continue
+                commits += 1
+                events += int(h.get("events_in", 0))
         if last_wall is None:
             # pre-wall_ts lakes (or a window with only maintenance commits):
             # the manifest file's mtime is the newest-commit time
@@ -558,7 +562,8 @@ class ServingProbeTool:
         lats: list[float] = []
         errors = 0
         i = 0
-        t_end = min(deadline, time.time() + config.duration_s)
+        t_start = time.time()
+        t_end = min(deadline, t_start + config.duration_s)
         while time.time() < t_end and not cancel.is_set():
             t0 = time.perf_counter()
             try:
@@ -578,7 +583,10 @@ class ServingProbeTool:
             raise InterruptedError("cancelled")
         lats.sort()
         total = len(lats)
-        wall = sum(lats) / 1000.0 or 1e-9
+        # qps over the ELAPSED wall clock, not the sum of the timed
+        # sections — loop overhead outside the per-query timer is real
+        # time the process spent, and sum(lats) would overstate throughput
+        wall = (time.time() - t_start) or 1e-9
         q = lambda p: lats[min(total - 1, int(p * total))] if total else 0.0
         return PerformanceMetrics(
             queries_per_second=round(total / wall, 2),
@@ -632,9 +640,30 @@ class ReplayTool:
             lake = LakeTable.open(
                 os.path.join(out, "lake"), num_buckets=self.num_buckets
             )
+            # chunked apply so the cancel event and the service deadline
+            # actually bite: one fused Ray pipeline per chunk, checks
+            # between chunks (a whole-changelog apply would run unbounded
+            # while cancel() and default_timeout_s silently no-op). The
+            # chunk is epochs, so throughput stays near the single-commit
+            # headline while cancellation latency is one chunk.
+            chunk = max(1, int(config.params.get("epochs_per_commit", 8)))
+            totals: dict[str, int] = {}
             t0 = time.perf_counter()
-            counters = lake.apply(self.changelog_dir)
+            while True:
+                if cancel.is_set():
+                    raise InterruptedError("cancelled")
+                if time.time() >= deadline:
+                    raise TimeoutError(
+                        "replay benchmark exceeded its deadline "
+                        f"({totals.get('events_in', 0)} events applied)"
+                    )
+                c = lake.apply(self.changelog_dir, max_epochs=chunk)
+                if not c.get("epochs"):
+                    break
+                for k, v in c.items():
+                    totals[k] = totals.get(k, 0) + int(v)
             wall = time.perf_counter() - t0
+            counters = totals
             events = int(counters.get("events_in", 0))
             return PerformanceMetrics(
                 queries_per_second=round(events / wall, 1) if wall else 0.0,

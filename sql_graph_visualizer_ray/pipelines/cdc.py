@@ -134,6 +134,30 @@ def _stat_max_columns() -> int:
     return int(os.environ.get("GRAFT_STAT_COLUMNS_MAX", "16"))
 
 
+def _stat_columns(names) -> list[str]:
+    """Stat-candidate columns in recording order: key/ts columns first
+    (they are what lookup/search prune on), then payload order, meta
+    columns dropped, capped at ``_stat_max_columns()``. The single source
+    of truth for which columns MAY carry stats — the write path
+    (``_column_stats``), the footer backfill (``_footer_stats``), gap
+    detection (``string_stats_gaps``) and the string backfill all derive
+    from it, so eligibility can never desynchronize between what a gap
+    scan flags and what a backfill records."""
+    names = [n for n in names if n not in _STAT_SKIP]
+    prio = [n for n in ("conv_id", "turn_idx", "ts") if n in names]
+    return (prio + [n for n in names if n not in prio])[: _stat_max_columns()]
+
+
+def _stat_string_columns(lake_cols: pa.Schema) -> list[str]:
+    """The string-typed subset of the stat candidates (cap applied)."""
+    return [
+        n
+        for n in _stat_columns(lake_cols.names)
+        if pa.types.is_string(lake_cols.field(n).type)
+        or pa.types.is_large_string(lake_cols.field(n).type)
+    ]
+
+
 def _stat_encode(v, typ: pa.DataType):
     """A column value as a JSON-safe, correctly-ordered scalar: timestamps
     become int64 micros (their physical order), non-finite floats raise (the
@@ -171,11 +195,8 @@ def _column_stats(t: pa.Table) -> dict[str, list]:
     cap since they are what lookup/search prune on."""
     if t.num_rows == 0:
         return {}
-    names = [n for n in t.column_names if n not in _STAT_SKIP]
-    prio = [n for n in ("conv_id", "turn_idx", "ts") if n in names]
-    names = prio + [n for n in names if n not in prio]
     out: dict[str, list] = {}
-    for name in names[: _stat_max_columns()]:
+    for name in _stat_columns(t.column_names):
         typ = t.schema.field(name).type
         if not _stat_eligible(typ):
             continue
@@ -233,15 +254,7 @@ def string_stats_gaps(manifest) -> dict[int, list[str]]:
     -> live files whose stats never attempted string bounds. Usable by the
     CLI ``analyze`` report without opening a lake or a Ray session."""
     lake_cols = lake_schema(manifest.payload_schema)
-    names = [n for n in lake_cols.names if n not in _STAT_SKIP]
-    prio = [n for n in ("conv_id", "turn_idx", "ts") if n in names]
-    ordered = prio + [n for n in names if n not in prio]
-    has_string = any(
-        pa.types.is_string(lake_cols.field(n).type)
-        or pa.types.is_large_string(lake_cols.field(n).type)
-        for n in ordered[: _stat_max_columns()]
-    )
-    if not has_string:
+    if not _stat_string_columns(lake_cols):
         return {}
     gaps: dict[int, list[str]] = {}
     for key, entry in manifest.data["buckets"].items():
@@ -279,12 +292,8 @@ def _footer_stats(path: str) -> dict[str, list]:
         md.row_group(0).column(i).path_in_schema: i
         for i in range(md.row_group(0).num_columns)
     }
-    prio = [n for n in ("conv_id", "turn_idx", "ts") if n in fschema.names]
-    names = prio + [
-        n for n in fschema.names if n not in prio and n not in _STAT_SKIP
-    ]
-    for name in names[: _stat_max_columns()]:
-        if name in _STAT_SKIP or name not in leaf_idx:
+    for name in _stat_columns(fschema.names):
+        if name not in leaf_idx:
             continue
         typ = fschema.field(name).type
         if (
@@ -1407,16 +1416,7 @@ class LakeTable:
         gaps = self.string_stats_gaps()
         if not gaps:
             return {"files_backfilled": 0}
-        lake_cols = lake_schema(m.payload_schema)
-        names = [n for n in lake_cols.names if n not in _STAT_SKIP]
-        prio = [n for n in ("conv_id", "turn_idx", "ts") if n in names]
-        ordered = prio + [n for n in names if n not in prio]
-        str_cols = [
-            n
-            for n in ordered[: _stat_max_columns()]
-            if pa.types.is_string(lake_cols.field(n).type)
-            or pa.types.is_large_string(lake_cols.field(n).type)
-        ]
+        str_cols = _stat_string_columns(lake_schema(m.payload_schema))
         updates: dict[str, dict[str, dict]] = {}
         for bk, rels in gaps.items():
             key = str(bk)

@@ -480,6 +480,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self.server.metrics.record(
                     "/benchmarks", (time.perf_counter() - t0) * 1000.0
                 )
+        # metrics key is the actual first path segment (record() clamps
+        # anything outside _KNOWN_ROUTES to /_other) — a scanner POSTing
+        # random paths must not pollute the /graphql latency window
+        route = f"/{parts[0]}" if parts else "/"
         t0 = time.perf_counter()
         try:
             if urlparse(self.path).path != "/graphql":
@@ -503,7 +507,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, out)
         finally:
             self.server.metrics.record(
-                "/graphql", (time.perf_counter() - t0) * 1000.0
+                route, (time.perf_counter() - t0) * 1000.0
             )
 
     def _send_html(self, code: int, body: str) -> None:
@@ -621,11 +625,8 @@ class _Handler(BaseHTTPRequestHandler):
         the no-Ray serving probe, duration clamped to 30 s, one concurrent
         run — a dashboard control, not a load-test API."""
         try:
-            # inside the try: an empty lake makes the probe tool
-            # unavailable, which must be a 409, not a dropped connection
-            svc = self.server.bench_service()
             if len(parts) == 3 and parts[2] == "cancel":
-                if not svc.cancel(parts[1]):
+                if not self.server.bench_service().cancel(parts[1]):
                     return self._send(404, {"error": f"no run {parts[1]}"})
                 return self._send(200, {"id": parts[1], "cancelled": True})
             if len(parts) != 1:
@@ -640,7 +641,11 @@ class _Handler(BaseHTTPRequestHandler):
                 duration_s=min(float(body.get("duration_s", 3.0)), 30.0),
                 params=dict(body.get("params", {})),
             )
-            rid = svc.execute_benchmark(cfg, "serving_probe")
+            # inside the try: an empty lake makes the probe tool
+            # unavailable, which must be a 409, not a dropped connection
+            rid = self.server.probe_service().execute_benchmark(
+                cfg, "serving_probe"
+            )
             return self._send(202, {"id": rid, "status": "pending"})
         except (ValueError, KeyError) as e:
             return self._send(400, {"error": str(e)})
@@ -883,7 +888,18 @@ class GraphServer:
         self._transform_source = transform_source
         self._mlock = threading.Lock()
         self._mtoken = None
-        self.lake = LakeTable.open(lake_path)
+        # open-existing ONLY: LakeTable.open would CREATE a default
+        # transcript-schema lake at a mistyped/empty path, and the server
+        # would then silently serve an empty lake (or poison a directory
+        # meant for a differently-keyed table)
+        m = Manifest.load(lake_path)
+        if m is None:
+            raise LookupError(
+                f"no lake at {lake_path} (MANIFEST.json missing) — the "
+                "server never creates lakes; build one with LakeTable.open "
+                "/ `cli run` first"
+            )
+        self.lake = LakeTable(lake_path, m, readonly=True)
         self._edges_path = edges_path
         self._elock = threading.Lock()
         self._etoken = ()  # never a valid token: first view always builds
@@ -896,6 +912,7 @@ class GraphServer:
         self._httpd.metrics = _RouteMetrics()
         self._httpd.monitor_sample = self._monitor_sample
         self._httpd.bench_service = self._bench_service
+        self._httpd.probe_service = self._probe_service
         self._httpd.transform = (
             self._run_transform if transform_source else None
         )
@@ -958,21 +975,35 @@ class GraphServer:
         return True
 
     def _bench_service(self):
-        """The server's benchmark registry (dashboard Start/Stop buttons).
-        One serving-probe tool keyed off a sample of live keys, one
-        concurrent run, short timeout — dashboard-scale by construction."""
-        from .monitor import BenchmarkService, ServingProbeTool
+        """The server's benchmark registry (dashboard Start/Stop buttons):
+        one concurrent run, short timeout — dashboard-scale by
+        construction. Listing/polling runs needs no tool, so the registry
+        itself always exists (GET /benchmarks on an empty lake is
+        ``{"runs": []}``, not a 409); the probe tool is registered lazily
+        by ``_probe_service`` on the POST path."""
+        from .monitor import BenchmarkService
 
         with self._clock:
             if self._bench is None:
-                lake = self.lake_view()
-                keys = lake.head(8).column(lake.key_columns[0]).to_pylist()
-                svc = BenchmarkService(
+                self._bench = BenchmarkService(
                     max_concurrent=1, default_timeout_s=60.0
                 )
-                svc.register_tool(ServingProbeTool(self._lake_path, keys))
-                self._bench = svc
             return self._bench
+
+    def _probe_service(self):
+        """The registry with the serving-probe tool registered (the POST
+        /benchmarks path). Registration re-attempts on each start request,
+        so a lake that was empty at server start becomes benchmarkable as
+        soon as it has live keys; a still-empty lake raises the
+        availability RuntimeError (HTTP 409)."""
+        from .monitor import ServingProbeTool
+
+        svc = self._bench_service()
+        if "serving_probe" not in svc.available_tools():
+            lake = self.lake_view()
+            keys = lake.head(8).column(lake.key_columns[0]).to_pylist()
+            svc.register_tool(ServingProbeTool(self._lake_path, keys))
+        return svc
 
     def lake_view(self) -> LakeTable:
         """An immutable view of the lake at its CURRENT committed version.
@@ -1017,14 +1048,21 @@ class GraphServer:
         token = tuple(toks)
         with self._elock:
             if token != self._etoken:
-                from .pipelines.graph_sink import EdgeLake
+                if toks[0] is None:
+                    # no edge lake YET (its first ingest hasn't landed):
+                    # serve none, and NEVER create one here — LakeTable.open
+                    # would write a default transcript-schema manifest that
+                    # poisons the real edge pipeline's later ingest
+                    self.edges = None
+                else:
+                    from .pipelines.graph_sink import EdgeLake
 
-                nb = LakeTable.open(self._edges_path).manifest.num_buckets
-                self.edges = EdgeLake(
-                    self._edges_path,
-                    num_buckets=nb,
-                    reverse_index=toks[1] is not None,
-                )
+                    nb = Manifest.load(self._edges_path).num_buckets
+                    self.edges = EdgeLake(
+                        self._edges_path,
+                        num_buckets=nb,
+                        reverse_index=toks[1] is not None,
+                    )
                 self._etoken = token
             return self.edges
 

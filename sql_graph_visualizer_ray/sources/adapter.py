@@ -92,21 +92,40 @@ def batches_to_epochs(
     return n
 
 
+def _conn_paramstyle(conn) -> str:
+    """The DBAPI ``paramstyle`` of the driver module that produced ``conn``
+    (module attribute per PEP 249); qmark when the module doesn't declare
+    one (duckdb takes ``?`` natively)."""
+    import sys
+
+    mod = sys.modules.get(type(conn).__module__.split(".")[0])
+    return getattr(mod, "paramstyle", "qmark")
+
+
 def _arrow_batches_from_sql(
-    conn, query: str, rows_per_epoch: int
+    conn, query: str, rows_per_epoch: int, params: tuple | list | None = None
 ) -> Iterator[pa.Table]:
     """Stream a SQL query as Arrow tables. DuckDB connections expose a
     native Arrow record-batch reader; DBAPI cursors fall back to
-    ``fetchmany`` + column-name introspection."""
+    ``fetchmany`` + column-name introspection. ``params`` are bound values
+    for canonical ``?`` placeholders in ``query`` — the SQL is rendered to
+    the driver's declared paramstyle (``render_placeholders``), so one
+    parameterized query string pulls from duckdb, sqlite, pymysql and
+    psycopg2 alike (the divergence the reference handles per-repository,
+    ``postgresql/repository.go:50-86``)."""
+    args: tuple = ()
+    if params is not None:
+        query = render_placeholders(query, _conn_paramstyle(conn))
+        args = (list(params),)
     if hasattr(conn, "execute") and hasattr(conn, "fetch_record_batch"):
         # duckdb: stream record batches straight from the result
-        conn.execute(query)
+        conn.execute(query, *args)
         reader = conn.fetch_record_batch(rows_per_epoch)
         for batch in reader:
             yield pa.Table.from_batches([batch])
         return
     cur = conn.cursor() if hasattr(conn, "cursor") else conn
-    cur.execute(query)
+    cur.execute(query, *args)
     names = [d[0] for d in cur.description]
     # DBAPI gives no column types; from_pylist infers per chunk. Keep the
     # stream type-stable: a chunk whose column is all-NULL inherits the type
@@ -129,16 +148,24 @@ def _arrow_batches_from_sql(
 
 
 def sql_to_epochs(
-    conn, query: str, out_dir: str, *, rows_per_epoch: int = 100_000
+    conn,
+    query: str,
+    out_dir: str,
+    *,
+    rows_per_epoch: int = 100_000,
+    params: tuple | list | None = None,
 ) -> int:
     """Pull a SQL query result into epoch files ``tail()`` can follow.
 
     One epoch per ``rows_per_epoch`` chunk; meta columns (lsn/op) present in
     the query result are honored (CDC pull from a change table), otherwise
-    synthesized (snapshot pull). Returns epochs written.
+    synthesized (snapshot pull). ``params`` bind canonical ``?``
+    placeholders in ``query``, rendered to the driver's paramstyle — the
+    incremental-pull idiom is ``WHERE lsn > ?`` with the lake's applied
+    watermark. Returns epochs written.
     """
     return batches_to_epochs(
-        _arrow_batches_from_sql(conn, query, rows_per_epoch), out_dir
+        _arrow_batches_from_sql(conn, query, rows_per_epoch, params), out_dir
     )
 
 

@@ -374,6 +374,12 @@ def clean_uncommitted(lake_dir: str, committed_version: int) -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
+# marker file a retention-window vacuum drops into a de-referenced version
+# dir the first time it sees it; its content is that wall-clock time, and
+# the dir is reclaimed once now - marked_at >= min_age_s
+_DEREF_MARKER = "_dereferenced_at"
+
+
 def vacuum(lake_dir: str, manifest: Manifest, *, min_age_s: float = 0.0) -> int:
     """Remove version dirs no bucket references anymore. Returns count removed.
 
@@ -387,34 +393,54 @@ def vacuum(lake_dir: str, manifest: Manifest, *, min_age_s: float = 0.0) -> int:
     mutate published files (new versions only), so concurrent commits are
     safe — but ``vacuum`` deletes de-referenced version dirs, which breaks
     any reader still holding a pre-compaction view. ``min_age_s`` is the
-    Iceberg/Delta-style retention window for exactly that interplay: a
-    version dir younger than the window is kept even when de-referenced,
-    so ``compact(); vacuum(min_age_s=W)`` can run on a live lake as long as
-    no pinned read (an HTTP request, a streaming ``read_final`` consumer)
-    outlives ``W`` seconds. The default 0.0 keeps the aggressive
-    reclaim-everything behavior for offline maintenance. Version dirs are
-    immutable after the staging rename, so dir mtime is the publish time."""
+    Iceberg/Delta-style retention window for exactly that interplay, and it
+    is measured from **when vacuum first observed the dir de-referenced**
+    (a marker file it drops on first sight), NOT from the dir's publish
+    time — a dir published hours ago but de-referenced by a compaction one
+    second ago still gets the full window. Run vacuum periodically:
+    the first pass after a compaction only starts the clocks; a later pass
+    reclaims dirs whose window has elapsed. The guarantee: a reader that
+    pinned its manifest while the dir was still referenced has at least
+    ``min_age_s`` seconds (from the marking pass) to finish. The default
+    0.0 keeps the aggressive reclaim-everything behavior for offline
+    maintenance (and ignores markers entirely)."""
     live = {
         f.split("/", 1)[0]
         for b in manifest.data["buckets"].values()
         for f in b["files"]
     }
-    cutoff = time.time() - min_age_s
+    now = time.time()
     removed = 0
     for name in os.listdir(lake_dir):
-        if (
+        if not (
             name.startswith("v")
             and name[1:].isdigit()
             and int(name[1:]) <= manifest.version
             and name not in live
         ):
-            path = os.path.join(lake_dir, name)
-            if min_age_s > 0:
+            continue
+        path = os.path.join(lake_dir, name)
+        if min_age_s > 0:
+            marker = os.path.join(path, _DEREF_MARKER)
+            try:
+                with open(marker, "x") as f:
+                    f.write(repr(now))
+                continue  # first sighting: the retention clock starts now
+            except FileExistsError:
                 try:
-                    if os.path.getmtime(path) > cutoff:
-                        continue  # inside the retention window
-                except OSError:
-                    continue  # raced with another vacuum
-            shutil.rmtree(path, ignore_errors=True)
-            removed += 1
+                    with open(marker) as f:
+                        marked_at = float(f.read())
+                except (OSError, ValueError):
+                    marked_at = now  # unreadable marker: restart the clock
+                    try:
+                        with open(marker, "w") as f:
+                            f.write(repr(now))
+                    except OSError:
+                        pass
+                if now - marked_at < min_age_s:
+                    continue  # inside the retention window
+            except OSError:
+                continue  # dir raced away under a concurrent vacuum
+        shutil.rmtree(path, ignore_errors=True)
+        removed += 1
     return removed

@@ -186,8 +186,15 @@ async function select(n){
   n.highlight = true;
   const panel=document.getElementById("panel");
   panel.style.display="block";
-  panel.innerHTML="<b>"+n.id+"</b><pre>"+
-    JSON.stringify(n.props,null,1)+"</pre><i>expanding\\u2026</i>";
+  // build with createElement/textContent, never innerHTML: node ids and
+  // properties are LAKE DATA — markup in a text column must render inert,
+  // not execute in the viewer's browser (stored XSS)
+  panel.replaceChildren();
+  const b=document.createElement("b"); b.textContent=n.id;
+  const pre=document.createElement("pre");
+  pre.textContent=JSON.stringify(n.props,null,1);
+  const i=document.createElement("i"); i.textContent="expanding\\u2026";
+  panel.append(b, pre, i);
   try{  // click-to-expand via /neighbors when an edge lake is attached
     const nb = await jget("/neighbors/"+encodeURIComponent(n.id));
     const rows = nb.outgoing ? nb.outgoing.concat(nb.incoming||[]) : (nb.rows||[]);

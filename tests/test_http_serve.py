@@ -443,6 +443,55 @@ def test_edges_view_refresh(served):
     assert st == 200 and [r["source_id"] for r in out["rows"]] == [103]
 
 
+def test_server_never_creates_lakes(ray_session, tmp_path):
+    """A mistyped lake path is a loud error, not a silently-created empty
+    default-schema lake the server then serves zeros from."""
+    with pytest.raises(LookupError, match="MANIFEST"):
+        GraphServer(str(tmp_path / "nope"))
+    assert not (tmp_path / "nope").exists()
+
+
+def test_edges_path_created_after_server_start(ray_session, tmp_path):
+    """edges_path pointing at a NOT-YET-CREATED edge lake serves none —
+    and must not create a default transcript-schema manifest there, which
+    would poison the edge pipeline's later first ingest. Once the real
+    EdgeLake ingests, the same server serves it without a restart."""
+    import pyarrow as pa
+
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=2)
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "lsn": pa.array([1], pa.int64()),
+                "op": pa.array(["I"], pa.string()),
+                "conv_id": pa.array(["c0"], pa.string()),
+                "turn_idx": pa.array([0], pa.int32()),
+                "ts": pa.array([0], pa.timestamp("us")),
+            }
+        )
+    )
+    lake.apply_dataset(empty, epoch=0)
+    edges_dir = str(tmp_path / "edges")
+    with GraphServer(str(tmp_path / "lake"), edges_path=edges_dir) as srv:
+        code, out = _get_err(srv.url + "/relationships?type=KNOWS")
+        assert code == 404 and "no edge lake" in out["error"]
+        # crucially: nothing was created at the edges path
+        assert not (tmp_path / "edges").exists()
+        edges = EdgeLake(edges_dir, num_buckets=2, reverse_index=True)
+        edges.ingest(
+            rd.from_items(
+                [{"source_id": 1, "target_id": 2,
+                  "relation_type": "KNOWS", "direction": "outgoing"}]
+            ),
+            epoch=0,
+        )
+        st, out = _get(srv.url + "/relationships?type=KNOWS")
+        assert st == 200 and len(out["rows"]) == 1
+        # the edge lake's REAL schema survived: keyed by edge ids, not the
+        # transcript default
+        assert "source_id" in out["rows"][0]
+
+
 def test_viz_page_and_api_graph(served):
     """The reference's visualization surface (viz server on :3000,
     cmd/main.go:350-470): GET / serves the interactive page, GET

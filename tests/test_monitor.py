@@ -65,9 +65,10 @@ def test_collector_agrees_with_manifest(lake):
     )
     assert s.live_rows == live
     assert s.max_delta_files >= 1
-    # first collect sees the full history as "since last": both commits
-    assert s.commits_since_last == 2
-    assert s.events_since_last == m.data["counters"]["events_in"]
+    # the first collect is the rate BASELINE: deltas are 0 (no spurious
+    # whole-history spike on collector restart), lag still derived
+    assert s.commits_since_last == 0
+    assert s.events_since_last == 0
     # wall_ts stamping makes commit lag real (seconds, small in a test)
     assert s.commit_lag_s is not None and 0 <= s.commit_lag_s < 3600
 
@@ -80,6 +81,23 @@ def test_collector_rate_window_between_polls(lake):
     assert s2.commits_since_last == 0  # nothing new between the polls
     assert s2.events_since_last == 0
     assert s2.events_per_sec == 0.0
+
+
+def test_collector_sees_commit_between_polls(ray_session, tmp_path):
+    """A commit landing between two polls shows up as that poll's delta
+    (the baseline poll itself reports 0)."""
+    clog = materialize(
+        "monitor", ChangelogSpec(n_events=4000, n_convs=80, n_epochs=4, seed=11)
+    )
+    lk = LakeTable.open(str(tmp_path / "lake"), num_buckets=8)
+    lk.apply(clog, max_epochs=2)
+    coll = LakeStatsCollector(lk.path)
+    coll.collect()  # baseline
+    lk.apply(clog)  # epochs 3..4 land as one commit
+    s = coll.collect()
+    assert s.commits_since_last == 1
+    assert s.events_since_last > 0
+    assert s.events_per_sec > 0
 
 
 def test_collector_probe_latency(lake):
@@ -227,6 +245,32 @@ def test_replay_tool(lake, tmp_path):
     assert r.metrics.extra["counters"]["raw_events"] == 4000
     assert 0 < r.metrics.total_queries <= 4000
     assert r.metrics.queries_per_second > 0
+
+
+def test_replay_tool_honors_cancel_and_deadline(ray_session, tmp_path):
+    """ReplayTool checks the cancel event and the service deadline between
+    apply chunks — svc.cancel() and default_timeout_s must actually stop a
+    replay run, not no-op while it replays unbounded."""
+    import threading
+
+    clog = materialize(
+        "monitor", ChangelogSpec(n_events=4000, n_convs=80, n_epochs=4, seed=11)
+    )
+    tool = ReplayTool(clog, num_buckets=4)
+    ev = threading.Event()
+    ev.set()
+    with pytest.raises(InterruptedError):
+        tool.execute(
+            BenchmarkConfig(test_type="replay"),
+            cancel=ev,
+            deadline=time.time() + 60,
+        )
+    with pytest.raises(TimeoutError, match="deadline"):
+        tool.execute(
+            BenchmarkConfig(test_type="replay"),
+            cancel=threading.Event(),
+            deadline=time.time() - 1,
+        )
 
 
 def test_monitor_jsonl_cli_helper(lake):

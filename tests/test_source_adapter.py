@@ -496,3 +496,68 @@ def test_mysql_dsn_full_pull_loop(ray_session, tmp_path, monkeypatch):
     ).fetch_arrow_table()
     got = lake.final_table().select(want.column_names)
     assert got.equals(want.cast(got.schema))
+
+
+def test_conn_paramstyle_detection(monkeypatch):
+    """_conn_paramstyle keys on the CONNECTION's real module (a fake-driver
+    front door returning e.g. a duckdb connection must execute with
+    duckdb's style, not the wrapper's), defaulting to qmark."""
+    from sql_graph_visualizer_ray.sources.adapter import _conn_paramstyle
+
+    assert _conn_paramstyle(sqlite3.connect(":memory:")) == "qmark"
+    assert _conn_paramstyle(duckdb.connect()) == "qmark"
+
+    import sys
+    import types
+
+    mod = types.ModuleType("fakedrv")
+    mod.paramstyle = "format"
+    monkeypatch.setitem(sys.modules, "fakedrv", mod)
+
+    class Conn:
+        pass
+
+    Conn.__module__ = "fakedrv.connections"  # submodule, like pymysql
+    assert _conn_paramstyle(Conn()) == "format"
+
+
+@pytest.mark.parametrize("dialect", ["duckdb", "sqlite"])
+def test_parameterized_incremental_pull(ray_session, tmp_path, dialect):
+    """sql_to_epochs(params=) binds canonical ``?`` placeholders — the
+    incremental-pull idiom ``WHERE lsn > ?`` with the lake's applied
+    watermark: a watermark pull plus its complement equals the full pull."""
+    spec = ChangelogSpec(n_events=2_000, n_convs=60, n_epochs=2, seed=13)
+    src = materialize("unit-adapter-params", spec)
+    files = [p for _, p in epoch_files(src)]
+    ddb = duckdb.connect()
+    ddb.execute(
+        "CREATE TABLE changes AS SELECT lsn, op, conv_id, "
+        "CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts "
+        f"FROM read_parquet({files!r})"
+    )
+    if dialect == "sqlite":
+        rows = ddb.execute("SELECT * FROM changes ORDER BY lsn").fetchall()
+        con = sqlite3.connect(":memory:", detect_types=sqlite3.PARSE_DECLTYPES)
+        con.execute(
+            "CREATE TABLE changes(lsn INTEGER, op TEXT, conv_id TEXT, "
+            "turn_idx INTEGER, role TEXT, text TEXT, tool TEXT, ts TIMESTAMP)"
+        )
+        con.executemany("INSERT INTO changes VALUES (?,?,?,?,?,?,?,?)", rows)
+        con.commit()
+    else:
+        con = ddb
+    watermark = 1_000
+    q = (
+        "SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts "
+        "FROM changes WHERE lsn {} ? ORDER BY lsn"
+    )
+    low, high = str(tmp_path / "low"), str(tmp_path / "high")
+    sql_to_epochs(con, q.format("<="), low, rows_per_epoch=500,
+                  params=(watermark,))
+    sql_to_epochs(con, q.format(">"), high, rows_per_epoch=500,
+                  params=(watermark,))
+    n_low = duckdb.sql(f"SELECT count(*), max(lsn) FROM '{low}/*.parquet'")
+    n_high = duckdb.sql(f"SELECT count(*), min(lsn) FROM '{high}/*.parquet'")
+    (c_low, max_low), (c_high, min_high) = n_low.fetchone(), n_high.fetchone()
+    assert c_low + c_high == spec.n_events
+    assert max_low <= watermark < min_high

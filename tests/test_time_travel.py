@@ -50,21 +50,44 @@ def test_snapshots_survive_compaction_until_vacuum(clog, tmp_path):
 
 
 def test_vacuum_retention_window(clog, tmp_path):
-    """``vacuum(min_age_s=W)`` keeps de-referenced version dirs younger than
-    the window — the knob that makes compact+vacuum safe to run against a
-    live server whose pinned per-request reads finish within W."""
+    """``vacuum(min_age_s=W)`` reclaims a de-referenced version dir only
+    once W seconds have passed since a vacuum pass FIRST SAW it
+    de-referenced (marker file) — the knob that makes compact+vacuum safe
+    on a live server whose pinned per-request reads finish within W. The
+    clock must start at de-reference time, not publish time: dirs published
+    long before the compaction still get the full window."""
+    import time as _time
+
     lake = replay(clog, str(tmp_path / "lake"), num_buckets=8, epochs_per_commit=1)
     v_old = 2
     want_old = canonical(lake.final_table(version=v_old))
+    # age the version dirs' publish mtimes far past any window: retention
+    # keyed on publish time would (wrongly) reclaim them instantly
+    import os
+
+    for name in os.listdir(lake.path):
+        if name.startswith("v") and name[1:].isdigit():
+            os.utime(os.path.join(lake.path, name), (1.0, 1.0))
     lake.compact()
-    # everything was published seconds ago: a 1-hour window reclaims nothing
-    assert vacuum(lake.path, lake.manifest, min_age_s=3600.0) == 0
-    # the pre-compaction snapshot is still fully readable through the window
+    # first retention pass only starts the clocks (marker files)
+    assert vacuum(lake.path, lake.manifest, min_age_s=0.2) == 0
+    # inside the window: still kept, snapshot fully readable
+    assert vacuum(lake.path, lake.manifest, min_age_s=0.2) == 0
     assert canonical(lake.final_table(version=v_old)).equals(want_old)
-    # window elapsed (0 = reclaim everything): same dirs now go
-    assert vacuum(lake.path, lake.manifest) > 0
+    # window elapsed since the marking pass: reclaimed
+    _time.sleep(0.25)
+    assert vacuum(lake.path, lake.manifest, min_age_s=0.2) > 0
     with pytest.raises(KeyError, match="vacuum"):
         lake.snapshot(v_old)
+
+
+def test_vacuum_aggressive_ignores_markers(clog, tmp_path):
+    """min_age_s=0 (offline maintenance) reclaims immediately, marker or
+    not."""
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=8, epochs_per_commit=1)
+    lake.compact()
+    assert vacuum(lake.path, lake.manifest, min_age_s=3600.0) == 0  # marks only
+    assert vacuum(lake.path, lake.manifest) > 0
 
 
 def test_snapshot_is_readonly_and_split_safe(clog, tmp_path):
