@@ -131,16 +131,22 @@ def jaccard_char_pairs(
 
     import ray
 
-    sets_df = (
-        docs.map_batches(to_masks, batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    assert len(sets_df) < 2_000_000, (
-        "jaccard_char_pairs is the bounded exact-pairs demo; use the "
-        "MinHash/LSH path for corpora of this size"
-    )
+    sets_df = docs.map_batches(to_masks, batch_format="pandas").to_pandas()
+    if len(sets_df) == 0:
+        # empty subsample: the empty to_pandas() has no columns, and
+        # np.stack on zero masks would raise — short-circuit typed-empty
+        return rd.from_arrow(
+            pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        )
+    if len(sets_df) >= 2_000_000:  # a raise, not an assert: python -O
+        raise ValueError(
+            "jaccard_char_pairs is the bounded exact-pairs demo; use the "
+            "MinHash/LSH path for corpora of this size"
+        )
+    sets_df = sets_df.sort_values("doc_id").reset_index(drop=True)
     mat = np.unpackbits(np.stack(sets_df["mask"].to_numpy()), axis=1).astype(bool)
     ref = ray.put((sets_df["doc_id"].to_numpy(), mat))
 
@@ -671,6 +677,30 @@ def minhash_lsh_pairs(
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     p_pair = max(64, 4 * cpus)  # pair-exchange groups
+
+    # the distributed miners emit one copy of a pair PER MATCHING BAND (up
+    # to bands-fold duplicates); dedup the 16-byte id-pairs BEFORE the
+    # regime gate so (a) n_pairs really is the deduped count the gate
+    # documents (an inflated count could misroute a broadcastable corpus
+    # onto the expensive shuffle-join path) and (b) the join/verify stages
+    # downstream never pay for duplicate pairs. Local drop_duplicates per
+    # batch first (kills same-partition copies for free), then one coarse
+    # hash-partition exchange of the survivors.
+    def _local_dd(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(["doc_a", "doc_b"])
+        h = pd.util.hash_pandas_object(
+            b[["doc_a", "doc_b"]], index=False
+        ).to_numpy()
+        return b.assign(_pp=(h % p_pair).astype("int64"))
+
+    def _group_dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    candidates = (
+        candidates.map_batches(arrow_out(_local_dd), batch_format="pandas")
+        .groupby("_pp")
+        .map_groups(arrow_out(_group_dd), batch_format="pandas")
+    )
     candidates = candidates.materialize()  # ids only — tiny relative to corpus
     n_pairs = candidates.count()
 
@@ -770,24 +800,31 @@ def minhash_lsh_pairs(
 
         sh_ref = _ray.put(sh)
 
-        def verify_broadcast(t: pa.Table) -> pa.Table:
+        def make_verifier():
+            # taskify: the shingle dict is fetched + deserialized from
+            # plasma ONCE per worker process, not once per batch
             shd = _ray.get(sh_ref)
-            a = t.column("doc_a").to_numpy()
-            b = t.column("doc_b").to_numpy()
-            keep = _pair_jaccard_keep(
-                [shd.get(int(x), e) for x in a],
-                [shd.get(int(x), e) for x in b],
-                jaccard_threshold,
-            )
-            return pa.table(
-                {
-                    "doc_a": pa.array(a[keep], pa.int64()),
-                    "doc_b": pa.array(b[keep], pa.int64()),
-                }
-            )
 
+            def verify_broadcast(t: pa.Table) -> pa.Table:
+                a = t.column("doc_a").to_numpy()
+                b = t.column("doc_b").to_numpy()
+                keep = _pair_jaccard_keep(
+                    [shd.get(int(x), e) for x in a],
+                    [shd.get(int(x), e) for x in b],
+                    jaccard_threshold,
+                )
+                return pa.table(
+                    {
+                        "doc_a": pa.array(a[keep], pa.int64()),
+                        "doc_b": pa.array(b[keep], pa.int64()),
+                    }
+                )
+
+            return verify_broadcast
+
+        make_verifier.__name__ = "verify_broadcast"
         pairs_ds = rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
-        return pairs_ds.map_batches(verify_broadcast, batch_format="pyarrow")
+        return pairs_ds.map_batches(taskify(make_verifier), batch_format="pyarrow")
 
     # --- shuffle-join path: candidate set too large to broadcast ---
     num_partitions = int(np.clip(corpus_bytes // (64 << 20), 2, 4 * cpus))
@@ -956,7 +993,9 @@ class SimHasher:
 
 def simhash_buckets(sf_dir: str, *, band_bits: int = 16) -> rd.Dataset:
     """Docs sharing any 16-bit simhash band -> near-dup buckets:
-    (band, band_value, doc_id) rows for buckets with >= 2 docs."""
+    (band, band_value, n_docs) COUNT rows for buckets with >= 2 docs
+    (bucket membership stays distributed; use the bucket key to fetch
+    members when needed)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = docs.map_batches(taskify(SimHasher), batch_format="pandas")
 
@@ -1079,6 +1118,7 @@ def connected_components(
         ).astype({"node": "int64", "cand": "int64"})
 
     prev = int(labels.sum("label"))
+    converged = False
     for _ in range(max_iters):
 
         def label_rows(t: pa.Table) -> pa.Table:
@@ -1103,8 +1143,17 @@ def connected_components(
         )
         cur = int(labels.sum("label"))
         if cur == prev:  # labels only decrease; equal sum == fixpoint
+            converged = True
             break
         prev = cur
+    if not converged:
+        # returning the unconverged labels would silently split one
+        # component into several — wrong answers beat no answers never
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters under min-label "
+            "propagation) — rerun with a larger max_iters"
+        )
 
     return labels.map_batches(
         lambda t: pa.table(

@@ -513,7 +513,12 @@ def user_activity_summary(sf_dir: str, *, min_events: int = 5) -> rd.Dataset:
     merge is a reduction, no single task ever holds one user's raw rows)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(value_cents=np.round(b["value"] * 100).astype("int64"))
+        # half-AWAY-FROM-ZERO to match SQL round() — np.round is banker's
+        # (half-to-even): value=0.125 -> 12.5 cents must round to 13, not 12
+        v = b["value"].to_numpy() * 100.0
+        b = b.assign(
+            value_cents=(np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+        )
         # dropna=False: SQL GROUP BY keeps a NULL group (same reason as the
         # tumbling-window combiner)
         return b.groupby(
@@ -613,8 +618,6 @@ def asof_purchase_attribution(
     (pigeonhole-bounded) and substituted into the chunk's locally-unmatched
     purchases. Exact: a click in the same chunk always beats any earlier
     chunk's click (chunks are disjoint ascending ts ranges)."""
-    from .relational import read_table
-
     ev = read_table(
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
     ).filter(expr="event_type == 'purchase' or event_type == 'click'")
@@ -743,8 +746,6 @@ def range_join_click_errors(
     lives — each error is in exactly one chunk, so the output is
     duplicate-free with NO seam merge at all.
     """
-    from .relational import read_table
-
     win_us = np.int64(window_minutes * 60 * 1_000_000)
     ev = read_table(
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
@@ -842,8 +843,6 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     per-type partial counts (<= #types rows); the final groupby sums
     partials. No task ever holds more than ~|distinct pairs| / NUM_PARTS
     rows regardless of type skew."""
-    from .relational import read_table
-
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
 
     def batch_distinct(b: pd.DataFrame) -> pd.DataFrame:
@@ -856,11 +855,17 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     def part_counts(g: pd.DataFrame) -> pd.DataFrame:
         out = (
             g.drop_duplicates(["event_type", "user_id"])
-            .groupby("event_type", sort=False, as_index=False)
+            # dropna=False: SQL GROUP BY keeps the NULL group — same reason
+            # as tumbling_window_counts / user_activity_summary
+            .groupby("event_type", sort=False, as_index=False, dropna=False)
             .size()
             .rename(columns={"size": "partial_n"})
         )
         out["partial_n"] = out["partial_n"].astype("int64")
+        # pin the key dtype: a partition whose only group is the NULL one
+        # would otherwise emit event_type as float64 NaN and break Arrow
+        # block schema unification (double vs string)
+        out["event_type"] = out["event_type"].astype("string")
         return out
 
     partials = (

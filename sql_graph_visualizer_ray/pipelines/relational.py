@@ -266,8 +266,6 @@ def sized_partitions(
     from plan metadata only (``_plan_size_estimate`` — never executes the
     inputs); falls back to CPU count when unknown (same sizing rule as the
     cdc hash exchange and the dedup text join)."""
-    import numpy as np
-
     cpus = int(ray.cluster_resources().get("CPU", 8))
     sizes = [_plan_size_estimate(d) for d in datasets]
     if any(s is None for s in sizes):

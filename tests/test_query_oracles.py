@@ -522,3 +522,105 @@ def test_minhash_hot_bucket_chunked(ray_session, tmp_path):
         assert run(bucket_cap=32) == base
     finally:
         dd._DRIVER_BAND_CAP = saved
+
+
+def test_jaccard_char_pairs_empty_subsample(ray_session, tmp_path):
+    """A modulus matching no doc_id returns an empty typed pair set instead
+    of crashing on np.stack of zero masks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_graph_visualizer_ray.pipelines import dedup
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(["aa", "bb", "cc"], pa.string())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = dedup.jaccard_char_pairs(str(tmp_path), modulus=5)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_a", "doc_b"}
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    """Unconverged labels would silently split one component in two — the
+    loop must raise when a component's diameter exceeds max_iters, and the
+    same graph must solve with enough rounds."""
+    import pyarrow as pa
+
+    import pytest
+    import ray.data as rd
+
+    from sql_graph_visualizer_ray.pipelines.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(12)]  # a diameter-12 chain
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iters=2)
+    got = connected_components(pairs, max_iters=25).to_pandas()
+    assert (got["component_id"] == 0).all() and len(got) == 13
+
+
+def test_events_null_group_and_sql_rounding(ray_session, tmp_path):
+    """Two latent oracle divergences pinned on a synthetic events table the
+    sf fixtures don't cover: a NULL event_type must survive GROUP BY
+    (SQL keeps the NULL group), and value_cents must round half AWAY FROM
+    ZERO (SQL round()), not banker's (np.round)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_graph_visualizer_ray.pipelines.events import (
+        distinct_users_per_type,
+        user_activity_summary,
+    )
+
+    n = 10
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(
+                ["click", None, "click", None, "view"] * 2, pa.string()
+            ),
+            "ts": pa.array(list(range(n)), pa.timestamp("us")),
+            # 0.125 is exactly representable: *100 = 12.5 cents — banker's
+            # rounds to 12, SQL round() says 13
+            "value": pa.array([0.125] * n, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+
+    got = (
+        distinct_users_per_type(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type", na_position="first", ignore_index=True)
+    )
+    want = con.sql(
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"
+    ).df()
+    assert len(got) == 3  # click, view, NULL — the NULL group survives
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    assert got["event_type"].fillna("~").tolist() == want[
+        "event_type"
+    ].fillna("~").tolist()
+
+    got2 = user_activity_summary(str(tmp_path), min_events=5).to_pandas()
+    want2 = con.sql(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents "
+        "FROM events GROUP BY user_id HAVING COUNT(*) >= 5"
+    ).df()
+    assert got2["value_cents"].tolist() == want2["value_cents"].tolist() == [130]
