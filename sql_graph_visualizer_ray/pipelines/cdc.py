@@ -1777,9 +1777,10 @@ class LakeTable:
 
     def data_commits_after(self, after: int):
         """Ascending data-commit versions strictly newer than ``after`` —
-        the servable (delta) feed positions. Shared shape with
-        ``feed.ChangeFeedCursor._data_commits`` but cursorless, for
-        stateless consumers (the HTTP ``/updates`` long-poll)."""
+        the servable (delta) feed positions. The SINGLE source of truth for
+        which commits carry data: ``feed.ChangeFeedCursor`` delegates here,
+        and the HTTP ``/updates`` long-poll calls it directly — a new
+        metadata-only commit marker added to this filter covers both."""
         for h in self.manifest.history_after(self.path, int(after)):
             if (
                 not h.get("compaction")

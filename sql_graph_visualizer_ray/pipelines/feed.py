@@ -52,19 +52,13 @@ class ChangeFeedCursor:
 
     # -- consuming -----------------------------------------------------
     def _data_commits(self, lake: LakeTable):
-        # history_after yields oldest-first (segments in version-range order,
-        # then the in-manifest tail in append order) and versions strictly
-        # increase per commit, so the stream is already ascending — poll can
-        # stop at the FIRST qualifying entry without materializing the rest.
-        # That keeps drain() of an N-commit backlog O(N) history entries
-        # total, not O(N^2).
-        for h in lake.manifest.history_after(lake.path, self.acked):
-            if (
-                not h.get("compaction")
-                and "split_buckets" not in h
-                and "stats_backfill" not in h  # metadata-only: zero rows
-            ):
-                yield int(h["version"])
+        # one source of truth for "which commits carry servable data":
+        # LakeTable.data_commits_after — adding a new metadata-only commit
+        # marker there keeps the cursor and the HTTP /updates long-poll in
+        # agreement. It yields ascending, so poll can stop at the FIRST
+        # qualifying entry: drain() of an N-commit backlog stays O(N)
+        # history entries total, not O(N^2).
+        yield from lake.data_commits_after(self.acked)
 
     def lag(self, lake: LakeTable) -> int:
         """Unconsumed data commits between the cursor and the lake head."""

@@ -1148,10 +1148,11 @@ def dedup_embed_cosine(sf_dir: str, *, modulus: int = 5, threshold: float = 0.35
         batch_format="pyarrow",
     )
     df = sub.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    assert len(df) < 1_000_000, (
-        "dedup_embed_cosine is the bounded exact-pairs demo; use the "
-        "LSH/IVF similarity path for corpora of this size"
-    )
+    if len(df) >= 1_000_000:  # a raise: asserts vanish under python -O
+        raise ValueError(
+            "dedup_embed_cosine is the bounded exact-pairs demo; use the "
+            "LSH/IVF similarity path for corpora of this size"
+        )
     mat = np.stack(df["embedding"].to_numpy())
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = _ray.put((df["vec_id"].to_numpy(), mat))
@@ -1493,7 +1494,8 @@ def text_top_terms(sf_dir: str, *, k: int = 3) -> rd.Dataset:
         .aggregate(Sum("partial_df", alias_name="df"))
         .to_pandas()
     )
-    assert len(df_tbl) < 5_000_000, "vocabulary too large for broadcast df"
+    if len(df_tbl) >= 5_000_000:  # a raise: asserts vanish under python -O
+        raise ValueError("vocabulary too large for broadcast df")
     ref = _ray.put(df_tbl.set_index("term")["df"])
 
     class Score:
@@ -1609,18 +1611,16 @@ def edge_degree_view(sf_dir: str) -> rd.Dataset:
 SEARCH_TERM = "00012"
 
 
-def nodes_search_term(sf_dir: str) -> pa.Table:
-    """The reference's ``searchNodes(searchTerm)`` end-to-end
-    (``/root/reference/internal/interfaces/graphql/schema.resolvers.go``
-    ``searchNodes`` → ``neo4j/repository.go`` ``SearchNodes``): customer
-    nodes persisted through a keyed node lake (same manifest/commit
-    protocol as the transcripts lake, native ``(node_id, slot)`` key), then
-    one substring term OR-matched across the string properties on the
-    no-Ray serving path (``LakeTable.search_any``)."""
+def _customer_node_lake(sf_dir: str, name: str):
+    """Build (fresh) the keyed customer NODE LAKE both serving-path queries
+    search — one definition so the event shape (lsn convention, key
+    columns, property set) can never desynchronize between the two lakes
+    the driver gate checks. Same manifest/commit protocol as the
+    transcripts lake, native ``(node_id, slot)`` key."""
     from .cdc import LakeTable
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    lake_dir = os.path.join(LAKE_ROOT, label, "node_lake")
+    lake_dir = os.path.join(LAKE_ROOT, label, name)
     shutil.rmtree(lake_dir, ignore_errors=True)
     payload = pa.schema(
         [
@@ -1659,6 +1659,17 @@ def nodes_search_term(sf_dir: str) -> pa.Table:
         sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
     ).map_batches(to_events, batch_format="pyarrow")
     lake.apply_dataset(nodes, epoch=0)
+    return lake
+
+
+def nodes_search_term(sf_dir: str) -> pa.Table:
+    """The reference's ``searchNodes(searchTerm)`` end-to-end
+    (``/root/reference/internal/interfaces/graphql/schema.resolvers.go``
+    ``searchNodes`` → ``neo4j/repository.go`` ``SearchNodes``): customer
+    nodes persisted through a keyed node lake, then one substring term
+    OR-matched across the string properties on the no-Ray serving path
+    (``LakeTable.search_any``)."""
+    lake = _customer_node_lake(sf_dir, "node_lake")
     return lake.search_any(
         SEARCH_TERM, columns=["node_id", "name", "segment"]
     )
@@ -1670,46 +1681,7 @@ def nodes_search_where(sf_dir: str) -> pa.Table:
     segment equality AND a name substring, the multi-predicate shape of the
     reference's filtered node queries (``neo4j/repository.go:239-299``
     typed fetch + property filter)."""
-    from .cdc import LakeTable
-
-    label = os.path.basename(os.path.normpath(sf_dir))
-    lake_dir = os.path.join(LAKE_ROOT, label, "node_lake_w")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    payload = pa.schema(
-        [
-            ("node_id", pa.int64()),
-            ("slot", pa.int32()),
-            ("name", pa.string()),
-            ("segment", pa.string()),
-            ("ts", pa.timestamp("us")),
-        ]
-    )
-    lake = LakeTable.open(
-        lake_dir,
-        num_buckets=8,
-        payload_schema=payload,
-        key_columns=("node_id", "slot"),
-    )
-
-    def to_events(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        ids = t.column("c_custkey").cast(pa.int64())
-        return pa.table(
-            {
-                "lsn": ids,
-                "op": pa.array(["I"] * n, pa.string()),
-                "node_id": ids,
-                "slot": pa.array(np.zeros(n, dtype=np.int32)),
-                "name": t.column("c_name"),
-                "segment": t.column("c_mktsegment"),
-                "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
-            }
-        )
-
-    nodes = read_table(
-        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
-    ).map_batches(to_events, batch_format="pyarrow")
-    lake.apply_dataset(nodes, epoch=0)
+    lake = _customer_node_lake(sf_dir, "node_lake_w")
     return lake.search_where(
         [("segment", "==", "BUILDING"), ("name", "contains", "12")],
         columns=["node_id", "name", "segment"],

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -30,6 +31,41 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+def _sig_to_bucket(sig: np.ndarray) -> np.ndarray:
+    """(n, n_planes) 0/1 signature matrix -> int64 bucket ids.
+
+    NOT ``np.packbits(...)[:, 0]``: packbits emits one byte per 8 bits, and
+    keeping byte 0 silently truncates to the first 8 hyperplanes — any
+    ``n_planes > 8`` (the knob for shrinking hot buckets) would be a no-op.
+    A weighted fold keeps every plane; bit i keeps weight 2^i, so buckets
+    for n_planes <= 8 are identical to the old little-endian packbits."""
+    weights = 1 << np.arange(sig.shape[1], dtype=np.int64)
+    return sig.astype(np.int64) @ weights
+
+
+def _check_planes(n_planes: int) -> None:
+    if not 1 <= n_planes <= 62:  # int64 bucket ids stay positive
+        raise ValueError(f"n_planes must be in 1..62, got {n_planes}")
+
+
+def _embedding_dim(emb: rd.Dataset) -> int | None:
+    """Dimension of the embedding column, or None for an empty table."""
+    rows = emb.take(1)
+    return len(rows[0]["embedding"]) if rows else None
+
+
+def _empty_ranked() -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
 def cosine_topk(
     sf_dir: str, *, n_queries: int = 5, k: int = 10, exclude_self: bool = True
 ) -> rd.Dataset:
@@ -43,11 +79,10 @@ def cosine_topk(
     of ``num_batches * k`` candidates: the full corpus never materializes.
     """
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = (
-        emb.filter(expr=f"vec_id < {n_queries}")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    if qdf.empty:  # empty table / no query ids: the empty to_pandas() has
+        return _empty_ranked()  # no columns and _stack([]) would raise
+    qdf = qdf.sort_values("vec_id")
     q = _norm_rows(_stack(qdf["embedding"]))
     q_ids = qdf["vec_id"].to_numpy()
     ref = ray.put((q_ids, q))
@@ -68,8 +103,17 @@ def cosine_topk(
         if exclude_self:
             cos[q_ids[:, None] == ids[None, :]] = -np.inf
         kk = min(k, cos.shape[1])
-        # per-query partial top-k within this batch
-        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        # per-query partial top-k within this batch, selected by the SAME
+        # total order as the final merge (cosine desc, neighbor_id asc) —
+        # an argpartition on cosine alone breaks ties arbitrarily and can
+        # drop the smaller-id neighbor the oracle keeps at the kth place.
+        # Selection under one total order is associative, so partial-then-
+        # final is exactly global top-k. Q is small (n_queries), B is one
+        # batch: the per-query lexsort is O(Q * B log B) — noise next to
+        # the matmul above.
+        part = np.empty((len(q_ids), kk), dtype=np.int64)
+        for qi in range(len(q_ids)):
+            part[qi] = np.lexsort((ids, -cos[qi]))[:kk]
         rows = np.repeat(q_ids, kk)
         cols = part.ravel()
         return pd.DataFrame(
@@ -105,15 +149,20 @@ def lsh_ann_topk(
     """Approximate top-k: random-hyperplane signatures bucket the corpus; each
     query scores only its own bucket (plus Hamming-1 neighbors would raise
     recall — documented tradeoff). Output (query_id, neighbor_id, rank)."""
+    _check_planes(n_planes)
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = emb.take(1)[0]
-    dim = len(first["embedding"])
+    dim = _embedding_dim(emb)
+    if dim is None:
+        return _empty_ranked()
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    if qdf.empty:
+        return _empty_ranked()
+    qdf = qdf.sort_values("vec_id")
     qm = _norm_rows(_stack(qdf["embedding"]))
     q_sig = (qm @ planes.T > 0).astype(np.uint8)
-    q_bucket = np.packbits(q_sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+    q_bucket = _sig_to_bucket(q_sig)
     ref = ray.put((qdf["vec_id"].to_numpy(), qm, q_bucket, planes))
 
     class BucketScore:
@@ -124,7 +173,7 @@ def lsh_ann_topk(
             ids = batch["vec_id"].to_numpy()
             m = _norm_rows(_stack(batch["embedding"]))
             sig = (m @ self.planes.T > 0).astype(np.uint8)
-            bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+            bucket = _sig_to_bucket(sig)
             out = []
             for qi, (qid, qv, qb) in enumerate(
                 zip(self.q_ids, self.q, self.q_bucket)
@@ -194,9 +243,11 @@ def lsh_near_dup_pairs(
     exactly one chunk-pair task), so semantics are unchanged from the
     unchunked form.
     """
+    _check_planes(n_planes)
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = emb.take(1)[0]
-    dim = len(first["embedding"])
+    dim = _embedding_dim(emb)
+    if dim is None:  # empty table: the pass-1 histogram guard below would
+        dim = 1  # never run (take(1) used to crash first); any dim works
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     ref = ray.put(planes)
@@ -208,9 +259,7 @@ def lsh_near_dup_pairs(
         def _buckets(self, batch: pd.DataFrame) -> np.ndarray:
             m = _norm_rows(_stack(batch["embedding"]))
             sig = (m @ self.planes.T > 0).astype(np.uint8)
-            return np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(
-                np.int64
-            )
+            return _sig_to_bucket(sig)
 
     class BucketOnly(Bucketize):
         """Pass 1: bucket histogram — no embeddings leave the read task."""
@@ -321,7 +370,17 @@ def nearest_centroid(sf_dir: str, *, n_centroids: int = 8, seed: int = 7) -> rd.
     vec_id 0..n-1). Output (vec_id, centroid_id) — the partition map an IVF
     index would use."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cdf = emb.filter(expr=f"vec_id < {n_centroids}").to_pandas().sort_values("vec_id")
+    cdf = emb.filter(expr=f"vec_id < {n_centroids}").to_pandas()
+    if cdf.empty:  # no centroid ids present: _stack([]) would raise
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "centroid_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    cdf = cdf.sort_values("vec_id")
     cm = _norm_rows(_stack(cdf["embedding"]))
     ref = ray.put((cdf["vec_id"].to_numpy(), cm))
 

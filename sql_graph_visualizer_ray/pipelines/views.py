@@ -169,7 +169,13 @@ class BucketAggView:
         grace = publish_grace_s()
         referenced = {b["out"] for b in self.state["buckets"].values()}
         for fn in os.listdir(self.dir):
-            if fn.endswith(".parquet") and fn not in referenced:
+            # ".parquet.tmp" are write-then-rename temps a crashed refresh
+            # task left behind — never referenced, collect them too (same
+            # age gate: a young .tmp may be a concurrent peer's in-flight
+            # write about to be renamed)
+            if (
+                fn.endswith(".parquet") or fn.endswith(".parquet.tmp")
+            ) and fn not in referenced:
                 p = os.path.join(self.dir, fn)
                 try:
                     if now - os.path.getmtime(p) > grace:

@@ -246,3 +246,37 @@ def test_empty_view_read_is_schema_typed(ray_session, tmp_path):
     # so the schema is the surface a typed consumer actually binds to)
     assert ds.schema().names == ["conv_id", "n_turns"]
     assert ds.count() == 0
+
+
+def test_view_gc_collects_crashed_refresh_temps(ray_session, clog, tmp_path):
+    """A '.parquet.tmp' orphan left by a refresh task killed between write
+    and rename must be collected by a later refresh's GC (age-gated), not
+    accumulate forever."""
+    import os
+    import time
+
+    lake = replay(clog, str(tmp_path / "lake"), num_buckets=4)
+    view = BucketAggView(lake, "tpc", _make_turns_per_conv())
+    view.refresh()
+    orphan = os.path.join(view.dir, "bucket=00001.g9.parquet.tmp")
+    with open(orphan, "wb") as f:
+        f.write(b"partial write")
+    past = time.time() - 7 * 24 * 3600
+    os.utime(orphan, (past, past))
+    # force work so refresh reaches the GC sweep even with nothing new
+    lake.apply_dataset(
+        __import__("ray").data.from_arrow(
+            pa.table(
+                {
+                    "lsn": pa.array([10**9], pa.int64()),
+                    "op": pa.array(["I"], pa.string()),
+                    "conv_id": pa.array(["zzz"], pa.string()),
+                    "turn_idx": pa.array([0], pa.int32()),
+                    "ts": pa.array([0], pa.timestamp("us")),
+                }
+            )
+        ),
+        epoch=10**6,
+    )
+    view.refresh()
+    assert not os.path.exists(orphan)
