@@ -279,7 +279,7 @@ def _footer_stats(path: str) -> dict[str, list]:
     column that is all-null in every row group records ``[None, None]``
     (the all-null marker), exactly like the write-time path."""
     md = pq.read_metadata(path)
-    fschema = pq.read_schema(path)
+    fschema = md.schema.to_arrow_schema()  # same footer, no second read
     out: dict[str, list] = {}
     if md.num_row_groups == 0:
         return out
@@ -712,9 +712,13 @@ class LakeTable:
         file_schemas = {}
         raw_events = 0
         for _, p in files:
+            # one footer read per file: row count AND schema come from the
+            # same metadata object (this prologue is serial driver work —
+            # with thousands of epoch files, 2N footer reads were half IO
+            # for nothing)
             md = pq.read_metadata(p)
             raw_events += md.num_rows
-            file_schemas[p] = pq.read_schema(p)
+            file_schemas[p] = md.schema.to_arrow_schema()
         ren_in = dict(zip(m.key_columns, CANONICAL_KEYS))
         incoming_payload = [
             pa.schema(
@@ -2247,16 +2251,19 @@ class LakeTable:
                     b: fs for b, fs in by_bucket.items() if need.get(b)
                 }
                 break
-        fstats = m.file_stats(self.path)
-        paths = [
-            p
-            for bk in sorted(by_bucket)
-            for p in by_bucket[bk]
-            if not any(
-                _stats_reject(fstats.get(p, {}).get(ph), op, enc)
-                for _, ph, op, _, enc in compiled
-            )
-        ]
+        # stats fetched per VISITED bucket (bucket_stats): after the
+        # equality routing above this is O(one bucket), not an O(lake-files)
+        # dict build on the serving path; unrouted searches visit every
+        # bucket and pay the same total as the full-lake dict would
+        paths = []
+        for bk in sorted(by_bucket):
+            fstats = m.bucket_stats(self.path, bk)
+            for p in by_bucket[bk]:
+                if not any(
+                    _stats_reject(fstats.get(p, {}).get(ph), op, enc)
+                    for _, ph, op, _, enc in compiled
+                ):
+                    paths.append(p)
 
         def _pred_expr(ph, op, value):
             if op == "contains":

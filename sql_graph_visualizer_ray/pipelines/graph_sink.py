@@ -39,27 +39,45 @@ EDGE_COLUMNS = ["source_id", "target_id", "relation_type", "direction"]
 def _edge_events(
     t: pa.Table, epoch: int, *, use_row_ts: bool = False
 ) -> pa.Table:
-    """Edge rows -> change events. ``lsn`` is a stable hash of the edge key
-    (a retried/duplicated ingest collapses in the LWW merge). ``ts`` is the
-    ingest epoch — the documented "a later epoch's version wins" ordering —
-    and a ``ts`` column on the input is deliberately IGNORED unless
-    ``use_row_ts=True`` (the sync/rebuild path, which must preserve each
-    stored version's original timestamp): silently honoring caller ts on
-    the ingest path would let a stale source timestamp beat a later
-    epoch's correction."""
+    """Edge rows -> change events. ``lsn`` is a stable hash of the edge
+    CONTENT (key + op + relation_type + direction): a retried/duplicated
+    ingest collapses in the LWW merge, and — crucially — two CONFLICTING
+    events for the same edge within ONE epoch (e.g. an 'I' and a 'D')
+    resolve to a DETERMINISTIC winner. A Dataset carries no row order, so
+    "later in the input" is undefined within an epoch; hashing only the
+    key would leave the (ts, lsn) sort key identical for both rows and the
+    stable-sort winner would be post-shuffle row order — nondeterministic,
+    and the forward and reverse lakes (independent shuffles) could pick
+    DIFFERENT winners, silently diverging at the same applied_epoch.
+    Callers that need real ordering between conflicting events put them in
+    separate epochs (or use ``use_row_ts``). ``ts`` is the ingest epoch —
+    the documented "a later epoch's version wins" ordering — and a ``ts``
+    column on the input is deliberately IGNORED unless ``use_row_ts=True``
+    (the sync/rebuild path, which must preserve each stored version's
+    original timestamp): silently honoring caller ts on the ingest path
+    would let a stale source timestamp beat a later epoch's correction."""
     n = t.num_rows
     src = pc.cast(t.column("source_id"), pa.int64())
     tgt = pc.cast(t.column("target_id"), pa.int64())
-    h = (
-        pd.util.hash_array(src.to_numpy(zero_copy_only=False))
-        * np.uint64(0x9E3779B97F4A7C15)
-        ^ pd.util.hash_array(tgt.to_numpy(zero_copy_only=False))
-    ).view(np.int64) & 0x7FFFFFFFFFFFFFFF  # non-negative int64 lsn
     op = (
         t.column("op")
         if "op" in t.column_names
         else pa.array(["I"] * n, pa.string())
     )
+    h = (
+        pd.util.hash_array(src.to_numpy(zero_copy_only=False))
+        * np.uint64(0x9E3779B97F4A7C15)
+        ^ pd.util.hash_array(tgt.to_numpy(zero_copy_only=False))
+    )
+    for col in (
+        op,
+        t.column("relation_type"),
+        t.column("direction"),
+    ):
+        h = (h * np.uint64(0x100000001B3)) ^ pd.util.hash_array(
+            np.asarray(col.to_pylist(), dtype=object)
+        )
+    h = h.view(np.int64) & 0x7FFFFFFFFFFFFFFF  # non-negative int64 lsn
     ts = (
         t.column("ts").cast(pa.timestamp("us"))
         if use_row_ts and "ts" in t.column_names
@@ -75,6 +93,23 @@ def _edge_events(
             "direction": t.column("direction"),
             "ts": ts,
         }
+    )
+
+
+def _dedupe_sorted_edges(t: pa.Table) -> pa.Table:
+    """Canonical serving-path edge set: one row per (source_id, target_id),
+    sorted ascending — shared by ``neighbors`` and ``expand`` so the
+    dedup/sort contract lives in one place."""
+    if t.num_rows:
+        df = t.to_pandas().drop_duplicates(["source_id", "target_id"])
+        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+    if t.num_rows == 0:
+        return t
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("source_id", "ascending"), ("target_id", "ascending")],
+        )
     )
 
 
@@ -171,6 +206,12 @@ class EdgeLake:
                     f"forward at {fwd0}, ingesting {ep}) — re-ingest epoch "
                     f"{fwd0} or run sync_reverse()"
                 )
+        if ep <= self.lake.manifest.applied_epoch and not heal:
+            # the epoch fence would no-op inside apply_dataset anyway, but
+            # only AFTER the events pipeline ran; short-circuit here so an
+            # idempotent re-ingest (the documented crash-recovery re-run)
+            # skips the full source scan + hashing it would throw away
+            return {"epochs": 0}
         events = edges.map_batches(
             lambda t: _edge_events(t, ep), batch_format="pyarrow"
         )
@@ -300,19 +341,8 @@ class EdgeLake:
                         max_result_keys=max_result_keys,
                     )
                 )
-        t = pa.concat_tables(parts)
-        if len(parts) == 2 and t.num_rows:
-            # a self-loop matches both orientations — keep one copy
-            df = t.to_pandas().drop_duplicates(["source_id", "target_id"])
-            t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
-        if t.num_rows == 0:
-            return t
-        return t.take(
-            pc.sort_indices(
-                t,
-                sort_keys=[("source_id", "ascending"), ("target_id", "ascending")],
-            )
-        )
+        # a self-loop matches both orientations — _dedupe keeps one copy
+        return _dedupe_sorted_edges(pa.concat_tables(parts))
 
     def expand(
         self,
@@ -378,15 +408,7 @@ class EdgeLake:
             return pa.schema(
                 [EDGE_PAYLOAD_SCHEMA.field(c) for c in EDGE_COLUMNS]
             ).empty_table()
-        t = pa.concat_tables(parts)
-        df = t.to_pandas().drop_duplicates(["source_id", "target_id"])
-        t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
-        return t.take(
-            pc.sort_indices(
-                t,
-                sort_keys=[("source_id", "ascending"), ("target_id", "ascending")],
-            )
-        )
+        return _dedupe_sorted_edges(pa.concat_tables(parts))
 
     def degree_view(self, direction: str = "out"):
         """Incremental degree-per-node materialized view over the edge lake

@@ -208,12 +208,21 @@ def materialize(name: str, spec: ChangelogSpec) -> str:
 
 
 def epoch_files(changelog_dir: str) -> list[tuple[int, str]]:
-    """Sorted (epoch, path) pairs for a materialized changelog."""
+    """(epoch, path) pairs for a materialized changelog, sorted by EPOCH
+    NUMBER — not filename: past the %05d padding (epoch 100000, ~28 h of a
+    1-epoch/s tail) lexicographic order breaks, and the consumers
+    (``_apply_inner``'s max_epochs slice + watermark, ``EpochWriter``
+    resume numbering) all assume epoch order."""
     out = []
-    for f in sorted(os.listdir(changelog_dir)):
+    for f in os.listdir(changelog_dir):
         if f.startswith("epoch_") and f.endswith(".parquet"):
-            out.append((int(f[len("epoch_") : -len(".parquet")]), os.path.join(changelog_dir, f)))
-    return out
+            out.append(
+                (
+                    int(f[len("epoch_") : -len(".parquet")]),
+                    os.path.join(changelog_dir, f),
+                )
+            )
+    return sorted(out)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +233,13 @@ _SF_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000, "sf1": 2
 
 
 def spec_for(sf_label: str, variant: str = "basic") -> ChangelogSpec:
-    n = _SF_EVENTS.get(sf_label, 20_000)
+    if sf_label not in _SF_EVENTS:
+        # a typo'd label must not silently benchmark 1/1000th of the
+        # intended scale (the variant branch below raises the same way)
+        raise ValueError(
+            f"unknown sf label {sf_label!r}; known: {sorted(_SF_EVENTS)}"
+        )
+    n = _SF_EVENTS[sf_label]
     if variant == "scale":
         # larger replay used only by `bench.py --scaling`: enough events that
         # fixed overheads amortize, enough epoch files (~125k events each)

@@ -231,16 +231,27 @@ class Manifest:
 
     def history_after(self, lake_dir: str, min_version: int):
         """All history entries with version > min_version, oldest first
-        (rolled segments, then the in-manifest tail)."""
+        (rolled segments, then the in-manifest tail), STRICTLY ascending.
+
+        The ascending guard is load-bearing dedup: a crash between a
+        history roll (segment os.replace'd) and the manifest publish
+        leaves the rolled entries both in the orphan segment and in the
+        reloaded manifest's tail — and the next roll writes a second,
+        overlapping segment. Yielding only versions above the last yielded
+        one collapses those overlaps at read time, so feed cursors and
+        monitor rate windows never double-count a commit."""
+        last = int(min_version)
         for a, b, p in self._segments(lake_dir):
-            if b > min_version:
+            if b > last:
                 with open(p) as f:
                     for line in f:
                         e = json.loads(line)
-                        if e.get("version", 0) > min_version:
+                        if e.get("version", 0) > last:
+                            last = int(e["version"])
                             yield e
         for h in self.data["history"]:
-            if h.get("version", 0) > min_version:
+            if h.get("version", 0) > last:
+                last = int(h["version"])
                 yield h
 
     def save_atomic(self, lake_dir: str) -> None:
