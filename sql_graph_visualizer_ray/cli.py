@@ -30,6 +30,24 @@ def _ensure_ray(num_cpus: int | None) -> None:
         DataContext.get_current().enable_progress_bars = False
 
 
+def _emsg(e: BaseException) -> str:
+    """str(KeyError) is the repr of its argument (quotes included)."""
+    return str(e.args[0]) if isinstance(e, KeyError) and e.args else str(e)
+
+
+def _emit_table(t, out: str | None) -> int:
+    """Shared result tail of the serving verbs: --out writes parquet,
+    otherwise the rows print as JSON."""
+    if out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, out)
+        print(json.dumps({"rows": t.num_rows, "out": out}))
+    else:
+        print(json.dumps({"rows": t.num_rows, "data": t.to_pylist()}, default=str))
+    return 0
+
+
 def cmd_run(a) -> int:
     from .pipelines.cdc import replay
 
@@ -182,14 +200,7 @@ def cmd_lookup(a) -> int:
         columns=a.columns.split(",") if a.columns else None,
         version=a.version,
     )
-    if a.out:
-        import pyarrow.parquet as pq
-
-        pq.write_table(t, a.out)
-        print(json.dumps({"rows": t.num_rows, "out": a.out}))
-    else:
-        print(json.dumps({"rows": t.num_rows, "data": t.to_pylist()}, default=str))
-    return 0
+    return _emit_table(t, a.out)
 
 
 def _coerce_search_value(lake, column: str, op: str, value: str):
@@ -230,10 +241,6 @@ def cmd_search(a) -> int:
 
     lake = LakeTable.open(a.lake_dir)
 
-    def _emsg(e: BaseException) -> str:
-        # str(KeyError) is the repr of its argument (quotes included)
-        return str(e.args[0]) if isinstance(e, KeyError) and e.args else str(e)
-
     try:
         predicates = [
             (col, op, _coerce_search_value(lake, col, op, val))
@@ -255,14 +262,7 @@ def cmd_search(a) -> int:
         # pc.equal raises ArrowNotImplementedError, which is NOT a ValueError
         print(_emsg(e), file=sys.stderr)
         return 1
-    if a.out:
-        import pyarrow.parquet as pq
-
-        pq.write_table(t, a.out)
-        print(json.dumps({"rows": t.num_rows, "out": a.out}))
-    else:
-        print(json.dumps({"rows": t.num_rows, "data": t.to_pylist()}, default=str))
-    return 0
+    return _emit_table(t, a.out)
 
 
 def cmd_search_any(a) -> int:
@@ -284,18 +284,9 @@ def cmd_search_any(a) -> int:
             max_result_keys=a.max_result_keys,
         )
     except (ValueError, KeyError, pa.lib.ArrowException) as e:
-        # str(KeyError) is the repr of its argument (quotes included)
-        msg = str(e.args[0]) if isinstance(e, KeyError) and e.args else str(e)
-        print(msg, file=sys.stderr)
+        print(_emsg(e), file=sys.stderr)
         return 1
-    if a.out:
-        import pyarrow.parquet as pq
-
-        pq.write_table(t, a.out)
-        print(json.dumps({"rows": t.num_rows, "out": a.out}))
-    else:
-        print(json.dumps({"rows": t.num_rows, "data": t.to_pylist()}, default=str))
-    return 0
+    return _emit_table(t, a.out)
 
 
 def cmd_serve(a) -> int:
@@ -351,32 +342,47 @@ def cmd_benchmark(a) -> int:
     from .pipelines.cdc import LakeTable
 
     svc = BenchmarkService(default_timeout_s=a.timeout)
-    if a.tool == "serving":
-        import pyarrow as pa
+    try:
+        if a.tool == "serving":
+            import pyarrow as pa
 
-        from .pipelines.cdc import CANONICAL_KEYS
+            from .pipelines.cdc import CANONICAL_KEYS
 
-        lake = LakeTable.open(a.path)
-        if a.keys:
-            keys = a.keys.split(",")
-            key_type = lake.manifest.payload_schema.field(
-                CANONICAL_KEYS[0]
-            ).type
-            if pa.types.is_integer(key_type):
-                keys = [int(k) for k in keys]
-        else:  # sample a handful of live keys from the lake head
-            keys = lake.head(8).column(lake.key_columns[0]).to_pylist()
-        svc.register_tool(ServingProbeTool(a.path, keys))
-        rid = svc.execute_benchmark(
-            BenchmarkConfig(test_type="point_select", duration_s=a.duration),
-            "serving_probe",
-        )
-    else:  # replay
-        _ensure_ray(a.num_cpus)
-        svc.register_tool(ReplayTool(a.path, num_buckets=a.num_buckets))
-        rid = svc.execute_benchmark(
-            BenchmarkConfig(test_type="replay"), "cdc_replay"
-        )
+            lake = LakeTable.open(a.path)
+            if a.keys:
+                keys = a.keys.split(",")
+                key_type = lake.manifest.payload_schema.field(
+                    CANONICAL_KEYS[0]
+                ).type
+                if pa.types.is_integer(key_type):
+                    try:
+                        keys = [int(k) for k in keys]
+                    except ValueError as e:
+                        print(
+                            f"--keys must be {key_type} for this lake: {e}",
+                            file=sys.stderr,
+                        )
+                        return 1
+            else:  # sample a handful of live keys from the lake head
+                keys = lake.head(8).column(lake.key_columns[0]).to_pylist()
+            svc.register_tool(ServingProbeTool(a.path, keys))
+            rid = svc.execute_benchmark(
+                BenchmarkConfig(
+                    test_type="point_select", duration_s=a.duration
+                ),
+                "serving_probe",
+            )
+        else:  # replay
+            _ensure_ray(a.num_cpus)
+            svc.register_tool(ReplayTool(a.path, num_buckets=a.num_buckets))
+            rid = svc.execute_benchmark(
+                BenchmarkConfig(test_type="replay"), "cdc_replay"
+            )
+    except RuntimeError as e:
+        # tool unavailable (empty lake -> no probe keys; replay dir gone):
+        # a clean message, not a traceback — mirrors the HTTP route's 409
+        print(_emsg(e), file=sys.stderr)
+        return 1
     svc.wait(rid, timeout=a.timeout + 30)
     r = svc.get_result(rid)
     print(json.dumps(r.to_dict()))

@@ -272,12 +272,16 @@ class RuleSet:
 
         with open(path) as f:
             doc = yaml.safe_load(f) or {}
-        entries = doc.get("transform_rules", doc if isinstance(doc, list) else [])
-        tables = (
-            _table_filter_from_dict(doc["tables"])
-            if isinstance(doc, dict) and doc.get("tables")
-            else None
-        )
+        if isinstance(doc, list):  # top-level-list rules file
+            entries: list = doc
+            tables = None
+        else:
+            entries = doc.get("transform_rules", [])
+            tables = (
+                _table_filter_from_dict(doc["tables"])
+                if doc.get("tables")
+                else None
+            )
         return cls([rule_from_dict(d) for d in entries], tables=tables)
 
     def save_yaml(self, path: str) -> None:
@@ -352,18 +356,31 @@ class RuleSet:
                         )
             else:
                 for side, t in (("source", r.source_type), ("target", r.target_type)):
-                    if t and t not in node_types:
+                    if not t:
+                        # run_rules would silently skip the rule (no node
+                        # set keyed "") — a misconfiguration, not a valid
+                        # table-filtered endpoint
+                        problems.append(
+                            f"relationship rule {r.name!r} has an empty "
+                            f"{side}_type"
+                        )
+                    elif t not in node_types:
                         problems.append(
                             f"relationship rule {r.name!r} {side}_type {t!r} "
                             "matches no node rule"
                         )
+        known_lower = (
+            {k.lower() for k in known_tables} if known_tables is not None else None
+        )
         for t, preds in self.tables.where.items():
             for p in preds:
                 if p.op not in _PRED_OPS:
                     problems.append(
                         f"tables.where[{t!r}] op {p.op!r} not in {_PRED_OPS}"
                     )
-            if known_tables is not None and t not in known_tables:
+            # case-insensitive like where_for (the reference's isInList):
+            # a config that EXECUTES fine must also validate fine
+            if known_lower is not None and t.lower() not in known_lower:
                 problems.append(f"tables.where references unknown table {t!r}")
         if (
             self.tables.row_limit_per_table is not None

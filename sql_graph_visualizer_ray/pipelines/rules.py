@@ -23,6 +23,34 @@ from .relational import (
 )
 
 
+def _rule_columns(sf_dir: str, r: NodeRule, tf) -> list[str] | None:
+    """Column-pruned read set for a node rule: mapped source columns,
+    filter columns, ``col:`` refs in computed properties, and the table
+    filter's WHERE columns — intersected with the file's actual schema so
+    the documented missing-column tolerance (mappings silently skip)
+    survives the pruning. Returns None (read everything) only if the
+    intersection is empty, which keeps a misconfigured rule failing the
+    same way it did unpruned."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    need = set(r.field_mappings)
+    need |= {p.column for p in r.filters}
+    for c in r.computed:
+        need |= {
+            p[4:]
+            for p in c.parts
+            if isinstance(p, str) and p.startswith("col:")
+        }
+    need |= {p.column for p in tf.where_for(r.source_table)}
+    have = set(
+        pq.read_schema(os.path.join(sf_dir, f"{r.source_table}.parquet")).names
+    )
+    cols = sorted(need & have)
+    return cols or None
+
+
 def run_rules(
     sf_dir: str, rs: RuleSet, *, num_partitions: int | None = None
 ) -> dict[str, rd.Dataset]:
@@ -45,7 +73,9 @@ def run_rules(
         if isinstance(r, NodeRule):
             if not tf.allows(r.source_table):
                 continue
-            src_ds = read_table(sf_dir, r.source_table)
+            src_ds = read_table(
+                sf_dir, r.source_table, columns=_rule_columns(sf_dir, r, tf)
+            )
             preds = tf.where_for(r.source_table)
             if preds:
                 src_ds = src_ds.map_batches(

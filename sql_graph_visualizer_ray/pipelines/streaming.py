@@ -62,7 +62,12 @@ def tail(
     commits = 0
     while True:
         counters = lake.commit_with_retry(
-            lambda lk: lk.apply(changelog_dir, **apply_kw)
+            # bound the apply at the stop epoch: a changelog that already
+            # holds later epochs must not be applied past the requested
+            # stop point in the first micro-batch
+            lambda lk: lk.apply(
+                changelog_dir, upto_epoch=stop_after_epoch, **apply_kw
+            )
         )
         if counters.get("epochs", 0):
             idle = 0.0

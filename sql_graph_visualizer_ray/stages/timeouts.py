@@ -54,5 +54,8 @@ def collect_with_timeout(
         if close is not None:
             close()
     if not tables:
-        return pa.Table.from_batches([], schema=ds.schema().base_schema)
+        schema = ds.schema()  # None for a schemaless empty dataset
+        return pa.Table.from_batches(
+            [], schema=schema.base_schema if schema is not None else pa.schema([])
+        )
     return pa.concat_tables(tables, promote_options="permissive")

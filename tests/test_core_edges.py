@@ -108,3 +108,32 @@ def test_epoch_files_numeric_order_past_padding(tmp_path):
 def test_spec_for_rejects_unknown_label():
     with pytest.raises(ValueError, match="unknown sf label"):
         spec_for("sf10")
+
+
+def test_tail_stop_after_epoch_is_exact(ray_session, tmp_path):
+    """A changelog already holding epochs PAST the stop point must not be
+    applied beyond it in the first micro-batch (apply is bounded with
+    upto_epoch, not merely checked after the fact)."""
+    from sql_graph_visualizer_ray.pipelines.streaming import tail
+
+    clog = materialize(
+        "core-tailstop",
+        ChangelogSpec(n_events=2000, n_convs=50, n_epochs=4, seed=3),
+    )
+    lake = tail(
+        clog,
+        str(tmp_path / "lake"),
+        num_buckets=2,
+        stop_after_epoch=1,
+        idle_timeout=1.0,
+    )
+    assert lake.manifest.applied_epoch == 1  # epochs 0..1 only
+
+
+def test_collect_with_timeout_empty_schemaless(ray_session):
+    """An empty dataset with no derivable schema returns an empty table,
+    not AttributeError on None.base_schema."""
+    from sql_graph_visualizer_ray.stages.timeouts import collect_with_timeout
+
+    t = collect_with_timeout(rd.from_items([]), 5.0)
+    assert t.num_rows == 0

@@ -198,3 +198,63 @@ def test_run_rules_rejects_invalid(ray_session):
     rs = RuleSet([RelationshipRule(name="r", relation_type="X", source_type="Nope")])
     with pytest.raises(ValueError, match="invalid rule set"):
         run_rules("/root/testdata/sf0.001", rs)
+
+
+def test_load_yaml_top_level_list(tmp_path):
+    """A rules file whose document is a bare YAML list of rules loads fine
+    (this shape used to AttributeError on list.get)."""
+    p = str(tmp_path / "rules.yml")
+    with open(p, "w") as f:
+        f.write(
+            "- name: n1\n  rule_type: node\n  source_table: customer\n"
+            "  target_type: Customer\n"
+            "  field_mappings: {c_custkey: id, c_name: name}\n"
+        )
+    rs = RuleSet.load_yaml(p)
+    assert len(rs.rules) == 1 and rs.rules[0].name == "n1"
+    assert rs.validate() == []
+
+
+def test_validate_flags_empty_relationship_endpoint():
+    """An empty source_type/target_type would be SILENTLY skipped by
+    run_rules — validate must flag it instead of passing."""
+    rs = RuleSet(
+        [
+            NodeRule(
+                name="n",
+                source_table="customer",
+                target_type="Customer",
+                field_mappings={"c_custkey": "id"},
+            ),
+            RelationshipRule(
+                name="r",
+                source_type="",
+                target_type="Customer",
+                relation_type="KNOWS",
+            ),
+        ]
+    )
+    problems = rs.validate()
+    assert any("empty source_type" in p for p in problems)
+
+
+def test_validate_where_tables_case_insensitive():
+    """tables.where keys match tables case-insensitively at RUN time
+    (where_for lower-cases both sides); validate must agree instead of
+    rejecting a config that executes fine."""
+    from sql_graph_visualizer_ray.config import TableFilter
+
+    rs = RuleSet(
+        [
+            NodeRule(
+                name="n",
+                source_table="customer",
+                target_type="Customer",
+                field_mappings={"c_custkey": "id"},
+            )
+        ],
+        tables=TableFilter(
+            where={"CUSTOMER": (Predicate("c_custkey", ">", 0),)}
+        ),
+    )
+    assert rs.validate(known_tables=["customer"]) == []
