@@ -30,6 +30,26 @@ def _ensure_ray(num_cpus: int | None) -> None:
         DataContext.get_current().enable_progress_bars = False
 
 
+def _open_existing(path: str):
+    """Open a lake WITHOUT creating one. Every serving/maintenance verb
+    operates on an existing lake; ``LakeTable.open`` would write a
+    default-transcript-schema manifest at a mistyped path as a side
+    effect (the create-on-open hazard fixed in serve.GraphServer).
+    Prints the error and returns None when no manifest exists."""
+    from .pipelines.cdc import LakeTable
+    from .state.manifest import Manifest
+
+    m = Manifest.load(path)
+    if m is None:
+        print(
+            f"no lake at {path} (MANIFEST.json missing) — create one with "
+            "`run`/`tail` first",
+            file=sys.stderr,
+        )
+        return None
+    return LakeTable(path, m)
+
+
 def _emsg(e: BaseException) -> str:
     """str(KeyError) is the repr of its argument (quotes included)."""
     return str(e.args[0]) if isinstance(e, KeyError) and e.args else str(e)
@@ -97,7 +117,9 @@ def cmd_compact(a) -> int:
     from .pipelines.cdc import LakeTable
 
     _ensure_ray(a.num_cpus)
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     if a.tombstone_lateness_us is not None:
         res = lake.compact_tombstones(allowed_lateness_us=a.tombstone_lateness_us)
     elif a.string_stats:
@@ -112,7 +134,10 @@ def cmd_split(a) -> int:
     from .pipelines.cdc import LakeTable
 
     _ensure_ray(a.num_cpus)
-    print(json.dumps(LakeTable.open(a.lake_dir).split_buckets(a.new_buckets)))
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
+    print(json.dumps(lake.split_buckets(a.new_buckets)))
     return 0
 
 
@@ -120,7 +145,9 @@ def cmd_vacuum(a) -> int:
     from .pipelines.cdc import LakeTable
     from .state.manifest import vacuum
 
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     n = vacuum(a.lake_dir, lake.manifest, min_age_s=a.min_age_s)
     print(json.dumps({"removed_versions": n}))
     return 0
@@ -130,7 +157,9 @@ def cmd_changes(a) -> int:
     from .pipelines.cdc import LakeTable
 
     _ensure_ray(a.num_cpus)
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     try:
         feed = lake.changes(a.version)
     except KeyError as e:
@@ -151,7 +180,9 @@ def cmd_feed(a) -> int:
     from .pipelines.feed import ChangeFeedCursor, drain
 
     _ensure_ray(a.num_cpus)
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     cur = ChangeFeedCursor(a.cursor, start_after=a.start_after)
     try:
         delivered = drain(lake, cur, a.out, max_polls=a.max_polls)
@@ -173,7 +204,9 @@ def cmd_lookup(a) -> int:
 
     import pyarrow as pa
 
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     turns = a.turn if a.turn else None
     if turns is not None and len(turns) not in (0, len(a.key)):
         print("--turn must be given once per --key", file=sys.stderr)
@@ -239,7 +272,9 @@ def cmd_search(a) -> int:
 
     from .pipelines.cdc import LakeTable
 
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
 
     try:
         predicates = [
@@ -272,7 +307,9 @@ def cmd_search_any(a) -> int:
 
     from .pipelines.cdc import LakeTable
 
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     try:
         t = lake.search_any(
             a.term,
@@ -348,7 +385,9 @@ def cmd_benchmark(a) -> int:
 
             from .pipelines.cdc import CANONICAL_KEYS
 
-            lake = LakeTable.open(a.path)
+            lake = _open_existing(a.path)
+            if lake is None:
+                return 1
             if a.keys:
                 keys = a.keys.split(",")
                 key_type = lake.manifest.payload_schema.field(
@@ -398,7 +437,9 @@ def cmd_backfill_stats(a) -> int:
     carry a stats entry."""
     from .pipelines.cdc import CommitConflictError, LakeTable
 
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     try:
         r = lake.commit_with_retry(lambda lk: lk.backfill_stats())
         if a.strings:
@@ -416,7 +457,9 @@ def cmd_snapshot(a) -> int:
     from .pipelines.cdc import LakeTable
 
     _ensure_ray(a.num_cpus)
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
     try:
         snap = lake.snapshot(a.version)
     except KeyError as e:
@@ -448,7 +491,9 @@ def cmd_verify(a) -> int:
     from .pipelines.oracle import replay_oracle
 
     _ensure_ray(a.num_cpus)
-    lake = LakeTable.open(a.lake_dir)
+    lake = _open_existing(a.lake_dir)
+    if lake is None:
+        return 1
 
     def canonical(t):
         t = t.select(sorted(t.column_names))

@@ -514,11 +514,13 @@ def user_activity_summary(sf_dir: str, *, min_events: int = 5) -> rd.Dataset:
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         # half-AWAY-FROM-ZERO to match SQL round() — np.round is banker's
-        # (half-to-even): value=0.125 -> 12.5 cents must round to 13, not 12
+        # (half-to-even): value=0.125 -> 12.5 cents must round to 13, not
+        # 12. The int cast goes through pandas, NOT ndarray.astype: a NULL
+        # value must raise loudly (IntCastingNaNError) — numpy would
+        # silently turn NaN into INT64_MIN and poison the sum
         v = b["value"].to_numpy() * 100.0
-        b = b.assign(
-            value_cents=(np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
-        )
+        cents = pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5), index=b.index)
+        b = b.assign(value_cents=cents.astype("int64"))
         # dropna=False: SQL GROUP BY keeps a NULL group (same reason as the
         # tumbling-window combiner)
         return b.groupby(

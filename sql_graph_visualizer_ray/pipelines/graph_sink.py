@@ -74,9 +74,14 @@ def _edge_events(
         t.column("relation_type"),
         t.column("direction"),
     ):
-        h = (h * np.uint64(0x100000001B3)) ^ pd.util.hash_array(
-            np.asarray(col.to_pylist(), dtype=object)
+        # to_numpy, not to_pylist: no per-cell Python list round-trip on
+        # the ingest hot path (hash_array takes the object ndarray as-is)
+        arr = (
+            col.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(col, pa.ChunkedArray)
+            else col.to_numpy(zero_copy_only=False)
         )
+        h = (h * np.uint64(0x100000001B3)) ^ pd.util.hash_array(arr)
     h = h.view(np.int64) & 0x7FFFFFFFFFFFFFFF  # non-negative int64 lsn
     ts = (
         t.column("ts").cast(pa.timestamp("us"))

@@ -284,12 +284,18 @@ def render_placeholders(sql: str, paramstyle: str) -> str:
     """
     if paramstyle == "qmark":
         return sql
+    is_format = paramstyle in ("format", "pyformat")
+    if not is_format and paramstyle != "numeric":
+        raise ValueError(f"unsupported paramstyle {paramstyle!r}")
     out: list[str] = []
     n = 0
     in_str: str | None = None
     for ch in sql:
         if in_str is not None:
-            out.append(ch)
+            # format-family drivers %-interpolate the WHOLE string
+            # (including quoted literals) when params are passed — a
+            # literal % (LIKE '%12%') must double to %% or execute() raises
+            out.append("%%" if is_format and ch == "%" else ch)
             if ch == in_str:
                 in_str = None
             continue
@@ -298,12 +304,9 @@ def render_placeholders(sql: str, paramstyle: str) -> str:
             out.append(ch)
         elif ch == "?":
             n += 1
-            if paramstyle in ("format", "pyformat"):
-                out.append("%s")
-            elif paramstyle == "numeric":
-                out.append(f":{n}")
-            else:
-                raise ValueError(f"unsupported paramstyle {paramstyle!r}")
+            out.append("%s" if is_format else f":{n}")
+        elif is_format and ch == "%":
+            out.append("%%")
         else:
             out.append(ch)
     return "".join(out)

@@ -318,3 +318,19 @@ def test_cli_backfill_stats(ray_session, clog, tmp_path, capsys):
     assert main(["backfill-stats", lake_dir]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["files_backfilled"] == 0
+
+
+def test_cli_read_verbs_never_create_lakes(tmp_path, capsys):
+    """A mistyped lake path is exit 1 + a message — LakeTable.open would
+    have written a default-schema manifest there as a side effect."""
+    from sql_graph_visualizer_ray.cli import main
+
+    missing = str(tmp_path / "nope")
+    for argv in (
+        ["lookup", missing, "--key", "x"],
+        ["vacuum", missing],
+        ["search-any", missing, "zz"],
+    ):
+        assert main(argv) == 1, argv
+        assert "MANIFEST.json missing" in capsys.readouterr().err
+        assert not (tmp_path / "nope").exists()

@@ -561,3 +561,18 @@ def test_parameterized_incremental_pull(ray_session, tmp_path, dialect):
     (c_low, max_low), (c_high, min_high) = n_low.fetchone(), n_high.fetchone()
     assert c_low + c_high == spec.n_events
     assert max_low <= watermark < min_high
+
+
+def test_render_placeholders_escapes_percent():
+    """format-family drivers %-interpolate the whole query when params are
+    passed: a literal % (LIKE patterns, modulo) must double to %%."""
+    from sql_graph_visualizer_ray.sources.adapter import render_placeholders
+
+    q = "SELECT * FROM t WHERE name LIKE '%12%' AND x % 2 = ? -- 50%"
+    assert render_placeholders(q, "qmark") == q
+    assert render_placeholders(q, "format") == (
+        "SELECT * FROM t WHERE name LIKE '%%12%%' AND x %% 2 = %s -- 50%%"
+    )
+    assert render_placeholders(q, "numeric") == (
+        "SELECT * FROM t WHERE name LIKE '%12%' AND x % 2 = :1 -- 50%"
+    )
