@@ -2583,11 +2583,36 @@ class LakeTable:
         if t.num_rows == 0:
             return t
         k1, k2 = self.manifest.key_columns
+        t = _promote_big_binary(t)
         return t.take(
             pc.sort_indices(
                 t, sort_keys=[(k1, "ascending"), (k2, "ascending")]
             )
         )
+
+
+#: string/binary columns this close to the int32 offset limit promote to
+#: their large_ (64-bit-offset) variants before a full-table take — a
+#: driver-side sort of a multi-GB text column would otherwise die with
+#: Arrow's opaque "offset overflow while concatenating arrays"
+_SORT_PROMOTE_BYTES = (1 << 31) - (1 << 27)
+
+
+def _promote_big_binary(t: pa.Table) -> pa.Table:
+    big = {
+        f.name
+        for f in t.schema
+        if (pa.types.is_string(f.type) or pa.types.is_binary(f.type))
+        and t.column(f.name).nbytes >= _SORT_PROMOTE_BYTES
+    }
+    if not big:
+        return t
+    def widen(f: pa.Field) -> pa.Field:
+        if f.name not in big:
+            return f
+        wide = pa.large_binary() if pa.types.is_binary(f.type) else pa.large_string()
+        return pa.field(f.name, wide)
+    return t.cast(pa.schema([widen(f) for f in t.schema]))
 
 
 def replay(

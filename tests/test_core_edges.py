@@ -137,3 +137,22 @@ def test_collect_with_timeout_empty_schemaless(ray_session):
 
     t = collect_with_timeout(rd.from_items([]), 5.0)
     assert t.num_rows == 0
+
+
+def test_final_table_promotes_big_string_columns(ray_session, tmp_path, monkeypatch):
+    """A full-table sort of a text column approaching the int32 offset
+    limit must promote to large_string instead of dying with Arrow's
+    'offset overflow while concatenating arrays' (hit live on the sf1
+    20M-event soak). Pinned with a tiny promotion threshold."""
+    from sql_graph_visualizer_ray.pipelines import cdc
+
+    clog = materialize(
+        "core-bigsort", ChangelogSpec(n_events=1000, n_convs=30, n_epochs=1, seed=4)
+    )
+    lake = LakeTable.open(str(tmp_path / "lake"), num_buckets=2)
+    lake.apply(clog)
+    want = lake.final_table()  # un-promoted baseline
+    monkeypatch.setattr(cdc, "_SORT_PROMOTE_BYTES", 1)
+    got = lake.final_table()
+    assert pa.types.is_large_string(got.schema.field("text").type)
+    assert got.cast(want.schema).equals(want)  # same rows, same order
